@@ -1,0 +1,166 @@
+"""The CDC apply kernel: content normalization + sha256 fingerprinting
+(Arrow-vectorized) and last-writer-wins dedup per key.
+
+Reference parity: the reference has no native dedup operator — SURVEY.md
+§2.5 maps its SQL-first answer to ``Window.partitionBy(keys).orderBy(desc
+seq)`` + ``row_number()==1`` or ``repartition(keys)+sortWithinPartitions+
+mapPartitions`` (the shape BASELINE.json's north_rule mandates). We
+implement three interchangeable strategies and verify they agree:
+
+``max_by``  (default)   groupBy(keys).agg(max_by(struct(*), seq)).
+    Scale rationale: partial aggregation — each map task collapses its
+    local events per key BEFORE the shuffle, so with ~E events over K keys
+    only ~min(E, K·P) rows cross the wire instead of E. At 10^10 events
+    with heavy multi-event keys this is the dominant win, and a hot key is
+    reduced map-side too (plus an optional explicit two-phase salt).
+
+``window``              row_number over (partitionBy keys, orderBy seq desc).
+    Spark ≥3.5 inserts a WindowGroupLimit (partial top-1 before the
+    shuffle), making this nearly as good as max_by; kept because it is the
+    SQL-oracle-friendly form.
+
+``sort_partitions``     repartition(P, keys) → sortWithinPartitions(keys,
+    seq desc) → stateful mapInPandas keep-first-per-key.
+    The north_rule shape: all events for a key land in one partition,
+    sorted so the winner is the first row of each key run; an Arrow batch
+    iterator drops the rest while carrying the last key across batch
+    boundaries (no per-row Python).
+
+All strategies produce identical output (seq is unique → no ties).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# Normalization + fingerprint (vectorized; no per-row Python)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def normalize_content(s: pd.Series) -> pd.Series:
+    """Normalize source text: strip trailing whitespace per line, normalize
+    line endings, drop trailing newlines. Vectorized pandas string ops over
+    Arrow batches (north_rule: no per-row Python in the engine hot path)."""
+    out = s.str.replace("\r\n", "\n", regex=False)
+    out = out.str.replace(r"[ \t]+\n", "\n", regex=True)
+    out = out.str.replace(r"\s+$", "", regex=True)
+    return out
+
+
+@pandas_udf(StringType())
+def sha256_hex(s: pd.Series) -> pd.Series:
+    """sha256 hex digest of a string column (Arrow-batched).
+
+    hashlib releases the GIL for large buffers; per-batch overhead is
+    amortized by Arrow transfer. (The JVM-side ``F.sha2(col,256)`` built-in
+    is equivalent and faster — bench.py compares both — but the north_rule
+    pins the pandas-UDF form as the engine primitive.)
+    """
+    return s.map(lambda x: None if x is None else hashlib.sha256(x.encode("utf-8")).hexdigest())
+
+
+def normalize_and_fingerprint(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Add ``content`` (normalized in place) and ``content_sha256``."""
+    norm = F.when(F.col(content_col).isNotNull(), normalize_content(F.col(content_col)))
+    return df.withColumn(content_col, norm).withColumn(
+        "content_sha256",
+        F.when(F.col(content_col).isNotNull(), sha256_hex(F.col(content_col))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-writer-wins dedup
+# ---------------------------------------------------------------------------
+
+
+def last_writer_wins(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    *,
+    strategy: str = "max_by",
+    num_partitions: int | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Collapse ``df`` to one row per ``keys`` — the row with max ``seq_col``.
+
+    ``salt_buckets`` (max_by only): explicit two-phase aggregation for hot
+    keys — phase 1 groups by (keys, pmod(xxhash64(seq), S)) so a hot key's
+    events split across S reducers, phase 2 merges the S finalists. Partial
+    aggregation already defuses most skew map-side; the salt guards the
+    pathological single-key-dominates-a-reducer case the north_rule calls
+    out.
+    """
+    if strategy == "max_by":
+        return _lww_max_by(df, keys, seq_col, salt_buckets)
+    if strategy == "window":
+        return _lww_window(df, keys, seq_col)
+    if strategy == "sort_partitions":
+        return _lww_sort_partitions(df, keys, seq_col, num_partitions)
+    raise ValueError(f"unknown LWW strategy: {strategy!r}")
+
+
+def _lww_max_by(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:
+    payload = [c for c in df.columns if c not in keys]
+    packed = F.struct(*[F.col(c) for c in payload]).alias("_w")
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets)).alias("_salt")
+        phase1 = df.groupBy(*keys, salt).agg(F.max_by(packed, F.col(seq_col)).alias("_w"))
+        phase2 = phase1.groupBy(*keys).agg(
+            F.max_by(F.col("_w"), F.col(f"_w.{seq_col}")).alias("_w")
+        )
+        out = phase2
+    else:
+        out = df.groupBy(*keys).agg(F.max_by(packed, F.col(seq_col)).alias("_w"))
+    return out.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def _lww_window(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _lww_sort_partitions(
+    df: DataFrame, keys: list[str], seq_col: str, num_partitions: int | None
+) -> DataFrame:
+    cols = df.columns
+    key_idx = [cols.index(k) for k in keys]
+
+    def drop_dupes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Rows arrive sorted by (keys, seq desc) within the partition; keep
+        # the first row of each key run, carrying the last-seen key across
+        # Arrow batch boundaries.
+        prev_key: tuple | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keymat = pdf.iloc[:, key_idx]
+            # boundary mask: row differs from the previous row's key
+            shifted = keymat.shift(1)
+            firsts = (keymat != shifted).any(axis=1)
+            firsts.iloc[0] = True
+            if prev_key is not None and tuple(keymat.iloc[0]) == prev_key:
+                firsts.iloc[0] = False
+            prev_key = tuple(keymat.iloc[-1])
+            out = pdf[firsts.values]
+            if not out.empty:
+                yield out
+
+    part = df.repartition(num_partitions, *keys) if num_partitions else df.repartition(*keys)
+    ordered = part.sortWithinPartitions(*keys, F.col(seq_col).desc())
+    return ordered.mapInPandas(drop_dupes, schema=df.schema)

@@ -1,0 +1,36 @@
+"""Bootstrap helpers: create the lake table whose schema matches the
+change-stream row shape (minus the op column, plus the fingerprint)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructField, StructType, StringType
+
+from arc_spark.lake.table import LakeTable, Snapshot
+
+
+def create_table_for_stream(
+    spark: SparkSession,
+    events_path: str,
+    table_root: str,
+    *,
+    key_cols: list[str] = ("repo", "path"),
+    seq_col: str = "seq",
+    num_buckets: int = 32,
+    fingerprint: bool = True,
+    drop_cols: tuple[str, ...] = ("op",),
+    overwrite: bool = True,
+) -> tuple[LakeTable, Snapshot]:
+    stream_schema = spark.read.parquet(events_path).schema
+    fields = [f for f in stream_schema.fields if f.name not in drop_cols]
+    if fingerprint and "content_sha256" not in {f.name for f in fields}:
+        fields.append(StructField("content_sha256", StringType(), True))
+    table = LakeTable(table_root)
+    snap = table.create(
+        StructType(fields),
+        list(key_cols),
+        seq_col=seq_col,
+        num_buckets=num_buckets,
+        overwrite=overwrite,
+    )
+    return table, snap

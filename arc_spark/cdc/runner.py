@@ -1,0 +1,183 @@
+"""Micro-batch replay runner: binlog tail → normalize/fingerprint → LWW
+dedup → lake MERGE, with exactly-once resume and per-epoch metrics.
+
+Execution model (scale rationale):
+- The change stream is parquet range-partitioned on ``seq``; an epoch reads
+  ``seq BETWEEN a AND b`` which Catalyst pushes into the scan
+  (``PushedFilters``) so row-group min/max stats skip everything outside
+  the band — per-epoch IO is O(epoch size), not O(stream size).
+- Offsets are *inside* the lake snapshot (see arc_spark.lake.table), so a
+  crash between "data written" and "offsets advanced" is impossible;
+  resume = read snapshot, continue from ``end_seq + 1``. A killed and
+  retried epoch is fenced by ``committed_epochs``.
+- Counters use ``df.observe`` (no extra job) + merge-side bucket counts,
+  echoing the reference's per-stage SparkListener records/bytes metrics
+  (``util/ListenerUtils.scala:39-84``) and per-stage duration logs
+  (``ARC.scala:491-502``).
+
+Failure injection for the exactly-once tests mirrors the reference's
+ChaosMonkey lifecycle plugin (``plugins/lifecycle/ChaosMonkey.scala:81-96``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
+from arc_spark.lake.table import LakeTable
+
+log = logging.getLogger("arc_spark.cdc")
+
+KEYS = ["repo", "path"]
+
+
+class InjectedFailure(Exception):
+    """Raised by a failure injector to simulate a crash (ChaosMonkey)."""
+
+
+class ReplayRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_path: str,
+        table: LakeTable,
+        *,
+        batch_size: int = 100_000,
+        strategy: str = "max_by",
+        salt_buckets: int | None = None,
+        fingerprint: bool = True,
+        metrics_path: str | None = None,
+    ):
+        self.spark = spark
+        self.events_path = events_path
+        self.table = table
+        self.batch_size = batch_size
+        self.strategy = strategy
+        self.salt_buckets = salt_buckets
+        self.fingerprint = fingerprint
+        self.metrics_path = metrics_path
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------------
+
+    def _events(self) -> DataFrame:
+        return self.spark.read.parquet(self.events_path)
+
+    def max_seq(self) -> int:
+        row = self._events().agg(F.max("seq")).first()
+        return -1 if row[0] is None else int(row[0])
+
+    def run(
+        self,
+        *,
+        max_epochs: int | None = None,
+        end_seq: int | None = None,
+        failure_injector: Callable[[int, str], None] | None = None,
+    ) -> list[dict]:
+        """Replay until the stream is exhausted (or max_epochs).
+
+        ``failure_injector(epoch, phase)`` may raise InjectedFailure at
+        phase in {"before_merge", "after_merge"} to simulate crashes.
+        """
+        stream_end = self.max_seq() if end_seq is None else end_seq
+        epochs_done = 0
+        while True:
+            snap = self.table.snapshot()
+            next_seq = snap.end_seq + 1
+            if next_seq > stream_end:
+                break
+            if max_epochs is not None and epochs_done >= max_epochs:
+                break
+            epoch = snap.epoch + 1
+            batch_end = min(next_seq + self.batch_size - 1, stream_end)
+            self.run_epoch(epoch, next_seq, batch_end, failure_injector)
+            epochs_done += 1
+        if self.metrics_path:
+            with open(self.metrics_path, "w") as f:
+                for m in self.metrics:
+                    f.write(json.dumps(m) + "\n")
+        return self.metrics
+
+    # ------------------------------------------------------------------
+
+    def run_epoch(
+        self,
+        epoch: int,
+        start_seq: int,
+        end_seq: int,
+        failure_injector: Callable[[int, str], None] | None = None,
+    ) -> dict:
+        t0 = time.time()
+        obs_read = Observation(f"read-{epoch}")
+        obs_applied = Observation(f"applied-{epoch}")
+
+        batch = (
+            self._events()
+            .filter((F.col("seq") >= start_seq) & (F.col("seq") <= end_seq))
+            .observe(
+                obs_read,
+                F.count(F.lit(1)).alias("events_read"),
+                F.count_if(F.col("op") == "schema-change").alias("schema_changes"),
+            )
+        )
+        # schema-change events mutate table metadata, not rows; additive
+        # column arrival is handled by merge()'s schema widening, so row
+        # ops simply flow through with the new column populated.
+        row_ops = batch.filter(F.col("op") != "schema-change")
+
+        if self.fingerprint:
+            row_ops = normalize_and_fingerprint(row_ops)
+
+        deduped = last_writer_wins(
+            row_ops,
+            KEYS,
+            "seq",
+            strategy=self.strategy,
+            salt_buckets=self.salt_buckets,
+        ).observe(
+            obs_applied,
+            F.count(F.lit(1)).alias("keys_applied"),
+            F.count_if(F.col("op") == "delete").alias("deletes"),
+        )
+
+        if failure_injector:
+            failure_injector(epoch, "before_merge")
+
+        result = self.table.merge(
+            self.spark,
+            deduped,
+            epoch=epoch,
+            start_seq=start_seq,
+            end_seq=end_seq,
+        )
+
+        if failure_injector:
+            failure_injector(epoch, "after_merge")
+
+        wall = time.time() - t0
+        metric = {
+            "event": "epoch.complete",
+            "epoch": epoch,
+            "start_seq": start_seq,
+            "end_seq": end_seq,
+            "duration_sec": round(wall, 3),
+            "status": result.get("status"),
+            **(obs_read.get if result.get("status") == "committed" else {}),
+            **(obs_applied.get if result.get("status") == "committed" else {}),
+            "rows_written": result.get("rows_written"),
+            "buckets_rewritten": result.get("buckets_rewritten"),
+        }
+        if metric.get("events_read") is not None and metric.get("keys_applied") is not None:
+            metric["events_deduped"] = (
+                metric["events_read"] - metric["schema_changes"] - metric["keys_applied"]
+            )
+        self.metrics.append(metric)
+        log.info(json.dumps(metric))
+        return metric

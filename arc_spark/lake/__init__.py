@@ -1,0 +1,1 @@
+from arc_spark.lake.table import LakeTable, Snapshot  # noqa: F401

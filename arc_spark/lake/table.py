@@ -1,0 +1,369 @@
+"""An Iceberg-style lake table implemented from first principles.
+
+The sandbox ships no Iceberg/Delta runtime jars, so the engine carries its
+own minimal table format with the same semantics the north_rule needs:
+
+- **Snapshot isolation**: a table is a chain of immutable JSON manifests
+  ``_manifests/v{n}.json``; readers resolve the highest committed version.
+- **Atomic commit with optimistic concurrency**: a commit is an exclusive
+  ``open(path, "x")`` of the next manifest file — exactly Iceberg's
+  version-file CAS (on HDFS/S3 this maps to rename-if-absent /
+  conditional PUT). A losing writer reloads and retries.
+- **Epoch fencing / exactly-once**: source offsets (epoch id + seq range)
+  are recorded INSIDE the manifest, so "data visible" and "offsets
+  advanced" are one atomic event. A retried epoch sees itself already in
+  ``committed_epochs`` and becomes a no-op; orphaned data files from failed
+  attempts are never referenced by any manifest (Iceberg's orphan-file
+  model) and are ignored by readers.
+- **Bucketed copy-on-write MERGE**: data files are hash-bucketed by key
+  (``pmod(xxhash64(keys), B)``); a merge rewrites only the buckets touched
+  by the change batch and carries every other bucket's files forward
+  untouched. At 100 TB with B≫epochs·keys-touched this is the difference
+  between rewriting gigabytes and rewriting the lake.
+- **Additive schema evolution**: the manifest holds the table schema; a
+  merge whose change batch carries new columns widens the schema, old
+  files read back with nulls (mergeSchema read), matching Iceberg
+  ``ALTER TABLE ADD COLUMN`` semantics.
+
+Reference parity: the MERGE condition (change wins iff ``seq`` newer)
+generalizes the reference's snapshot-diff operator
+(``transform/DiffTransform.scala:116-171``); the write-then-verify
+row-count bookkeeping mirrors JDBCLoad's count parity check
+(``load/JDBCLoad.scala:279-293``); per-stage bytes/records counters mirror
+``util/ListenerUtils.scala:39-84``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    epoch: int
+    schema: StructType
+    num_buckets: int
+    key_cols: list[str]
+    seq_col: str
+    # bucket id (as str, JSON keys) -> list of data-file paths rel. to table root
+    files: dict[str, list[str]]
+    committed_epochs: dict[str, dict]  # epoch -> {start_seq, end_seq}
+    counters: dict = field(default_factory=dict)
+    parent_version: int = -1
+
+    @property
+    def end_seq(self) -> int:
+        if not self.committed_epochs:
+            return -1
+        return max(int(v["end_seq"]) for v in self.committed_epochs.values())
+
+    def file_list(self) -> list[str]:
+        return [p for fs in self.files.values() for p in fs]
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class LakeTable:
+    """A key-partitioned upsert table with snapshot/manifest metadata."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- metadata ----------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"v{version:012d}.json")
+
+    def exists(self) -> bool:
+        d = os.path.join(self.root, MANIFEST_DIR)
+        return os.path.isdir(d) and any(n.endswith(".json") for n in os.listdir(d))
+
+    def current_version(self) -> int:
+        d = os.path.join(self.root, MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return -1
+        versions = [
+            int(n[1:-5]) for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(versions, default=-1)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"lake table {self.root} does not exist")
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            epoch=m["epoch"],
+            schema=StructType.fromJson(m["schema"]),
+            num_buckets=m["num_buckets"],
+            key_cols=m["key_cols"],
+            seq_col=m["seq_col"],
+            files=m["files"],
+            committed_epochs=m["committed_epochs"],
+            counters=m.get("counters", {}),
+            parent_version=m.get("parent_version", -1),
+        )
+
+    def _commit(self, manifest: dict) -> int:
+        """Atomically publish a manifest as the next version (CAS)."""
+        version = manifest["version"]
+        path = self._manifest_path(version)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path, "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            raise CommitConflict(f"version {version} already committed") from None
+        return version
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def create(
+        self,
+        schema: StructType,
+        key_cols: list[str],
+        *,
+        seq_col: str = "seq",
+        num_buckets: int = 32,
+        overwrite: bool = False,
+    ) -> Snapshot:
+        if self.exists():
+            if not overwrite:
+                raise FileExistsError(f"table exists: {self.root}")
+            shutil.rmtree(self.root)
+        os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "epoch": -1,
+            "schema": schema.jsonValue(),
+            "num_buckets": num_buckets,
+            "key_cols": key_cols,
+            "seq_col": seq_col,
+            "files": {},
+            "committed_epochs": {},
+            "counters": {},
+            "parent_version": -1,
+            "created_at": time.time(),
+        }
+        self._commit(manifest)
+        return self.snapshot()
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        return self._read_files(spark, snap, snap.file_list())
+
+    def _read_files(self, spark: SparkSession, snap: Snapshot, rel_paths: list[str]) -> DataFrame:
+        if not rel_paths:
+            return spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.root, p) for p in rel_paths]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # align to snapshot schema (old files lack evolved columns)
+        cols = []
+        for f_ in snap.schema.fields:
+            if f_.name in df.columns:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        return df.select(*cols)
+
+    def bucket_expr(self, snap: Snapshot):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in snap.key_cols]), F.lit(snap.num_buckets))
+
+    # -- merge (copy-on-write upsert) --------------------------------------
+
+    def merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        *,
+        epoch: int,
+        start_seq: int,
+        end_seq: int,
+        op_col: str = "op",
+        delete_op: str = "delete",
+        extra_counters: dict | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """MERGE a deduplicated change batch (one row per key) into the table.
+
+        Semantics (Iceberg ``MERGE INTO`` equivalent):
+          WHEN MATCHED  AND src.op = 'delete' AND src.seq >= tgt.seq THEN DELETE
+          WHEN MATCHED  AND src.seq >= tgt.seq                       THEN UPDATE *
+          WHEN NOT MATCHED AND src.op != 'delete'                    THEN INSERT *
+
+        Exactly-once: if ``epoch`` is already in the snapshot's
+        ``committed_epochs`` the call is a fenced no-op (idempotent retry).
+        """
+        for attempt in range(max_retries):
+            snap = self.snapshot()
+            if str(epoch) in snap.committed_epochs:
+                return {"status": "skipped", "reason": "epoch already committed", "epoch": epoch}
+            try:
+                return self._merge_attempt(
+                    spark, snap, changes, epoch, start_seq, end_seq, op_col, delete_op,
+                    extra_counters or {},
+                )
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+        raise RuntimeError("unreachable")
+
+    def _merge_attempt(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        changes: DataFrame,
+        epoch: int,
+        start_seq: int,
+        end_seq: int,
+        op_col: str,
+        delete_op: str,
+        extra_counters: dict,
+    ) -> dict:
+        keys = snap.key_cols
+        seq_col = snap.seq_col
+
+        # additive schema evolution: widen table schema with new change cols
+        new_schema = StructType(list(snap.schema.fields))
+        base_names = {f_.name for f_ in snap.schema.fields}
+        for f_ in changes.schema.fields:
+            if f_.name not in base_names and f_.name != op_col:
+                new_schema = new_schema.add(f_)
+
+        data_cols = [f_.name for f_ in new_schema.fields]
+
+        src = changes.withColumn("_bucket", self.bucket_expr(snap))
+        # Align src to evolved schema (+ op + bucket)
+        src_sel = []
+        for f_ in new_schema.fields:
+            if f_.name in src.columns:
+                src_sel.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                src_sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        src = src.select(*src_sel, F.col(op_col).alias("_op"), F.col("_bucket"))
+
+        # Which buckets does this batch touch? (small: ≤ num_buckets rows)
+        touched = sorted(
+            r[0] for r in src.select("_bucket").distinct().collect()
+        )
+        touched_set = {str(b) for b in touched}
+
+        # Base rows from touched buckets only (copy-on-write scope)
+        base_files = [p for b, fs in snap.files.items() if b in touched_set for p in fs]
+        base = self._read_files(spark, snap, base_files)
+        # align base to evolved schema
+        base_sel = []
+        for f_ in new_schema.fields:
+            if f_.name in base.columns:
+                base_sel.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                base_sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        base = base.select(*base_sel)
+
+        # Full-outer merge on keys. One shuffle join; AQE turns it into a
+        # broadcast join when the change batch is small.
+        s = src.alias("s")
+        b = base.alias("b")
+        cond = None
+        for k in keys:
+            c = F.col(f"s.{k}").eqNullSafe(F.col(f"b.{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = b.join(s, cond, "full_outer")
+
+        src_present = F.col(f"s.{seq_col}").isNotNull()
+        base_present = F.col(f"b.{seq_col}").isNotNull()
+        src_wins = src_present & (
+            ~base_present | (F.col(f"s.{seq_col}") >= F.col(f"b.{seq_col}"))
+        )
+        is_delete = F.col("s._op") == delete_op
+
+        keep_base = base_present & (~src_present | ~src_wins)
+        keep_src = src_wins & ~is_delete
+
+        out_cols = [
+            F.when(keep_src, F.col(f"s.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+            for c in data_cols
+        ]
+        merged = joined.filter(keep_base | keep_src).select(*out_cols)
+        merged = merged.withColumn("_bucket", self.bucket_expr(snap))
+
+        # write new files for touched buckets under a unique epoch attempt dir
+        attempt_id = f"epoch={epoch}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, DATA_DIR, attempt_id)
+        (
+            merged.repartition(max(1, min(len(touched), snap.num_buckets)), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+        # discover written files per bucket (driver-side listing of the new
+        # attempt dir only — O(files written this epoch))
+        new_files: dict[str, list[str]] = {}
+        rows_written = 0
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            rel = [
+                os.path.join(DATA_DIR, attempt_id, entry, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+            new_files[bucket] = rel
+            rows_written += _parquet_rows([os.path.join(self.root, p) for p in rel])
+
+        files = {b: fs for b, fs in snap.files.items() if b not in touched_set}
+        files.update(new_files)
+
+        counters = {
+            "epoch": epoch,
+            "rows_written": rows_written,
+            "buckets_rewritten": len(touched),
+            "buckets_total": snap.num_buckets,
+            **extra_counters,
+        }
+        manifest = {
+            "version": snap.version + 1,
+            "epoch": epoch,
+            "schema": new_schema.jsonValue(),
+            "num_buckets": snap.num_buckets,
+            "key_cols": keys,
+            "seq_col": seq_col,
+            "files": files,
+            "committed_epochs": {
+                **snap.committed_epochs,
+                str(epoch): {"start_seq": start_seq, "end_seq": end_seq},
+            },
+            "counters": counters,
+            "parent_version": snap.version,
+            "committed_at": time.time(),
+        }
+        self._commit(manifest)
+        return {"status": "committed", "version": manifest["version"], **counters}
+
+
+def _parquet_rows(paths: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)

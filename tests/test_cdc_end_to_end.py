@@ -1,0 +1,84 @@
+"""End-to-end CDC replay vs the brute-force reference oracle.
+
+Correctness invariant (BASELINE.json input_hint): after replaying the full
+change stream, per-(repo,path) sha256(content) equality against the
+reference replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from arc_spark.cdc.bootstrap import create_table_for_stream
+from arc_spark.cdc.generator import change_stream, write_change_stream
+from arc_spark.cdc.reference import reference_replay
+from arc_spark.cdc.runner import ReplayRunner
+
+N_EVENTS = 4000
+
+
+@pytest.fixture(scope="module")
+def stream_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    return write_change_stream(spark, str(d / "events"), N_EVENTS, seed=42, num_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def expected_state(spark, stream_path):
+    events = [r.asDict() for r in spark.read.parquet(stream_path).collect()]
+    return reference_replay(events)
+
+
+def _final_state(spark, table):
+    rows = table.read(spark).collect()
+    return {(r["repo"], r["path"]): r for r in rows}
+
+
+@pytest.mark.parametrize("strategy", ["max_by", "window", "sort_partitions"])
+def test_replay_matches_reference(spark, stream_path, expected_state, tmp_path, strategy):
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / f"lake_{strategy}"))
+    runner = ReplayRunner(
+        spark, stream_path, table, batch_size=1000, strategy=strategy,
+        salt_buckets=4 if strategy == "max_by" else None,
+    )
+    metrics = runner.run()
+    assert len(metrics) == 4  # 4000 events / 1000 batch
+
+    got = _final_state(spark, table)
+    assert set(got) == set(expected_state)
+    for key, exp in expected_state.items():
+        row = got[key]
+        assert row["content_sha256"] == exp["sha256"], key
+        assert row["seq"] == exp["seq"], key
+        assert row["commit"] == exp["commit"], key
+
+    # lineage counters are consistent
+    total_read = sum(m["events_read"] for m in metrics)
+    assert total_read == N_EVENTS
+    for m in metrics:
+        assert m["events_read"] == m["schema_changes"] + m["keys_applied"] + m["events_deduped"]
+
+
+def test_single_epoch_equivalent_to_many(spark, stream_path, expected_state, tmp_path):
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake_one"))
+    ReplayRunner(spark, stream_path, table, batch_size=10**9).run()
+    got = _final_state(spark, table)
+    assert {k: v["content_sha256"] for k, v in got.items()} == {
+        k: v["sha256"] for k, v in expected_state.items()
+    }
+
+
+def test_generator_deterministic(spark):
+    a = change_stream(spark, 500, seed=7, num_partitions=4).collect()
+    b = change_stream(spark, 500, seed=7, num_partitions=2).collect()
+    sa = sorted(a, key=lambda r: r["seq"])
+    sb = sorted(b, key=lambda r: r["seq"])
+    assert sa == sb
+    ops = {r["op"] for r in sa}
+    assert ops <= {"insert", "update", "delete", "schema-change"}
+    # skew exists: top repo has many more events than median
+    from collections import Counter
+
+    c = Counter(r["repo"] for r in sa)
+    counts = sorted(c.values(), reverse=True)
+    assert counts[0] >= 5 * counts[len(counts) // 2]
