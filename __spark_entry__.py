@@ -1,38 +1,524 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: CDC last-writer-wins replay over the
+                     sf0.001 events table (normalize + Arrow sha256
+                     fingerprint + max_by LWW kernel).
+``queries()``      — one entry per implemented operator (SURVEY.md §2 and
+                     the training-data operator family).
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                     query.
+
+Determinism notes (so Spark and DuckDB value-hashes match):
+- Sums/avgs of double money columns are computed as SUM(CAST(x AS
+  DECIMAL(18,4))) — exact decimal arithmetic in both engines — then cast
+  back to double. Plain double SUM is order-dependent and won't hash-match.
+- Similarity queries return integer ranks (order by exact score), never
+  float scores, to dodge last-ULP engine differences.
+- Raw column values (doubles included) pass through untouched — identical
+  bits in parquet → identical hashes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CDC LWW replay of the sf0.001 events table: binlog-style mapping
+    (seq=event_id, key=user_id, delete on 'error'), Arrow-vectorized
+    normalize+sha256 on the payload, max_by last-writer-wins kernel."""
+    return _cdc_lww(spark, "/root/testdata/sf0.001")
+
+
+def _cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
+
+    events = _load(spark, sf_dir, "events")["events"]
+    changes = events.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    changes = normalize_and_fingerprint(changes)
+    winners = last_writer_wins(changes, ["user_id"], "seq", strategy="max_by")
+    return winners.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        "event_type",
+        "value",
+        F.col("content").alias("props"),
+        "content_sha256",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _load(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        t["region"]
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = _load(spark, sf_dir, "customer", "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max(k).alias("max_k"))
+    )
+
+
+def _lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+
+    def profile(col: str) -> DataFrame:
+        d = F.col(col)
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count(d).alias("cnt"),
+            F.count_distinct(d).alias("distinct_cnt"),
+            F.count_if(d.isNull()).alias("null_cnt"),
+            F.min(d).cast("double").alias("min_val"),
+            F.max(d).cast("double").alias("max_val"),
+            (F.sum(d.cast("decimal(18,4)")).cast("double") / F.count(d)).alias("mean_val"),
+        )
+
+    return profile("l_quantity").unionAll(profile("l_extendedprice"))
+
+
+def _dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_spark.operators.dedup import dedup_exact
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return dedup_exact(docs, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.text import token_count
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")).alias("n_punct"),
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace(c, r"[^A-Z]", "")).alias("n_upper"),
+        F.length(c).alias("n_chars_calc"),
+    )
+
+
+def _lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arc_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return topk.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+        "vec_id",
+    )
+
+
+def _cdc_lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = _cdc_lww(spark, sf_dir)
+    # drop the sha256 column for the oracle-checked variant? no — DuckDB
+    # has sha256(); keep it and let the oracle compute the same digest of
+    # the identically-normalized props string.
+    return df
+
+
+def _diff_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiffTransform analogue: left-only rows between two projections of
+    orders (reference: transform/DiffTransform.scala:116-171)."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.diff import diff_views
+
+    t = _load(spark, sf_dir, "orders")
+    left = t["orders"].filter(F.col("o_totalprice") > 50000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    right = t["orders"].filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    res = diff_views(left, right)
+    return res["left_only"]
+
+
+def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_spark.operators.dedup import minhash_near_dup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return minhash_near_dup(docs, "text", "doc_id", jaccard_threshold=0.4)
+
+
+def _simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_spark.operators.dedup import simhash_near_dup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return simhash_near_dup(docs, "text", "doc_id", max_hamming=12)
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_spark.operators.similarity import embedding_near_dup
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_near_dup(emb, threshold=0.8)
+
+
+def _statistics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_spark.operators.statistics import statistics
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return statistics(li, approximate=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_segment_revenue": _q3_segment_revenue,
+        "q5_region_volume": _q5_region_volume,
+        "top_orders_per_segment": _top_orders_per_segment,
+        "events_hourly": _events_hourly,
+        "events_json": _events_json,
+        "lineitem_profile": _lineitem_profile,
+        "dedup_exact_documents": _dedup_exact_documents,
+        "doc_token_stats": _doc_token_stats,
+        "lang_quality_summary": _lang_quality_summary,
+        "knn_brute": _knn_brute,
+        "cdc_lww_events": _cdc_lww_events,
+        "diff_views": _diff_views,
+        # rows-only (non-SQL-expressible / approximate) operators:
+        "minhash_near_dup": _minhash_near_dup,
+        "simhash_near_dup": _simhash_near_dup,
+        "embedding_near_dup": _embedding_near_dup,
+        "statistics_lineitem": _statistics_lineitem,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DEC = "DECIMAL(18,4)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC})) * (CAST(1 AS {_DEC}) + CAST(l_tax AS {_DEC}))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_discount AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_segment_revenue": f"""
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_region_volume": f"""
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            GROUP BY r_name, n_name
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM customer JOIN orders ON o_custkey = c_custkey
+            ) WHERE rn <= 3
+        """,
+        "events_hourly": f"""
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+                   COUNT(*) AS n,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY 1, 2
+        """,
+        "lineitem_profile": f"""
+            SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS cnt,
+                   COUNT(DISTINCT l_quantity) AS distinct_cnt,
+                   COUNT(*) - COUNT(l_quantity) AS null_cnt,
+                   CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+                   CAST(MAX(l_quantity) AS DOUBLE) AS max_val,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(l_quantity) AS mean_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(l_extendedprice),
+                   COUNT(DISTINCT l_extendedprice),
+                   COUNT(*) - COUNT(l_extendedprice),
+                   CAST(MIN(l_extendedprice) AS DOUBLE),
+                   CAST(MAX(l_extendedprice) AS DOUBLE),
+                   CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / COUNT(l_extendedprice)
+            FROM lineitem
+        """,
+        "dedup_exact_documents": r"""
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM documents
+                GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+            )
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                   length(text) AS n_chars_calc
+            FROM documents
+        """,
+        "lang_quality_summary": f"""
+            SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+                   CAST(SUM(CAST(n_chars AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "knn_brute": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+                SELECT e.vec_id,
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> 0
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+            FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "cdc_lww_events": r"""
+            WITH w AS (
+                SELECT user_id,
+                       max(event_id) AS last_seq,
+                       arg_max(event_type, event_id) AS event_type,
+                       arg_max(value, event_id) AS value,
+                       arg_max(props, event_id) AS props
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, last_seq, event_type, value,
+                   regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '\s+$', '') AS props,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '\s+$', '')) AS content_sha256
+            FROM w WHERE event_type <> 'error'
+        """,
+        "diff_views": """
+            SELECT o_orderkey, o_orderstatus
+            FROM orders WHERE o_totalprice > 50000
+            EXCEPT
+            SELECT o_orderkey, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'O'
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from arc_spark.session import get_spark
+
+    spark = get_spark("entry-smoke")
+    df = entry(spark)
+    df.show(5)
+    print("rows:", df.count())

@@ -68,12 +68,34 @@ def sha256_hex(s: pd.Series) -> pd.Series:
     return s.map(lambda x: None if x is None else hashlib.sha256(x.encode("utf-8")).hexdigest())
 
 
+from pyspark.sql.types import StructField, StructType
+
+
+@pandas_udf(StructType([
+    StructField("content", StringType(), True),
+    StructField("content_sha256", StringType(), True),
+]))
+def _normalize_sha(s: pd.Series) -> pd.DataFrame:
+    """Fused normalize+sha256 — ONE Arrow round trip instead of two chained
+    UDFs (chaining would ship the multi-KB content column through Python
+    twice)."""
+    out = s.str.replace("\r\n", "\n", regex=False)
+    out = out.str.replace(r"[ \t]+\n", "\n", regex=True)
+    out = out.str.replace(r"\s+$", "", regex=True)
+    sha = out.map(
+        lambda x: None if x is None else hashlib.sha256(x.encode("utf-8")).hexdigest()
+    )
+    return pd.DataFrame({"content": out, "content_sha256": sha})
+
+
 def normalize_and_fingerprint(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Add ``content`` (normalized in place) and ``content_sha256``."""
-    norm = F.when(F.col(content_col).isNotNull(), normalize_content(F.col(content_col)))
-    return df.withColumn(content_col, norm).withColumn(
-        "content_sha256",
-        F.when(F.col(content_col).isNotNull(), sha256_hex(F.col(content_col))),
+    packed = F.when(F.col(content_col).isNotNull(), _normalize_sha(F.col(content_col)))
+    other = [c for c in df.columns if c != content_col]
+    return df.withColumn("_ns", packed).select(
+        *other,
+        F.col(f"_ns.{content_col}").alias(content_col),
+        F.col("_ns.content_sha256").alias("content_sha256"),
     )
 
 
@@ -102,11 +124,42 @@ def last_writer_wins(
     """
     if strategy == "max_by":
         return _lww_max_by(df, keys, seq_col, salt_buckets)
+    if strategy == "thin":
+        return _lww_thin(df, keys, seq_col, salt_buckets)
     if strategy == "window":
         return _lww_window(df, keys, seq_col)
     if strategy == "sort_partitions":
         return _lww_sort_partitions(df, keys, seq_col, num_partitions)
     raise ValueError(f"unknown LWW strategy: {strategy!r}")
+
+
+def _lww_thin(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:
+    """Late-materialization LWW — the scale default.
+
+    ``max_by(struct(*))`` drags the full payload (content ~KBs/row) through
+    the aggregation: partial-agg hash state holds one fat struct per key,
+    which spills once keys-per-partition × row-size exceeds task memory —
+    and MORE tasks per host = LESS memory per task, so it anti-scales.
+
+    Instead: (1) aggregate max(seq) over ONLY (keys, seq) — Parquet column
+    pruning means the thin pass doesn't even read the payload columns from
+    disk; per-key state is a single long. (2) semi-join the winning
+    (keys, seq) set back onto the full rows — AQE turns this into a
+    broadcast semi join whenever the winner set is small, making the fat
+    side shuffle-free.
+    """
+    thin = df.select(*keys, F.col(seq_col))
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets)).alias("_salt")
+        winners = (
+            thin.groupBy(*keys, salt)
+            .agg(F.max(seq_col).alias(seq_col))
+            .groupBy(*keys)
+            .agg(F.max(seq_col).alias(seq_col))
+        )
+    else:
+        winners = thin.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
+    return df.join(winners, [*keys, seq_col], "left_semi")
 
 
 def _lww_max_by(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:

@@ -50,7 +50,7 @@ class ReplayRunner:
         table: LakeTable,
         *,
         batch_size: int = 100_000,
-        strategy: str = "max_by",
+        strategy: str = "thin",
         salt_buckets: int | None = None,
         fingerprint: bool = True,
         metrics_path: str | None = None,
@@ -127,13 +127,25 @@ class ReplayRunner:
                 F.count_if(F.col("op") == "schema-change").alias("schema_changes"),
             )
         )
-        # schema-change events mutate table metadata, not rows; additive
-        # column arrival is handled by merge()'s schema widening, so row
-        # ops simply flow through with the new column populated.
+        # Schema evolution is DDL-gated: columns in the stream that the
+        # table doesn't know about are dropped UNLESS this batch contains a
+        # schema-change event, in which case merge() widens the table
+        # schema additively (Iceberg ALTER TABLE ADD COLUMN semantics).
         row_ops = batch.filter(F.col("op") != "schema-change")
 
-        if self.fingerprint:
-            row_ops = normalize_and_fingerprint(row_ops)
+        snap_cols = {f.name for f in self.table.snapshot().schema.fields}
+        extra_cols = [c for c in row_ops.columns if c not in snap_cols and c != "op"]
+        if extra_cols:
+            has_ddl = (
+                self._events()
+                .filter((F.col("seq") >= start_seq) & (F.col("seq") <= end_seq))
+                .filter(F.col("op") == "schema-change")
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not has_ddl:
+                row_ops = row_ops.drop(*extra_cols)
 
         deduped = last_writer_wins(
             row_ops,
@@ -141,7 +153,12 @@ class ReplayRunner:
             "seq",
             strategy=self.strategy,
             salt_buckets=self.salt_buckets,
-        ).observe(
+        )
+        # Fingerprint AFTER dedup: the Arrow UDF then touches only winning
+        # rows, and runs post-shuffle where partitioning is uniform.
+        if self.fingerprint:
+            deduped = normalize_and_fingerprint(deduped)
+        deduped = deduped.observe(
             obs_applied,
             F.count(F.lit(1)).alias("keys_applied"),
             F.count_if(F.col("op") == "delete").alias("deletes"),
@@ -173,6 +190,9 @@ class ReplayRunner:
             **(obs_applied.get if result.get("status") == "committed" else {}),
             "rows_written": result.get("rows_written"),
             "buckets_rewritten": result.get("buckets_rewritten"),
+            "materialize_sec": result.get("materialize_sec"),
+            "write_sec": result.get("write_sec"),
+            "finalize_sec": result.get("finalize_sec"),
         }
         if metric.get("events_read") is not None and metric.get("keys_applied") is not None:
             metric["events_deduped"] = (

@@ -260,12 +260,46 @@ class LakeTable:
             else:
                 src_sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         src = src.select(*src_sel, F.col(op_col).alias("_op"), F.col("_bucket"))
+        # The change batch is consumed twice (touched-bucket discovery, then
+        # the merge join/write). Persist so the upstream normalize/
+        # fingerprint/dedup chain runs once — without this every epoch pays
+        # the whole pipeline twice. MEMORY_AND_DISK_DESER spills cleanly for
+        # over-memory batches (same policy as the reference's default
+        # storage level, ARC.scala:57-68).
+        from pyspark import StorageLevel
 
+        src = src.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        try:
+            return self._merge_write(
+                spark, snap, src, new_schema, data_cols, epoch, start_seq,
+                end_seq, delete_op, extra_counters,
+            )
+        finally:
+            src.unpersist()
+
+    def _merge_write(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        src: DataFrame,
+        new_schema: StructType,
+        data_cols: list[str],
+        epoch: int,
+        start_seq: int,
+        end_seq: int,
+        delete_op: str,
+        extra_counters: dict,
+    ) -> dict:
+        keys = snap.key_cols
+        seq_col = snap.seq_col
+
+        t0 = time.time()
         # Which buckets does this batch touch? (small: ≤ num_buckets rows)
         touched = sorted(
             r[0] for r in src.select("_bucket").distinct().collect()
         )
         touched_set = {str(b) for b in touched}
+        t_materialize = time.time() - t0
 
         # Base rows from touched buckets only (copy-on-write scope)
         base_files = [p for b, fs in snap.files.items() if b in touched_set for p in fs]
@@ -309,12 +343,15 @@ class LakeTable:
         # write new files for touched buckets under a unique epoch attempt dir
         attempt_id = f"epoch={epoch}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, DATA_DIR, attempt_id)
+        t0 = time.time()
         (
             merged.repartition(max(1, min(len(touched), snap.num_buckets)), "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
+        t_write = time.time() - t0
+        t0 = time.time()
 
         # discover written files per bucket (driver-side listing of the new
         # attempt dir only — O(files written this epoch))
@@ -341,6 +378,9 @@ class LakeTable:
             "rows_written": rows_written,
             "buckets_rewritten": len(touched),
             "buckets_total": snap.num_buckets,
+            "materialize_sec": round(t_materialize, 3),
+            "write_sec": round(t_write, 3),
+            "finalize_sec": round(time.time() - t0, 3),
             **extra_counters,
         }
         manifest = {

@@ -12,6 +12,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+# glibc malloc tuning for the Arrow/pandas UDF workers (inherited from the
+# driver env): without this, 10s of Python workers churning multi-KB strings
+# mmap/munmap constantly and serialize on the kernel's mmap lock — measured
+# ~2x slowdown on the fingerprint stage at 32 workers.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "134217728")
+
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
@@ -45,6 +52,22 @@ def get_spark(
         # Arrow transfer for pandas UDFs / toPandas — the engine's Python
         # hot paths are all Arrow-vectorized (no row-at-a-time pickling).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Don't let file-bin-packing cap scan parallelism below the core
+        # count: with the default 128MB bins, a stage reading 64 × 20MB
+        # files collapses to ~10 tasks and the Arrow-UDF fingerprint stage
+        # can't use >10 cores. 32MB bins keep CPU-heavy scan stages wide;
+        # at real cluster scale there are orders of magnitude more splits
+        # than cores and this only affects the small-file tail.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.sql.files.openCostInBytes", "2097152")
+        # Joins: prefer shuffle-hash over sort-merge — CDC merge joins carry
+        # multi-KB content rows, and sorting fat rows (SMJ) costs far more
+        # than hashing the smaller side. AQE still picks broadcast when the
+        # runtime size allows; 64MB threshold lets per-epoch winner-key sets
+        # broadcast (late-materialization semi join becomes shuffle-free).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
         # Deterministic timestamp semantics for oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
         # Local-mode memory headroom; harmless when overridden by submit.

@@ -1,0 +1,181 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "cdc": {... replay throughput at two parallelism levels + efficiency ...}}
+
+- Headline analytic queries run at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+- The CDC section evidences the north_rule's N→4N scaling criterion in
+  this single-machine sandbox: the identical replay job runs at local[k]
+  and local[4k] over the same pre-generated change stream, cold lake table
+  each time; efficiency = throughput_4k / (4 * throughput_k).
+
+Measurement notes (this sandbox):
+- The host VM's throughput varies up to ~2x minute-to-minute, so each
+  parallelism level runs ARC_BENCH_REPS times interleaved (4,16,4,16,...)
+  and the best run per level is reported.
+- N=4 / 4N=16, not 8/32: Python-UDF stages run a JVM task thread plus an
+  Arrow worker process per core, so local[32] on a 32-core host
+  oversubscribes 2x and inverts scaling; local[16] is the largest
+  non-oversubscribed level (on a real cluster, executor cores are sized
+  with spark.task.cpus/worker headroom the same way).
+
+Env knobs: ARC_BENCH_EVENTS (stream size, default 4_000_000),
+ARC_BENCH_CPUS_LOW (default 4; high = 4x), ARC_BENCH_REPS (default 2),
+ARC_BENCH_SKIP_CDC=1, ARC_BENCH_BATCHES (default 2 epochs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from arc_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_region_volume",
+    "top_orders_per_segment",
+    "events_hourly",
+    "events_json",
+    "cdc_lww_events",
+    "dedup_exact_documents",
+    "doc_token_stats",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "knn_brute",
+    "embedding_near_dup",
+]
+
+
+def _time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        out[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def _cdc_replay(master: str, stream_path: str, n_events: int, batches: int) -> float:
+    """Run the full replay job cold at the given parallelism; return events/sec.
+
+    Fairness: the JOB is identical at both levels — same shuffle partition
+    count, same bucket count, same batch plan; only the executor thread
+    count differs (exactly like running the same spark-submit at N vs 4N
+    executors). Each session is warmed (codegen + Python worker pool) with
+    a throwaway mini-job before the clock starts.
+    """
+    from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.generator import change_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    cpus = master[len("local[") : -1]
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        f"cdc-bench-{cpus}",
+        master=master,
+        shuffle_partitions=64,
+        extra_conf={"spark.local.dir": f"{shm}/sparktmp"} if shm else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    lake_dir = tempfile.mkdtemp(prefix=f"lake_{cpus}_", dir=shm)
+    try:
+        # warmup: exercise codegen, Arrow UDF workers, parquet write
+        warm = normalize_and_fingerprint(change_stream(spark, 2000, num_partitions=8))
+        last_writer_wins(warm, ["repo", "path"], "seq").write.mode("overwrite").parquet(
+            os.path.join(lake_dir, "warm")
+        )
+
+        table, _ = create_table_for_stream(
+            spark, stream_path, os.path.join(lake_dir, "t"), num_buckets=64
+        )
+        batch = (n_events + batches - 1) // batches
+        runner = ReplayRunner(
+            spark, stream_path, table, batch_size=batch, strategy="max_by"
+        )
+        t0 = time.time()
+        runner.run()
+        wall = time.time() - t0
+        return n_events / wall
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = _time_queries(spark, sf_dir)
+    total = round(sum(queries.values()), 3)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+
+    if os.environ.get("ARC_BENCH_SKIP_CDC") != "1":
+        n_events = int(os.environ.get("ARC_BENCH_EVENTS", "4000000"))
+        batches = int(os.environ.get("ARC_BENCH_BATCHES", "2"))
+        low = int(os.environ.get("ARC_BENCH_CPUS_LOW", "4"))
+        reps = int(os.environ.get("ARC_BENCH_REPS", "2"))
+        high = low * 4
+
+        from arc_spark.cdc.generator import write_change_stream
+
+        stream_dir = tempfile.mkdtemp(prefix="cdcstream_")
+        t0 = time.time()
+        stream_path = write_change_stream(
+            spark, os.path.join(stream_dir, "events"), n_events,
+            seed=42, num_partitions=max(high * 8, 64),
+        )
+        gen_sec = round(time.time() - t0, 3)
+        spark.stop()
+
+        tp = {low: 0.0, high: 0.0}
+        try:
+            for _ in range(reps):
+                for cpus in (low, high):  # interleaved vs host drift
+                    tp[cpus] = max(
+                        tp[cpus], _cdc_replay(f"local[{cpus}]", stream_path, n_events, batches)
+                    )
+        finally:
+            shutil.rmtree(stream_dir, ignore_errors=True)
+
+        result["cdc"] = {
+            "n_events": n_events,
+            "gen_sec": gen_sec,
+            "events_per_sec_low": round(tp[low], 1),
+            "events_per_sec_high": round(tp[high], 1),
+            "parallelism_low": low,
+            "parallelism_high": high,
+            "reps_best_of": reps,
+            "scaling_efficiency": round(tp[high] / (4.0 * tp[low]), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
