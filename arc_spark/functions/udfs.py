@@ -1,0 +1,132 @@
+"""Built-in SQL function registry — the UDFPlugin analogue.
+
+Reference parity: ``plugins/udf/ARC.scala:37-211`` registers
+get_json_double_array / get_json_integer_array / get_json_long_array
+(JSON-pointer array extraction, :62-113), random (:115-117), struct_keys
+(:119-125), probit / probnorm (:205-211).
+
+Two tiers here:
+- **Column helpers** (this module's functions): pure JVM expressions for
+  DataFrame-API users — zero serde, preferred in pipelines.
+- **SQL-registered functions** (``register_udfs``): the same names callable
+  from SQLTransform SQL text; json-array extraction registers as
+  Arrow-vectorized pandas UDFs (SQL registration can't wrap a parametrized
+  JVM expression), probit/probnorm as pandas UDFs over erf / Acklam's
+  inverse-normal approximation (public-domain constants).
+
+get_uri / get_uri_array (driver-free URL fetching, :127-202) require
+network egress and are not registered in this sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+
+
+@pandas_udf(DoubleType())
+def _probnorm(p: pd.Series) -> pd.Series:
+    """Gaussian CDF (plugins/udf/ARC.scala:209-211)."""
+    return p.map(
+        lambda x: None if x is None else 0.5 * (1.0 + math.erf(float(x) / math.sqrt(2.0)))
+    )
+
+
+def _inv_norm_scalar(p: float) -> float:
+    # Acklam's rational approximation of the inverse normal CDF —
+    # standard public-domain constants; |relative error| < 1.15e-9.
+    if p <= 0.0 or p >= 1.0:
+        return float("nan")
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+
+
+@pandas_udf(DoubleType())
+def _probit(p: pd.Series) -> pd.Series:
+    """Gaussian inverse CDF (plugins/udf/ARC.scala:205-207)."""
+    return p.map(lambda x: None if x is None else _inv_norm_scalar(float(x)))
+
+
+def _json_array_udf(py_type):
+    def extract(js: pd.Series, path: pd.Series) -> pd.Series:
+        def one(j, p):
+            if j is None or p is None:
+                return None
+            try:
+                node = json.loads(j)
+                for part in p.lstrip("$").strip(".").split("."):
+                    if part:
+                        node = node[part]
+                return [None if v is None else py_type(v) for v in node]
+            except (ValueError, KeyError, TypeError):
+                return None
+
+        return pd.Series([one(j, p) for j, p in zip(js, path)])
+
+    return extract
+
+
+def register_udfs(spark: SparkSession) -> list[str]:
+    """Register the built-in function set for SQL callers; returns the
+    registered names (mirrors udf/UDF.scala:11-29 catalog diffing)."""
+    registered = []
+    spark.udf.register("probit", _probit)
+    spark.udf.register("probnorm", _probnorm)
+    registered += ["probit", "probnorm"]
+
+    for name, elem, py in (
+        ("get_json_double_array", DoubleType(), float),
+        ("get_json_integer_array", IntegerType(), int),
+        ("get_json_long_array", LongType(), int),
+    ):
+        spark.udf.register(name, pandas_udf(_json_array_udf(py), ArrayType(elem)))
+        registered.append(name)
+    return registered
+
+
+# -- column-level JVM equivalents (preferred in DataFrame pipelines) ---------
+
+
+def get_json_double_array(json_col: Column, path: str) -> Column:
+    return F.from_json(F.get_json_object(json_col, path), ArrayType(DoubleType()))
+
+
+def get_json_integer_array(json_col: Column, path: str) -> Column:
+    return F.from_json(F.get_json_object(json_col, path), ArrayType(IntegerType()))
+
+
+def get_json_long_array(json_col: Column, path: str) -> Column:
+    return F.from_json(F.get_json_object(json_col, path), ArrayType(LongType()))
+
+
+def struct_keys(struct_col: Column) -> Column:
+    """plugins/udf/ARC.scala:119-125 — keys of a struct column."""
+    return F.json_object_keys(F.to_json(struct_col))

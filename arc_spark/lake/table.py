@@ -48,6 +48,12 @@ from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+# Deletes persist as tombstone rows carrying their seq: without them, a
+# late-arriving event with a LOWER seq than an applied delete would
+# re-insert the key (micro-batches from a file tail are not globally
+# seq-ordered). Vacuuming tombstones older than the low-watermark is a
+# compaction concern (LakeTable.compact).
+TOMBSTONE_COL = "_tombstone"
 
 
 @dataclass
@@ -167,18 +173,44 @@ class LakeTable:
 
     # -- read --------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        *,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Current table rows. Deletes are stored as tombstone rows (with
+        their winning seq) so that late-arriving older events cannot
+        resurrect a deleted key; reads filter them out by default."""
         snap = self.snapshot(version)
-        return self._read_files(spark, snap, snap.file_list())
+        df = self._read_files(spark, snap, snap.file_list(), with_tombstone=True)
+        if include_tombstones:
+            return df
+        return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(TOMBSTONE_COL)
 
-    def _read_files(self, spark: SparkSession, snap: Snapshot, rel_paths: list[str]) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        rel_paths: list[str],
+        *,
+        with_tombstone: bool = False,
+    ) -> DataFrame:
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        schema = snap.schema
+        if with_tombstone:
+            schema = StructType(
+                list(snap.schema.fields) + [StructField(TOMBSTONE_COL, BooleanType(), True)]
+            )
         if not rel_paths:
-            return spark.createDataFrame([], snap.schema)
+            return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, p) for p in rel_paths]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         # align to snapshot schema (old files lack evolved columns)
         cols = []
-        for f_ in snap.schema.fields:
+        for f_ in schema.fields:
             if f_.name in df.columns:
                 cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
             else:
@@ -303,15 +335,18 @@ class LakeTable:
 
         # Base rows from touched buckets only (copy-on-write scope)
         base_files = [p for b, fs in snap.files.items() if b in touched_set for p in fs]
-        base = self._read_files(spark, snap, base_files)
-        # align base to evolved schema
+        base = self._read_files(spark, snap, base_files, with_tombstone=True)
+        # align base to evolved schema (+ tombstone flag)
         base_sel = []
         for f_ in new_schema.fields:
             if f_.name in base.columns:
                 base_sel.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
             else:
                 base_sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-        base = base.select(*base_sel)
+        base = base.select(
+            *base_sel,
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(TOMBSTONE_COL),
+        )
 
         # Full-outer merge on keys. One shuffle join; AQE turns it into a
         # broadcast join when the change batch is small.
@@ -330,14 +365,18 @@ class LakeTable:
         )
         is_delete = F.col("s._op") == delete_op
 
-        keep_base = base_present & (~src_present | ~src_wins)
-        keep_src = src_wins & ~is_delete
-
+        # Deletes become tombstone rows (seq retained) rather than physical
+        # removal — see TOMBSTONE_COL note at the top of this module.
         out_cols = [
-            F.when(keep_src, F.col(f"s.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+            F.when(src_wins, F.col(f"s.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
             for c in data_cols
         ]
-        merged = joined.filter(keep_base | keep_src).select(*out_cols)
+        tombstone = (
+            F.when(src_wins, is_delete)
+            .otherwise(F.col(f"b.{TOMBSTONE_COL}"))
+            .alias(TOMBSTONE_COL)
+        )
+        merged = joined.select(*out_cols, tombstone)
         merged = merged.withColumn("_bucket", self.bucket_expr(snap))
 
         # write new files for touched buckets under a unique epoch attempt dir
@@ -401,6 +440,65 @@ class LakeTable:
         }
         self._commit(manifest)
         return {"status": "committed", "version": manifest["version"], **counters}
+
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        vacuum_tombstones_below_seq: int | None = None,
+    ) -> dict:
+        """Rewrite every bucket into one file; optionally vacuum tombstones
+        whose seq is below the low-watermark (no event with a smaller seq
+        can still arrive). The epoch-chain COW merge leaves one file per
+        epoch per touched bucket; compaction bounds read amplification —
+        the Iceberg rewrite_data_files analogue."""
+        snap = self.snapshot()
+        df = self._read_files(spark, snap, snap.file_list(), with_tombstone=True)
+        if vacuum_tombstones_below_seq is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+                    & (F.col(snap.seq_col) < vacuum_tombstones_below_seq)
+                )
+            )
+        attempt_id = f"compact-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, DATA_DIR, attempt_id)
+        (
+            df.withColumn("_bucket", self.bucket_expr(snap))
+            .repartition(snap.num_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            files[bucket] = [
+                os.path.join(DATA_DIR, attempt_id, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            ]
+        manifest = {
+            "version": snap.version + 1,
+            "epoch": snap.epoch,
+            "schema": snap.schema.jsonValue(),
+            "num_buckets": snap.num_buckets,
+            "key_cols": snap.key_cols,
+            "seq_col": snap.seq_col,
+            "files": files,
+            "committed_epochs": snap.committed_epochs,
+            "counters": {"compacted": True},
+            "parent_version": snap.version,
+            "committed_at": time.time(),
+        }
+        self._commit(manifest)
+        n_files = sum(len(v) for v in files.values())
+        return {"status": "compacted", "version": manifest["version"], "files": n_files}
 
 
 def _parquet_rows(paths: list[str]) -> int:

@@ -1,0 +1,209 @@
+"""Config → pipeline IR.
+
+Reference parity (``config/ArcPipeline.scala:26-123``, ``config/
+Plugins.scala:32-178``, ``config/ConfigUtils.scala:404-440``):
+- a job is a JSON document with a ``stages`` array; each object names a
+  stage ``type`` plus its parameters,
+- ``${param}`` / ``${param=default}`` placeholders resolve from (in
+  precedence order) supplied args ⟵ ``ETL_CONF_*`` environment variables
+  ⟵ inline defaults,
+- per-stage instantiation validates keys — unknown keys get Levenshtein
+  typo suggestions, missing required keys are reported — and ALL errors
+  across ALL stages are accumulated and raised together,
+- ``environments`` filtering decides at parse time whether a stage is
+  instantiated for this run,
+- lint mode parses and validates without executing (``ARC.scala:46``).
+
+(The reference parses HOCON; we parse JSON — the subset its own test
+fixtures use — with the same resolution semantics.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from arc_spark.pipeline.core import ETLPipeline, PipelineContext, PipelineStage
+
+_PARAM_RE = re.compile(r"\$\{([A-Za-z0-9_.\-]+)(?:=([^}]*))?\}")
+
+
+class ConfigError(Exception):
+    def __init__(self, errors: list[str]):
+        self.errors = errors
+        super().__init__("pipeline config invalid:\n  " + "\n  ".join(errors))
+
+
+# stage-type registry (the ServiceLoader analogue, ARC.scala:171-175)
+STAGE_TYPES: dict[str, type[PipelineStage]] = {}
+
+
+def register_stage(cls: type[PipelineStage]) -> type[PipelineStage]:
+    STAGE_TYPES[cls.stage_type] = cls
+    return cls
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def substitute_params(text: str, args: dict[str, str]) -> str:
+    """${k} / ${k=default} resolution: args ⟵ ETL_CONF_* env ⟵ default
+    (util/SQLUtils.scala:5-45 + ARC.scala env handling)."""
+
+    def repl(m: re.Match) -> str:
+        key, default = m.group(1), m.group(2)
+        if key in args:
+            return str(args[key])
+        env_key = "ETL_CONF_" + re.sub(r"[.\-]", "_", key).upper()
+        if env_key in os.environ:
+            return os.environ[env_key]
+        if key in os.environ:
+            return os.environ[key]
+        if default is not None:
+            return default
+        raise KeyError(f"unresolved parameter ${{{key}}}")
+
+    return _PARAM_RE.sub(repl, text)
+
+
+def parse_pipeline(
+    config: str | dict, ctx: PipelineContext
+) -> ETLPipeline:
+    """Parse config (JSON text or dict) into an ETLPipeline; raises
+    ConfigError listing every problem found across all stages."""
+    # make sure the built-in stage registry is populated
+    import arc_spark.pipeline.stages  # noqa: F401
+
+    errors: list[str] = []
+    if isinstance(config, str):
+        try:
+            config = json.loads(substitute_params(config, ctx.args))
+        except KeyError as e:
+            raise ConfigError([str(e)]) from None
+        except json.JSONDecodeError as e:
+            raise ConfigError([f"invalid JSON: {e}"]) from None
+    if not isinstance(config, dict) or "stages" not in config:
+        raise ConfigError(["config must be an object with a 'stages' array"])
+
+    stages: list[PipelineStage] = []
+    for i, raw in enumerate(config["stages"]):
+        where = f"stages[{i}]"
+        if not isinstance(raw, dict):
+            errors.append(f"{where}: not an object")
+            continue
+        stype = raw.get("type")
+        if not stype:
+            errors.append(f"{where}: missing 'type'")
+            continue
+        cls = STAGE_TYPES.get(stype)
+        if cls is None:
+            sugg = sorted(STAGE_TYPES, key=lambda t: _levenshtein(stype, t))[:1]
+            errors.append(
+                f"{where}: unknown stage type {stype!r}"
+                + (f" — did you mean {sugg[0]!r}?" if sugg else "")
+            )
+            continue
+        envs = raw.get("environments") or []
+        if envs and ctx.environment not in envs:
+            continue  # filtered out at parse time (config/Plugins.scala:61-72)
+        stage_errors = _validate_keys(cls, raw, where)
+        if stage_errors:
+            errors.extend(stage_errors)
+            continue
+        try:
+            stages.append(_instantiate(cls, raw, ctx))
+        except Exception as e:
+            errors.append(f"{where} ({stype}): {e}")
+
+    if errors:
+        raise ConfigError(errors)
+    # nested PipelineExecute stages were flattened during instantiation
+    flat: list[PipelineStage] = []
+    for s in stages:
+        inner = getattr(s, "_inline_stages", None)
+        if inner is not None:
+            flat.extend(inner)
+        else:
+            flat.append(s)
+    return ETLPipeline(flat)
+
+
+_COMMON_KEYS = {"type", "name", "description", "environments", "numPartitions", "partitionBy", "persist"}
+
+
+def _validate_keys(cls: type[PipelineStage], raw: dict, where: str) -> list[str]:
+    required = set(getattr(cls, "REQUIRED", ()))
+    optional = set(getattr(cls, "OPTIONAL", ()))
+    one_of = getattr(cls, "ONE_OF", ())  # tuple of tuples: exactly one key each
+    allowed = required | optional | _COMMON_KEYS | {k for grp in one_of for k in grp}
+    errs = []
+    if "name" not in raw:
+        errs.append(f"{where}: missing 'name'")
+    for k in raw:
+        if k not in allowed:
+            sugg = sorted(allowed, key=lambda t: _levenshtein(k, t))[:1]
+            errs.append(
+                f"{where} ({cls.stage_type}): unknown key {k!r}"
+                + (f" — did you mean {sugg[0]!r}?" if sugg else "")
+            )
+    for k in required:
+        if k not in raw:
+            errs.append(f"{where} ({cls.stage_type}): missing required key {k!r}")
+    for grp in one_of:
+        present = [k for k in grp if k in raw]
+        if len(present) != 1:
+            errs.append(
+                f"{where} ({cls.stage_type}): exactly one of {list(grp)} required, got {present}"
+            )
+    return errs
+
+
+def _instantiate(cls: type[PipelineStage], raw: dict, ctx: PipelineContext) -> PipelineStage:
+    params = {k: v for k, v in raw.items() if k not in ("type", "name", "description", "environments")}
+    stage = cls(
+        name=raw["name"],
+        description=raw.get("description"),
+        environments=raw.get("environments"),
+        **params,
+    )
+    validate = getattr(stage, "validate_config", None)
+    if validate:
+        validate(ctx)  # e.g. SQL parse pre-validation (ConfigUtils.scala:855-867)
+    return stage
+
+
+def run_config(
+    spark,
+    config: str | dict,
+    *,
+    environment: str = "production",
+    args: dict[str, str] | None = None,
+    streaming: bool = False,
+    lint: bool = False,
+    lifecycle: list | None = None,
+):
+    """Parse + run a pipeline config; returns (last DataFrame, ctx).
+
+    ``lint=True`` parses/validates only (ARC.scala lintOnly, :46,299-308).
+    """
+    ctx = PipelineContext(
+        spark=spark,
+        environment=environment,
+        args=args or {},
+        streaming=streaming,
+        lint=lint,
+        lifecycle=lifecycle or [],
+    )
+    pipeline = parse_pipeline(config, ctx)
+    if lint:
+        return None, ctx
+    return pipeline.run(ctx), ctx

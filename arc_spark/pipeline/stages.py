@@ -1,0 +1,947 @@
+"""Built-in pipeline stages (SURVEY.md §2 inventory).
+
+Every stage is a thin declarative wrapper: it reads temp views, builds a
+lazy DataFrame with pyspark.sql, and registers ``outputView`` — all
+relational work stays inside Catalyst, exactly like the reference's
+SQL-first design (README.md:62-66). Reference file:line cites are on each
+class.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random as _random
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arc_spark.pipeline.config import register_stage, substitute_params
+from arc_spark.pipeline.core import LifecyclePlugin, PipelineContext, PipelineStage
+from arc_spark.schema import parse_arc_schema, to_struct_type
+
+# ---------------------------------------------------------------------------
+# extracts
+# ---------------------------------------------------------------------------
+
+
+class _FileExtract(PipelineStage):
+    """Shared skeleton for file-format extracts (extract/*Extract.scala):
+    glob input, optional declared Arc schema, optional watermark, streaming
+    mode via ctx.streaming (schema mandatory when streaming,
+    DelimitedExtract.scala:186-225)."""
+
+    format: str = ""
+    default_options: dict[str, str] = {}
+
+    REQUIRED = ("outputView",)
+    OPTIONAL = ("inputURI", "inputView", "inputField", "schema", "schemaURI",
+                "options", "watermark", "basePath")
+
+    def _schema(self) -> T.StructType | None:
+        if "schema" in self.params:
+            return to_struct_type(parse_arc_schema(self.params["schema"]))
+        if "schemaURI" in self.params:
+            with open(self.params["schemaURI"]) as f:
+                return to_struct_type(parse_arc_schema(f.read()))
+        return None
+
+    def _options(self) -> dict[str, str]:
+        return {**self.default_options, **(self.params.get("options") or {})}
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        schema = self._schema()
+        opts = self._options()
+        if self.params.get("basePath"):
+            opts["basePath"] = self.params["basePath"]
+        if ctx.streaming:
+            if schema is None:
+                raise ValueError(f"{self.name}: streaming extract requires a schema")
+            reader = ctx.spark.readStream.format(self.format).options(**opts).schema(schema)
+            df = reader.load(self.params["inputURI"])
+        elif "inputView" in self.params:
+            df = self._from_view(ctx, opts, schema)
+        else:
+            reader = ctx.spark.read.format(self.format).options(**opts)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.load(self.params["inputURI"])
+        wm = self.params.get("watermark")
+        if wm:
+            df = df.withWatermark(wm["eventTime"], wm["delayThreshold"])
+        return self.register_output(ctx, df, self.params["outputView"])
+
+    def _from_view(self, ctx, opts, schema) -> DataFrame:
+        raise ValueError(f"{self.stage_type} does not support inputView")
+
+
+@register_stage
+class ParquetExtract(_FileExtract):
+    """extract/ParquetExtract.scala:148-157 (mergeSchema=true default)."""
+
+    stage_type = "ParquetExtract"
+    format = "parquet"
+    default_options = {"mergeSchema": "true"}
+
+
+@register_stage
+class ORCExtract(_FileExtract):
+    """extract/ORCExtract.scala:150-159."""
+
+    stage_type = "ORCExtract"
+    format = "orc"
+    default_options = {"mergeSchema": "true"}
+
+
+@register_stage
+class DelimitedExtract(_FileExtract):
+    """extract/DelimitedExtract.scala:158-309; from-view parses a string
+    column as CSV lines (:226-235)."""
+
+    stage_type = "DelimitedExtract"
+    format = "csv"
+    default_options = {"header": "false", "sep": ","}
+
+    def _from_view(self, ctx, opts, schema):
+        field = self.params.get("inputField", "value")
+        src = ctx.spark.table(self.params["inputView"]).select(F.col(field).cast("string"))
+        rdd = src.rdd.map(lambda r: r[0])
+        return ctx.spark.read.options(**opts).csv(rdd, schema=schema)
+
+
+@register_stage
+class JSONExtract(_FileExtract):
+    """extract/JSONExtract.scala:172-210 (multiLine default true)."""
+
+    stage_type = "JSONExtract"
+    format = "json"
+    default_options = {"multiLine": "true"}
+
+    def _from_view(self, ctx, opts, schema):
+        field = self.params.get("inputField", "value")
+        src = ctx.spark.table(self.params["inputView"]).select(F.col(field).cast("string"))
+        rdd = src.rdd.map(lambda r: r[0])
+        reader = ctx.spark.read.options(**{**opts, "multiLine": "false"})
+        return reader.json(rdd, schema=schema)
+
+
+@register_stage
+class TextExtract(_FileExtract):
+    """extract/TextExtract.scala:185-201 (multiLine → wholetext)."""
+
+    stage_type = "TextExtract"
+    format = "text"
+    OPTIONAL = _FileExtract.OPTIONAL + ("multiLine",)
+
+    def _options(self):
+        opts = super()._options()
+        if self.params.get("multiLine"):
+            opts["wholetext"] = "true"
+        return opts
+
+
+@register_stage
+class AvroExtract(_FileExtract):
+    """extract/AvroExtract.scala:170-190; from-view decodes a binary column
+    with a provided .avsc via from_avro (:183-184) — the binlog-decode
+    primitive for CDC."""
+
+    stage_type = "AvroExtract"
+    format = "avro"
+    OPTIONAL = _FileExtract.OPTIONAL + ("avroSchema",)
+
+    def _from_view(self, ctx, opts, schema):
+        from pyspark.sql.avro.functions import from_avro
+
+        field = self.params.get("inputField", "value")
+        avro_schema = self.params["avroSchema"]
+        if not isinstance(avro_schema, str):
+            avro_schema = json.dumps(avro_schema)
+        src = ctx.spark.table(self.params["inputView"])
+        return src.withColumn("value", from_avro(F.col(field), avro_schema)).select(
+            *[c for c in src.columns if c != field], "value.*"
+        )
+
+
+@register_stage
+class BytesExtract(_FileExtract):
+    """extract/BytesExtract.scala:121-195 — whole-file binary; schema
+    [value binary, _filename string] (datasource/BinaryDataSource.scala);
+    maps to Spark's built-in binaryFile source."""
+
+    stage_type = "BytesExtract"
+    format = "binaryFile"
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = (
+            ctx.spark.read.format("binaryFile")
+            .load(self.params["inputURI"])
+            .select(
+                F.col("content").alias("value"),
+                F.col("path").alias("_filename", metadata={"internal": True}),
+            )
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class RateExtract(PipelineStage):
+    """extract/RateExtract.scala:97-119 — streaming-only synthetic source."""
+
+    stage_type = "RateExtract"
+    REQUIRED = ("outputView",)
+    OPTIONAL = ("rowsPerSecond", "rampUpTime", "numPartitions")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        if not ctx.streaming:
+            raise ValueError(f"{self.name}: RateExtract requires streaming mode")
+        df = (
+            ctx.spark.readStream.format("rate")
+            .option("rowsPerSecond", str(self.params.get("rowsPerSecond", 1)))
+            .option("rampUpTime", str(self.params.get("rampUpTime", "0s")))
+            .option("numPartitions", str(self.params.get("numPartitions", 1)))
+            .load()
+        )
+        df.createOrReplaceTempView(self.params["outputView"])
+        return df
+
+
+@register_stage
+class MetadataExtract(PipelineStage):
+    """extract/MetadataExtract.scala:110-150 — reify a view's schema (+field
+    metadata) as a DataFrame (schema-as-data)."""
+
+    stage_type = "MetadataExtract"
+    REQUIRED = ("inputView", "outputView")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        src = ctx.spark.table(self.params["inputView"])
+        rows = [
+            (f.name, f.dataType.simpleString(), f.nullable, json.dumps(f.metadata or {}))
+            for f in src.schema.fields
+        ]
+        df = ctx.spark.createDataFrame(
+            rows, "name string, type string, nullable boolean, metadata string"
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class StatisticsExtract(PipelineStage):
+    """extract/StatisticsExtract.scala:112-136 — column-profile table."""
+
+    stage_type = "StatisticsExtract"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("approximate", "hllRelativeSD")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.statistics import statistics
+
+        df = statistics(
+            ctx.spark.table(self.params["inputView"]),
+            approximate=bool(self.params.get("approximate", True)),
+            hll_relative_sd=float(self.params.get("hllRelativeSD", 0.05)),
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+@register_stage
+class SQLTransform(PipelineStage):
+    """transform/SQLTransform.scala:150-203 — the universal relational
+    operator: arbitrary Spark SQL over upstream temp views with ${param}
+    substitution; SQL parse pre-validated at config time
+    (config/ConfigUtils.scala:855-867)."""
+
+    stage_type = "SQLTransform"
+    REQUIRED = ("outputView",)
+    OPTIONAL = ("sql", "sqlURI", "sqlParams", "authentication")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def _stmt(self, ctx: PipelineContext) -> str:
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        return substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
+
+    def validate_config(self, ctx: PipelineContext) -> None:
+        stmt = self._stmt(ctx)
+        # parse-only validation via the session parser
+        ctx.spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.sql(self._stmt(ctx))
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class TypingTransform(PipelineStage):
+    """transform/TypingTransform.scala — see operators/typing.py."""
+
+    stage_type = "TypingTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("schema", "schemaURI", "failMode")
+    ONE_OF = (("schema", "schemaURI"),)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.typing import typing_transform
+
+        if "schema" in self.params:
+            specs = parse_arc_schema(self.params["schema"])
+        else:
+            with open(self.params["schemaURI"]) as f:
+                specs = parse_arc_schema(f.read())
+        df = typing_transform(ctx.spark.table(self.params["inputView"]), specs)
+        out = self.register_output(ctx, df, self.params["outputView"])
+        if self.params.get("failMode", "permissive") == "failfast" and not df.isStreaming:
+            bad = out.filter(F.size("_errors") > 0)
+            first = bad.select("_errors").first()
+            if first is not None:
+                raise ValueError(f"{self.name}: typing failed (failfast): {first['_errors']}")
+        return out
+
+
+@register_stage
+class DiffTransform(PipelineStage):
+    """transform/DiffTransform.scala:116-171."""
+
+    stage_type = "DiffTransform"
+    REQUIRED = ("inputLeftView", "inputRightView")
+    OPTIONAL = ("outputLeftView", "outputIntersectionView", "outputRightView", "inputLeftKeys", "inputRightKeys")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.diff import diff_views
+
+        res = diff_views(
+            ctx.spark.table(self.params["inputLeftView"]),
+            ctx.spark.table(self.params["inputRightView"]),
+            key_cols=self.params.get("inputLeftKeys"),
+        )
+        out = None
+        for key, view_param in (
+            ("left_only", "outputLeftView"),
+            ("intersection", "outputIntersectionView"),
+            ("right_only", "outputRightView"),
+        ):
+            if self.params.get(view_param):
+                res[key].createOrReplaceTempView(self.params[view_param])
+                out = res[key]
+        return out
+
+
+@register_stage
+class JSONTransform(PipelineStage):
+    """transform/JSONTransform.scala:99-156 — whole row → one JSON string
+    column, expressed as to_json(struct(*)) (stays in codegen; the
+    reference used df.toJSON which is RDD-backed)."""
+
+    stage_type = "JSONTransform"
+    REQUIRED = ("inputView", "outputView")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        src = ctx.spark.table(self.params["inputView"])
+        df = src.select(F.to_json(F.struct(*src.columns)).alias("value"))
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class MetadataTransform(PipelineStage):
+    """transform/MetadataTransform.scala:144-215 — attach Arc-schema
+    metadata to existing columns (permissive/failfast name matching)."""
+
+    stage_type = "MetadataTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("schema", "schemaURI", "failMode")
+    ONE_OF = (("schema", "schemaURI"),)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        if "schema" in self.params:
+            specs = parse_arc_schema(self.params["schema"])
+        else:
+            with open(self.params["schemaURI"]) as f:
+                specs = parse_arc_schema(f.read())
+        by_name = {s.name: s for s in specs}
+        src = ctx.spark.table(self.params["inputView"])
+        if self.params.get("failMode", "permissive") == "failfast":
+            missing = set(by_name) - set(src.columns)
+            if missing:
+                raise ValueError(f"{self.name}: columns not in view: {sorted(missing)}")
+        cols = []
+        for c in src.columns:
+            if c in by_name:
+                md = by_name[c].to_struct_field().metadata
+                cols.append(F.col(c).alias(c, metadata=md))
+            else:
+                cols.append(F.col(c))
+        return self.register_output(ctx, src.select(*cols), self.params["outputView"])
+
+
+@register_stage
+class MetadataFilterTransform(PipelineStage):
+    """transform/MetadataFilterTransform.scala:125-197 — column-level
+    security: SQL over the reified ``metadata`` view returns the allowed
+    column names; everything else is dropped."""
+
+    stage_type = "MetadataFilterTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("sql", "sqlURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        src = ctx.spark.table(self.params["inputView"])
+        rows = [
+            (f.name, f.dataType.simpleString(), f.nullable, json.dumps(f.metadata or {}))
+            for f in src.schema.fields
+        ]
+        ctx.spark.createDataFrame(
+            rows, "name string, type string, nullable boolean, metadata string"
+        ).createOrReplaceTempView("metadata")
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
+        keep = [r[0] for r in ctx.spark.sql(sql).collect()]
+        df = src.select(*[c for c in src.columns if c in keep])
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class SimilarityJoinTransform(PipelineStage):
+    """transform/SimilarityJoinTransform.scala:140-255 — fuzzy join. The
+    reference fits NGram+CountVectorizer+MinHashLSH (a driver-side vocab
+    build); we use the vocabulary-free expression-level MinHash LSH from
+    operators/dedup.py — same algorithm, no fit step, scales without a
+    driver bottleneck."""
+
+    stage_type = "SimilarityJoinTransform"
+    REQUIRED = ("leftView", "rightView", "outputView", "leftFields", "rightFields")
+    OPTIONAL = ("threshold", "shingleLength", "numHashes", "caseSensitive")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.dedup import minhash_signature_from_hashes, shingle_hashes
+
+        threshold = float(self.params.get("threshold", 0.75))
+        shingle_n = int(self.params.get("shingleLength", 3))
+        num_hashes = int(self.params.get("numHashes", 16))
+        bands = 4
+
+        def prep(view: str, fields: list[str], side: str) -> DataFrame:
+            src = ctx.spark.table(view)
+            text = F.concat_ws(" ", *[F.col(f).cast("string") for f in fields])
+            if not self.params.get("caseSensitive", False):
+                text = F.lower(text)
+            return src.select(
+                F.struct(*src.columns).alias(f"{side}_row"),
+                shingle_hashes(text, shingle_n).alias("_sh"),
+            ).select(
+                f"{side}_row",
+                minhash_signature_from_hashes(F.col("_sh"), num_hashes).alias(f"{side}_sig"),
+            )
+
+        left = prep(self.params["leftView"], self.params["leftFields"], "l")
+        right = prep(self.params["rightView"], self.params["rightFields"], "r")
+        rpb = num_hashes // bands
+
+        def banded(df: DataFrame, sig: str) -> DataFrame:
+            return df.withColumn(
+                "_bb",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.xxhash64(
+                                    *[F.element_at(F.col(sig), b * rpb + r + 1) for r in range(rpb)]
+                                ).alias("bucket"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ),
+            )
+
+        lb = banded(left, "l_sig").alias("a")
+        rb = banded(right, "r_sig").alias("b")
+        pairs = lb.join(
+            rb,
+            (F.col("a._bb.band") == F.col("b._bb.band"))
+            & (F.col("a._bb.bucket") == F.col("b._bb.bucket")),
+        ).select("a.l_row", "a.l_sig", "b.r_row", "b.r_sig").dropDuplicates(["l_row", "r_row"])
+        sim = (
+            F.size(
+                F.filter(F.zip_with("l_sig", "r_sig", lambda x, y: x == y), lambda m: m)
+            ).cast("double")
+            / F.lit(float(num_hashes))
+        )
+        df = (
+            pairs.withColumn("similarity", sim)
+            .filter(F.col("similarity") >= threshold)
+            .select("l_row.*", "r_row.*", "similarity")
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class DedupTransform(PipelineStage):
+    """Engine-specific: last-writer-wins dedup per key (the CDC apply
+    kernel as a standalone pipeline stage; SURVEY.md §2.5 dedup-by-key)."""
+
+    stage_type = "DedupTransform"
+    REQUIRED = ("inputView", "outputView", "keys")
+    OPTIONAL = ("seqColumn", "strategy", "saltBuckets")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.cdc.apply import last_writer_wins
+
+        df = last_writer_wins(
+            ctx.spark.table(self.params["inputView"]),
+            list(self.params["keys"]),
+            self.params.get("seqColumn", "seq"),
+            strategy=self.params.get("strategy", "thin"),
+            salt_buckets=self.params.get("saltBuckets"),
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class HTTPTransform(PipelineStage):
+    """transform/HTTPTransform.scala:149-325 — batched POST of a column to
+    an external service via mapInPandas with a per-partition pooled client.
+    Network egress is unavailable in this sandbox; the stage is fully
+    formed but requires a reachable endpoint at execute time."""
+
+    stage_type = "HTTPTransform"
+    REQUIRED = ("inputView", "outputView", "uri")
+    OPTIONAL = ("inputField", "batchSize", "headers", "validStatusCodes")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        import pandas as pd
+
+        uri = self.params["uri"]
+        field = self.params.get("inputField", "value")
+        batch_size = int(self.params.get("batchSize", 100))
+        headers = self.params.get("headers") or {}
+        valid = set(self.params.get("validStatusCodes", [200, 201, 202]))
+        src = ctx.spark.table(self.params["inputView"])
+        out_schema = T.StructType(list(src.schema.fields) + [T.StructField("body", T.StringType(), True)])
+
+        def call(batches):
+            import urllib.request
+
+            for pdf in batches:
+                bodies = []
+                for start in range(0, len(pdf), batch_size):
+                    chunk = pdf[field].iloc[start : start + batch_size]
+                    for v in chunk:
+                        req = urllib.request.Request(
+                            uri, data=str(v).encode(), headers=headers, method="POST"
+                        )
+                        with urllib.request.urlopen(req) as resp:
+                            if resp.status not in valid:
+                                raise ValueError(f"HTTP {resp.status}")
+                            bodies.append(resp.read().decode())
+                pdf = pdf.copy()
+                pdf["body"] = pd.Series(bodies, index=pdf.index)
+                yield pdf
+
+        df = src.mapInPandas(call, schema=out_schema)
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+# ---------------------------------------------------------------------------
+# loads
+# ---------------------------------------------------------------------------
+
+
+class _FileLoad(PipelineStage):
+    """Shared load skeleton (load/ParquetLoad.scala:109-170): NullType
+    columns dropped, saveMode, partitionBy, streaming writeStream branch."""
+
+    format: str = ""
+
+    REQUIRED = ("inputView", "outputURI")
+    OPTIONAL = ("saveMode", "options", "checkpointLocation", "outputMode")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.params["inputView"])
+        null_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.NullType)]
+        if null_cols:
+            df = df.drop(*null_cols)  # dropUnsupported (ParquetLoad.scala:118-131)
+        opts = self.params.get("options") or {}
+        uri = self.params["outputURI"]
+        num_partitions = self.params.get("numPartitions")
+        partition_by = self.params.get("partitionBy") or []
+        if df.isStreaming:
+            writer = (
+                df.writeStream.format(self.format)
+                .options(**opts)
+                .option(
+                    "checkpointLocation",
+                    self.params.get("checkpointLocation", uri + "/_checkpoints"),
+                )
+                .outputMode(self.params.get("outputMode", "append"))
+            )
+            query = writer.start(uri)
+            ctx.user_data.setdefault("streaming_queries", []).append(query)
+            return df
+        if num_partitions:
+            df = df.repartition(int(num_partitions), *partition_by) if partition_by else df.repartition(int(num_partitions))
+        writer = df.write.format(self.format).options(**opts).mode(
+            self.params.get("saveMode", "overwrite")
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(uri)
+        return df
+
+
+@register_stage
+class ParquetLoad(_FileLoad):
+    """load/ParquetLoad.scala:109-170."""
+
+    stage_type = "ParquetLoad"
+    format = "parquet"
+
+
+@register_stage
+class ORCLoad(_FileLoad):
+    """load/ORCLoad.scala:136-154."""
+
+    stage_type = "ORCLoad"
+    format = "orc"
+
+
+@register_stage
+class JSONLoad(_FileLoad):
+    """load/JSONLoad.scala:137-155."""
+
+    stage_type = "JSONLoad"
+    format = "json"
+
+
+@register_stage
+class DelimitedLoad(_FileLoad):
+    """load/DelimitedLoad.scala:154-172."""
+
+    stage_type = "DelimitedLoad"
+    format = "csv"
+
+
+@register_stage
+class AvroLoad(_FileLoad):
+    """load/AvroLoad.scala:140-152 (no streaming branch in the reference)."""
+
+    stage_type = "AvroLoad"
+    format = "avro"
+
+
+@register_stage
+class TextLoad(PipelineStage):
+    """load/TextLoad.scala:129-276. singleFile mode writes one file with
+    prefix/separator/suffix (the idempotent-manifest pattern)."""
+
+    stage_type = "TextLoad"
+    REQUIRED = ("inputView", "outputURI")
+    OPTIONAL = ("singleFile", "prefix", "separator", "suffix", "saveMode")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.params["inputView"])
+        uri = self.params["outputURI"]
+        if self.params.get("singleFile"):
+            if len(df.columns) != 1:
+                raise ValueError(f"{self.name}: singleFile requires exactly one column")
+            parts = [
+                self.params.get("prefix", ""),
+                self.params.get("separator", "\n").join(
+                    str(r[0]) for r in df.toLocalIterator()
+                ),
+                self.params.get("suffix", ""),
+            ]
+            os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
+            with open(uri, "w") as f:
+                f.write("".join(parts))
+            return df
+        df.write.mode(self.params.get("saveMode", "overwrite")).text(uri)
+        return df
+
+
+@register_stage
+class ConsoleLoad(PipelineStage):
+    """load/ConsoleLoad.scala:75-93 — streaming console sink."""
+
+    stage_type = "ConsoleLoad"
+    REQUIRED = ("inputView",)
+    OPTIONAL = ("outputMode",)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.params["inputView"])
+        if not df.isStreaming:
+            raise ValueError(f"{self.name}: ConsoleLoad requires a streaming view")
+        query = (
+            df.writeStream.format("console")
+            .outputMode(self.params.get("outputMode", "append"))
+            .start()
+        )
+        ctx.user_data.setdefault("streaming_queries", []).append(query)
+        return df
+
+
+@register_stage
+class LakeMergeLoad(PipelineStage):
+    """Engine-specific CDC sink: MERGE a deduped change-batch view into an
+    arc_spark.lake table (the Iceberg MERGE INTO analogue) with epoch
+    fencing. The inputView must be one row per key with an op column."""
+
+    stage_type = "LakeMergeLoad"
+    REQUIRED = ("inputView", "tableURI", "epoch", "startSeq", "endSeq")
+    OPTIONAL = ("keys", "seqColumn", "numBuckets", "opColumn")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.lake.table import LakeTable
+
+        df = ctx.spark.table(self.params["inputView"])
+        table = LakeTable(self.params["tableURI"])
+        if not table.exists():
+            schema = T.StructType(
+                [f for f in df.schema.fields if f.name != self.params.get("opColumn", "op")]
+            )
+            table.create(
+                schema,
+                list(self.params.get("keys", ["repo", "path"])),
+                seq_col=self.params.get("seqColumn", "seq"),
+                num_buckets=int(self.params.get("numBuckets", 32)),
+            )
+        result = table.merge(
+            ctx.spark,
+            df,
+            epoch=int(self.params["epoch"]),
+            start_seq=int(self.params["startSeq"]),
+            end_seq=int(self.params["endSeq"]),
+            op_col=self.params.get("opColumn", "op"),
+        )
+        ctx.user_data[f"{self.name}.merge"] = result
+        return df
+
+
+# ---------------------------------------------------------------------------
+# validate / execute
+# ---------------------------------------------------------------------------
+
+
+@register_stage
+class SQLValidate(PipelineStage):
+    """validate/SQLValidate.scala:105-179 — SQL must return exactly one row
+    [outcome boolean, message string]; outcome false aborts the job. The
+    canonical data-quality gate on typing ``_errors``."""
+
+    stage_type = "SQLValidate"
+    OPTIONAL = ("sql", "sqlURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
+        rows = ctx.spark.sql(sql).collect()
+        if len(rows) != 1 or len(rows[0]) != 2:
+            raise ValueError(
+                f"{self.name}: validation SQL must return exactly 1 row of "
+                f"[outcome boolean, message], got {len(rows)} rows"
+            )
+        outcome, message = rows[0][0], rows[0][1]
+        try:
+            message = json.loads(message)
+        except (TypeError, json.JSONDecodeError):
+            pass
+        ctx.user_data[f"{self.name}.message"] = message
+        if not outcome:
+            raise ValueError(f"{self.name}: validation failed: {message}")
+        return None
+
+
+@register_stage
+class EqualityValidate(PipelineStage):
+    """validate/EqualityValidate.scala:87-156 — assert two views identical:
+    column names/types, then full row-hash anti-joins both ways. Internal
+    (metadata internal=true) columns are excluded (:96-100). This is the
+    CDC replay-equivalence checker."""
+
+    stage_type = "EqualityValidate"
+    REQUIRED = ("leftView", "rightView")
+
+    def execute(self, ctx: PipelineContext) -> None:
+        left = ctx.spark.table(self.params["leftView"])
+        right = ctx.spark.table(self.params["rightView"])
+
+        def public_cols(df: DataFrame) -> list[str]:
+            return [
+                f.name
+                for f in df.schema.fields
+                if not (f.metadata or {}).get("internal", False)
+            ]
+
+        lc, rc = public_cols(left), public_cols(right)
+        if sorted(lc) != sorted(rc):
+            raise ValueError(
+                f"{self.name}: column sets differ: {sorted(set(lc) ^ set(rc))}"
+            )
+        lh = left.select(F.sha2(F.to_json(F.struct(*sorted(lc))), 512).alias("_h"))
+        rh = right.select(F.sha2(F.to_json(F.struct(*sorted(rc))), 512).alias("_h"))
+        only_left = lh.join(rh, "_h", "left_anti").count()
+        only_right = rh.join(lh, "_h", "left_anti").count()
+        if only_left or only_right:
+            raise ValueError(
+                f"{self.name}: views differ — {only_left} rows only in "
+                f"{self.params['leftView']}, {only_right} only in {self.params['rightView']}"
+            )
+        return None
+
+
+@register_stage
+class MetadataValidate(PipelineStage):
+    """validate/MetadataValidate.scala:110-183 — SQL over the reified
+    ``metadata`` schema-view, 1-row [outcome, message] contract (e.g.
+    forbid pii=true columns)."""
+
+    stage_type = "MetadataValidate"
+    REQUIRED = ("inputView",)
+    OPTIONAL = ("sql", "sqlURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        src = ctx.spark.table(self.params["inputView"])
+        rows = [
+            (f.name, f.dataType.simpleString(), f.nullable, json.dumps(f.metadata or {}))
+            for f in src.schema.fields
+        ]
+        ctx.spark.createDataFrame(
+            rows, "name string, type string, nullable boolean, metadata string"
+        ).createOrReplaceTempView("metadata")
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
+        out = ctx.spark.sql(sql).collect()
+        if len(out) != 1 or len(out[0]) != 2:
+            raise ValueError(f"{self.name}: must return 1 row [outcome, message]")
+        if not out[0][0]:
+            raise ValueError(f"{self.name}: validation failed: {out[0][1]}")
+        return None
+
+
+@register_stage
+class LogExecute(PipelineStage):
+    """execute/LogExecute.scala:106-171 — SQL → 1 row message to the log."""
+
+    stage_type = "LogExecute"
+    OPTIONAL = ("sql", "sqlURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
+        row = ctx.spark.sql(sql).first()
+        ctx.user_data[f"{self.name}.message"] = row[0] if row else None
+        return None
+
+
+@register_stage
+class ControlFlowExecute(PipelineStage):
+    """execute/ControlFlowExecute.scala:113-187 — SQL → [outcome bool,
+    message]; stores the payload for the ControlFlow lifecycle gate."""
+
+    stage_type = "ControlFlowExecute"
+    OPTIONAL = ("sql", "sqlURI", "sqlParams", "key")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
+        row = ctx.spark.sql(sql).first()
+        key = self.params.get("key", "controlflow")
+        ctx.user_data[key] = {"outcome": bool(row[0]), "message": row[1] if len(row) > 1 else None}
+        return None
+
+
+@register_stage
+class PipelineExecute(PipelineStage):
+    """execute/PipelineExecute.scala — inline a nested pipeline config;
+    flattened into the parent stage list at parse time
+    (config/ArcPipeline.scala:101-109)."""
+
+    stage_type = "PipelineExecute"
+    REQUIRED = ("uri",)
+
+    def validate_config(self, ctx: PipelineContext) -> None:
+        from arc_spark.pipeline.config import parse_pipeline
+
+        with open(self.params["uri"]) as f:
+            sub = parse_pipeline(f.read(), ctx)
+        self._inline_stages = sub.stages
+
+    def execute(self, ctx: PipelineContext) -> None:  # pragma: no cover
+        return None  # replaced by _inline_stages at parse time
+
+
+# ---------------------------------------------------------------------------
+# lifecycle plugins
+# ---------------------------------------------------------------------------
+
+
+class ControlFlow(LifecyclePlugin):
+    """plugins/lifecycle/ControlFlow.scala:56-95 — if a stored payload's
+    outcome is false, skip all remaining stages."""
+
+    def __init__(self, key: str = "controlflow"):
+        self.key = key
+
+    def run_stage(self, stage: PipelineStage, ctx: PipelineContext) -> bool:
+        payload = ctx.user_data.get(self.key)
+        return payload is None or payload.get("outcome", True)
+
+
+class ChaosMonkey(LifecyclePlugin):
+    """plugins/lifecycle/ChaosMonkey.scala:81-96 — failure injection: with
+    probability p, throw after a stage (resumability testing)."""
+
+    def __init__(self, probability: float = 0.0, seed: int | None = None):
+        self.probability = probability
+        self.rand = _random.Random(seed)
+
+    def after(self, stage, ctx, df):
+        if self.rand.random() < self.probability:
+            raise RuntimeError(f"ChaosMonkey strikes after stage {stage.name!r}")
+        return df
+
+
+class DataLineage(LifecyclePlugin):
+    """plugins/lifecycle/DataLineage.scala:79-105 — capture the analyzed
+    logical plan of load outputs into the event log."""
+
+    def after(self, stage, ctx, df):
+        if df is not None and stage.stage_type.endswith("Load"):
+            try:
+                plan = df._jdf.queryExecution().analyzed().toJSON()
+            except Exception:
+                plan = None
+            ctx.events.append(
+                {"event": "lineage", "stage": stage.name, "plan": plan}
+            )
+        return df

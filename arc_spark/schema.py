@@ -1,0 +1,155 @@
+"""Arc-schema: schema-as-data (SURVEY.md §1.2).
+
+Parses the reference's schema JSON documents (list of field objects) into
+column specs that drive the typing kernel, and converts them to Spark
+StructTypes with metadata embedded in each StructField (id, description,
+internal flags) — reference: ``schema/ArcSchema.scala:29-120``,
+``api/API.scala:121-249`` (type table), ``api/API.scala:151-180``
+(toStructField metadata embedding).
+
+Internal-column convention (``util/ExtractUtils.scala:45-52``,
+``transform/TypingTransform.scala:413-420``): fields whose metadata has
+``internal=true`` (``_filename``, ``_index``, ``_errors``...) are engine-
+managed and excluded from typing and equality validation.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+VALID_TYPES = {
+    "string", "integer", "long", "double", "decimal", "boolean",
+    "date", "timestamp", "time", "binary", "struct", "array",
+}
+
+SPARK_TYPES = {
+    "string": T.StringType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    # Arc stores time-of-day as an ISO string (api/API.scala:196-198) —
+    # replicated, not "fixed".
+    "time": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+INTERNAL_COLUMNS = ("_filename", "_index", "_monotonically_increasing_id", "_partition_id", "_errors")
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    type: str
+    id: str | None = None
+    description: str | None = None
+    nullable: bool = True
+    trim: bool = False
+    nullable_values: list[str] = field(default_factory=list)
+    null_replacement_value: str | None = None
+    metadata: dict = field(default_factory=dict)
+    # type-specific knobs
+    formatters: list[str] = field(default_factory=list)
+    timezone_id: str = "UTC"
+    true_values: list[str] = field(default_factory=lambda: ["true"])
+    false_values: list[str] = field(default_factory=lambda: ["false"])
+    precision: int = 10
+    scale: int = 0
+    min_length: int | None = None
+    max_length: int | None = None
+    regex: str | None = None
+    encoding: str = "base64"  # binary: base64 | hexadecimal
+
+    def spark_type(self) -> T.DataType:
+        if self.type == "decimal":
+            return T.DecimalType(self.precision, self.scale)
+        if self.type not in SPARK_TYPES:
+            raise ValueError(f"unsupported column type {self.type!r} for {self.name!r}")
+        return SPARK_TYPES[self.type]
+
+    def to_struct_field(self) -> T.StructField:
+        md = dict(self.metadata)
+        if self.id is not None:
+            md["id"] = self.id
+        if self.description is not None:
+            md["description"] = self.description
+        md.setdefault("internal", False)
+        return T.StructField(self.name, self.spark_type(), self.nullable, metadata=md)
+
+
+_KEY_MAP = {
+    "nullableValues": "nullable_values",
+    "nullReplacementValue": "null_replacement_value",
+    "timezoneId": "timezone_id",
+    "trueValues": "true_values",
+    "falseValues": "false_values",
+    "minLength": "min_length",
+    "maxLength": "max_length",
+}
+
+_IGNORED_KEYS = {"internal", "strict", "caseSensitive", "time", "table", "primaryKey"}
+
+
+def parse_arc_schema(doc: str | list) -> list[ColumnSpec]:
+    """Parse an Arc-schema JSON document (string or parsed list)."""
+    if isinstance(doc, str):
+        doc = json.loads(doc)
+    if not isinstance(doc, list):
+        raise ValueError("Arc schema must be a JSON array of field objects")
+    specs = []
+    errors = []
+    for i, f_ in enumerate(doc):
+        try:
+            specs.append(_parse_field(f_))
+        except Exception as e:  # accumulate all errors (config/Plugins.scala:32-143)
+            errors.append(f"field[{i}]: {e}")
+    if errors:
+        raise ValueError("invalid Arc schema:\n  " + "\n  ".join(errors))
+    return specs
+
+
+def _parse_field(f_: dict) -> ColumnSpec:
+    if "name" not in f_:
+        raise ValueError("missing 'name'")
+    if "type" not in f_:
+        raise ValueError(f"{f_.get('name')!r}: missing 'type'")
+    t = f_["type"]
+    if t not in VALID_TYPES:
+        raise ValueError(f"{f_['name']!r}: unknown type {t!r} (valid: {sorted(VALID_TYPES)})")
+    kwargs: dict = {"name": f_["name"], "type": t}
+    for k, v in f_.items():
+        if k in ("name", "type") or k in _IGNORED_KEYS:
+            continue
+        key = _KEY_MAP.get(k, k)
+        if key in ColumnSpec.__dataclass_fields__:
+            kwargs[key] = v
+        else:
+            raise ValueError(f"{f_['name']!r}: unknown key {k!r}")
+    return ColumnSpec(**kwargs)
+
+
+def to_struct_type(specs: list[ColumnSpec]) -> T.StructType:
+    return T.StructType([s.to_struct_field() for s in specs])
+
+
+def errors_field() -> T.StructField:
+    """The _errors internal column (transform/TypingTransform.scala:413-420)."""
+    return T.StructField(
+        "_errors",
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("field", T.StringType(), True),
+                    T.StructField("message", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+        True,
+        metadata={"internal": True},
+    )

@@ -1,0 +1,98 @@
+"""Structured-Streaming CDC apply: binlog tail → micro-batch MERGE.
+
+The streaming twin of arc_spark.cdc.runner.ReplayRunner: a file-tail
+``readStream`` over the change-event directory, applied per micro-batch
+through ``foreachBatch`` into the same LakeTable MERGE. Exactly-once
+composes two idempotence layers:
+
+- Spark's streaming checkpoint replays an uncommitted micro-batch with the
+  SAME ``batch_id`` after a crash,
+- the lake manifest's epoch fencing turns a replayed ``merge(epoch=
+  batch_id)`` into a no-op if it already committed.
+
+This is exactly the Iceberg/Delta ``foreachBatch + txn-id`` recipe, built
+on our own manifest log. Reference parity: mode-switched streaming
+extracts (``extract/ParquetExtract.scala:148``), watermark plumbing
+(``config/ConfigUtils.scala:643-660``), streaming loads
+(``load/ParquetLoad.scala:136-142``); the reference delegates offset
+management entirely to Spark checkpoints (SURVEY.md §3.3) — so do we,
+with the manifest as the second (transactional) layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
+from arc_spark.cdc.runner import KEYS
+from arc_spark.lake.table import LakeTable
+
+
+class StreamingReplay:
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_path: str,
+        table: LakeTable,
+        *,
+        checkpoint_dir: str,
+        strategy: str = "thin",
+        fingerprint: bool = True,
+        max_files_per_trigger: int | None = None,
+        watermark: tuple[str, str] | None = None,  # (eventTime col, delay)
+    ):
+        self.spark = spark
+        self.events_path = events_path
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.strategy = strategy
+        self.fingerprint = fingerprint
+        self.max_files_per_trigger = max_files_per_trigger
+        self.watermark = watermark
+        self.batches: list[dict] = []
+
+    def _stream(self) -> DataFrame:
+        schema = self.spark.read.parquet(self.events_path).schema
+        reader = self.spark.readStream.schema(schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        df = reader.parquet(self.events_path)
+        if self.watermark:
+            df = df.withWatermark(*self.watermark)
+        return df
+
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        row_ops = batch.filter(F.col("op") != "schema-change")
+        deduped = last_writer_wins(row_ops, KEYS, "seq", strategy=self.strategy)
+        if self.fingerprint:
+            deduped = normalize_and_fingerprint(deduped)
+        bounds = batch.agg(
+            F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return
+        result = self.table.merge(
+            self.spark,
+            deduped,
+            epoch=batch_id,
+            start_seq=int(bounds["lo"]),
+            end_seq=int(bounds["hi"]),
+        )
+        self.batches.append({"batch_id": batch_id, **result})
+
+    def start(self):
+        """Start the streaming query; caller awaits/stops it."""
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def run_available(self) -> list[dict]:
+        """Process everything currently in the directory, then stop."""
+        q = self.start()
+        q.awaitTermination()
+        return self.batches

@@ -68,6 +68,23 @@ def test_single_epoch_equivalent_to_many(spark, stream_path, expected_state, tmp
     }
 
 
+def test_compact_preserves_state_and_vacuums_tombstones(spark, stream_path, expected_state, tmp_path):
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake_c"))
+    ReplayRunner(spark, stream_path, table, batch_size=1000).run()
+    pre_files = len(table.snapshot().file_list())
+    assert table.read(spark, include_tombstones=True).filter("_tombstone").count() > 0
+
+    res = table.compact(spark, vacuum_tombstones_below_seq=N_EVENTS + 1)
+    assert res["status"] == "compacted"
+    assert len(table.snapshot().file_list()) <= pre_files
+    assert table.read(spark, include_tombstones=True).filter("_tombstone").count() == 0
+
+    got = _final_state(spark, table)
+    assert {k: v["content_sha256"] for k, v in got.items()} == {
+        k: v["sha256"] for k, v in expected_state.items()
+    }
+
+
 def test_generator_deterministic(spark):
     a = change_stream(spark, 500, seed=7, num_partitions=4).collect()
     b = change_stream(spark, 500, seed=7, num_partitions=2).collect()

@@ -1,0 +1,234 @@
+"""Config-driven pipeline tests — mirrors the reference's end-to-end job
+fixtures (src/test/resources/conf/job/active_customers.json pattern) and
+its config-error / lint behaviors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from arc_spark.pipeline import ConfigError, run_config
+from arc_spark.pipeline.stages import ChaosMonkey, ControlFlow
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    p = tmp_path / "customers.csv"
+    p.write_text(
+        "id,name,balance,active\n"
+        "1,alice,100.5,true\n"
+        "2,bob,-3.25,false\n"
+        "3,carol,7.75,true\n"
+        "4,dave,oops,true\n"
+    )
+    return str(p)
+
+
+SCHEMA = [
+    {"name": "id", "type": "long", "nullable": False},
+    {"name": "name", "type": "string"},
+    {"name": "balance", "type": "decimal", "precision": 10, "scale": 2},
+    {"name": "active", "type": "boolean", "trueValues": ["true"], "falseValues": ["false"]},
+]
+
+
+def _job(csv_path: str, out_dir: str) -> dict:
+    return {
+        "stages": [
+            {
+                "type": "DelimitedExtract",
+                "name": "extract customers",
+                "inputURI": csv_path,
+                "outputView": "customers_raw",
+                "options": {"header": "true"},
+            },
+            {
+                "type": "TypingTransform",
+                "name": "type customers",
+                "inputView": "customers_raw",
+                "outputView": "customers_typed",
+                "schema": SCHEMA,
+            },
+            {
+                "type": "SQLValidate",
+                "name": "error gate",
+                "sql": (
+                    "SELECT SUM(CASE WHEN SIZE(_errors) > 0 THEN 1 ELSE 0 END) "
+                    "<= ${max_errors=1}, 'error rate ok' FROM customers_typed"
+                ),
+            },
+            {
+                "type": "SQLTransform",
+                "name": "active customers",
+                "sql": "SELECT id, name, balance FROM customers_typed "
+                       "WHERE active AND SIZE(_errors) = 0 ORDER BY id",
+                "outputView": "active_customers",
+            },
+            {
+                "type": "ParquetLoad",
+                "name": "write",
+                "inputView": "active_customers",
+                "outputURI": out_dir,
+            },
+        ]
+    }
+
+
+def test_end_to_end_job(spark, csv_dir, tmp_path):
+    out = str(tmp_path / "out")
+    df, ctx = run_config(spark, json.dumps(_job(csv_dir, out)))
+    rows = spark.read.parquet(out).orderBy("id").collect()
+    assert [r["name"] for r in rows] == ["alice", "carol"]
+    events = [e["event"] for e in ctx.events]
+    assert events.count("stage.complete") == 5
+    assert all(e["duration_ms"] >= 0 for e in ctx.events)
+
+
+def test_validate_gate_fails_job(spark, csv_dir, tmp_path):
+    cfg = _job(csv_dir, str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="validation failed"):
+        run_config(spark, json.dumps(cfg), args={"max_errors": "0"})
+
+
+def test_param_substitution_from_env(spark, csv_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("ETL_CONF_MAX_ERRORS", "5")
+    cfg = json.dumps(_job(csv_dir, str(tmp_path / "out"))).replace(
+        "${max_errors=1}", "${max_errors}"
+    )
+    df, ctx = run_config(spark, cfg)
+    assert df is not None
+
+
+def test_config_error_accumulation(spark):
+    cfg = {
+        "stages": [
+            {"type": "ParquetExtract", "name": "a", "inputURI": "/x", "outputVew": "t"},
+            {"type": "SQLTransfrom", "name": "b", "sql": "SELECT 1", "outputView": "v"},
+            {"type": "SQLTransform", "name": "c", "outputView": "v"},
+        ]
+    }
+    with pytest.raises(ConfigError) as ei:
+        run_config(spark, cfg)
+    msg = str(ei.value)
+    assert "did you mean 'outputView'" in msg
+    assert "did you mean 'SQLTransform'" in msg
+    assert "exactly one of" in msg
+
+
+def test_sql_parse_validation_at_config_time(spark):
+    cfg = {
+        "stages": [
+            {"type": "SQLTransform", "name": "bad", "sql": "SELEC oops FRM", "outputView": "v"}
+        ]
+    }
+    with pytest.raises(ConfigError):
+        run_config(spark, cfg)
+
+
+def test_environment_filtering(spark):
+    cfg = {
+        "stages": [
+            {
+                "type": "SQLTransform", "name": "prod only", "sql": "SELECT 1 AS x",
+                "outputView": "v1", "environments": ["production"],
+            },
+            {
+                "type": "SQLTransform", "name": "test only", "sql": "SELECT 2 AS x",
+                "outputView": "v2", "environments": ["test"],
+            },
+        ]
+    }
+    df, ctx = run_config(spark, cfg, environment="test")
+    assert df.first()["x"] == 2
+    assert not any(e["stage"] == "prod only" and e["event"] == "stage.complete" for e in ctx.events)
+
+
+def test_lint_mode_runs_nothing(spark, csv_dir, tmp_path):
+    out = str(tmp_path / "lintout")
+    df, ctx = run_config(spark, json.dumps(_job(csv_dir, out)), lint=True)
+    assert df is None and not os.path.exists(out)
+
+
+def test_controlflow_skips_remaining(spark):
+    cfg = {
+        "stages": [
+            {"type": "ControlFlowExecute", "name": "gate",
+             "sql": "SELECT FALSE, 'stop here'"},
+            {"type": "SQLTransform", "name": "never", "sql": "SELECT 1 AS x", "outputView": "v"},
+        ]
+    }
+    df, ctx = run_config(spark, cfg, lifecycle=[ControlFlow()])
+    assert df is None
+    assert any(e["event"] == "pipeline.skipRemaining" for e in ctx.events)
+
+
+def test_chaosmonkey_injects_failure(spark):
+    cfg = {"stages": [{"type": "SQLTransform", "name": "s", "sql": "SELECT 1 AS x", "outputView": "v"}]}
+    with pytest.raises(RuntimeError, match="ChaosMonkey"):
+        run_config(spark, cfg, lifecycle=[ChaosMonkey(probability=1.0, seed=1)])
+
+
+def test_equality_validate(spark):
+    cfg = {
+        "stages": [
+            {"type": "SQLTransform", "name": "a", "sql": "SELECT * FROM VALUES (1,'x'),(2,'y') t(id, v)", "outputView": "va"},
+            {"type": "SQLTransform", "name": "b", "sql": "SELECT * FROM VALUES (2,'y'),(1,'x') t(id, v)", "outputView": "vb"},
+            {"type": "EqualityValidate", "name": "eq", "leftView": "va", "rightView": "vb"},
+        ]
+    }
+    run_config(spark, cfg)  # passes: same rows, order-insensitive
+    cfg["stages"][1]["sql"] = "SELECT * FROM VALUES (2,'y'),(3,'z') t(id, v)"
+    with pytest.raises(ValueError, match="views differ"):
+        run_config(spark, cfg)
+
+
+def test_metadata_filter_transform(spark):
+    cfg = {
+        "stages": [
+            {"type": "SQLTransform", "name": "src",
+             "sql": "SELECT 1 AS id, 'bob' AS name, 'x@y.z' AS email", "outputView": "people"},
+            {"type": "MetadataTransform", "name": "tag",
+             "inputView": "people", "outputView": "people_tagged",
+             "schema": [
+                 {"name": "email", "type": "string", "metadata": {"pii": True}},
+             ]},
+            {"type": "MetadataFilterTransform", "name": "strip pii",
+             "inputView": "people_tagged", "outputView": "people_safe",
+             "sql": "SELECT name FROM metadata WHERE get_json_object(metadata, '$.pii') IS NULL "
+                    "OR get_json_object(metadata, '$.pii') = 'false'"},
+        ]
+    }
+    df, _ = run_config(spark, cfg)
+    assert sorted(df.columns) == ["id", "name"]
+
+
+def test_pipeline_execute_inlines_subpipeline(spark, tmp_path):
+    sub = {"stages": [{"type": "SQLTransform", "name": "inner", "sql": "SELECT 7 AS x", "outputView": "inner_v"}]}
+    sub_path = tmp_path / "sub.json"
+    sub_path.write_text(json.dumps(sub))
+    cfg = {
+        "stages": [
+            {"type": "PipelineExecute", "name": "include", "uri": str(sub_path)},
+            {"type": "SQLTransform", "name": "outer", "sql": "SELECT x + 1 AS y FROM inner_v", "outputView": "outer_v"},
+        ]
+    }
+    df, _ = run_config(spark, cfg)
+    assert df.first()["y"] == 8
+
+
+def test_statistics_and_metadata_extract(spark):
+    cfg = {
+        "stages": [
+            {"type": "SQLTransform", "name": "src",
+             "sql": "SELECT id, CAST(id * 1.5 AS DOUBLE) AS v FROM RANGE(100)",
+             "outputView": "nums"},
+            {"type": "StatisticsExtract", "name": "prof", "inputView": "nums", "outputView": "stats"},
+            {"type": "MetadataExtract", "name": "meta", "inputView": "nums", "outputView": "meta_v"},
+        ]
+    }
+    df, ctx = run_config(spark, cfg)
+    stats = {r["col_name"]: r for r in spark.table("stats").collect()}
+    assert stats["v"]["count"] == 100 and stats["v"]["max"] == 148.5
+    assert {r["name"] for r in df.collect()} == {"id", "v"}

@@ -1,0 +1,134 @@
+"""Structured-Streaming surface: file-tail CDC replay (foreachBatch +
+fenced merge), resume from checkpoint, rate source, watermark windowed agg
+(SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark.cdc.bootstrap import create_table_for_stream
+from arc_spark.cdc.generator import write_change_stream
+from arc_spark.cdc.reference import reference_replay
+from arc_spark.streaming.replay import StreamingReplay
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def stream_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sstream")
+    # many files so maxFilesPerTrigger yields multiple micro-batches
+    return write_change_stream(spark, str(d / "events"), N, seed=3, num_partitions=12)
+
+
+@pytest.fixture(scope="module")
+def expected(spark, stream_path):
+    events = [r.asDict() for r in spark.read.parquet(stream_path).collect()]
+    return {k: v["sha256"] for k, v in reference_replay(events).items()}
+
+
+def test_streaming_replay_matches_reference(spark, stream_path, expected, tmp_path):
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake"))
+    replay = StreamingReplay(
+        spark, stream_path, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=4,
+    )
+    batches = replay.run_available()
+    assert len(batches) >= 2  # multiple micro-batches
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in table.read(spark).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_restart_is_exactly_once(spark, stream_path, expected, tmp_path):
+    """Run once, then start again on the same checkpoint — no re-apply."""
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake2"))
+    ckpt = str(tmp_path / "ckpt2")
+    StreamingReplay(spark, stream_path, table, checkpoint_dir=ckpt).run_available()
+    v1 = table.current_version()
+    # restart on the same checkpoint: availableNow finds nothing new
+    replay2 = StreamingReplay(spark, stream_path, table, checkpoint_dir=ckpt)
+    replay2.run_available()
+    assert table.current_version() == v1
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in table.read(spark).collect()
+    }
+    assert got == expected
+
+
+def test_duplicate_batch_id_is_fenced(spark, stream_path, tmp_path):
+    """Simulate Spark replaying a micro-batch after a crash-before-
+    checkpoint: same batch_id re-applied → merge is a fenced no-op."""
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake3"))
+    replay = StreamingReplay(
+        spark, stream_path, table, checkpoint_dir=str(tmp_path / "ckpt3")
+    )
+    batch = spark.read.parquet(stream_path).filter(F.col("seq") < 500)
+    replay._apply_batch(batch, 0)
+    v1 = table.current_version()
+    replay._apply_batch(batch, 0)  # replayed micro-batch
+    assert table.current_version() == v1
+    assert replay.batches[-1]["status"] == "skipped"
+
+
+def test_rate_source_and_console_smoke(spark, tmp_path):
+    from arc_spark.pipeline import run_config
+
+    cfg = {
+        "stages": [
+            {"type": "RateExtract", "name": "rate", "outputView": "rates",
+             "rowsPerSecond": 50, "numPartitions": 2},
+            {"type": "SQLTransform", "name": "double", "outputView": "doubled",
+             "sql": "SELECT timestamp, value * 2 AS v2 FROM rates"},
+            {"type": "ParquetLoad", "name": "sink", "inputView": "doubled",
+             "outputURI": str(tmp_path / "rateout"),
+             "checkpointLocation": str(tmp_path / "rateckpt")},
+        ]
+    }
+    df, ctx = run_config(spark, cfg, streaming=True)
+    queries = ctx.user_data["streaming_queries"]
+    assert len(queries) == 1
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(str(tmp_path / "rateout")).count()
+            if n > 0:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    for q in queries:
+        q.stop()
+    assert spark.read.parquet(str(tmp_path / "rateout")).count() > 0
+
+
+def test_watermark_windowed_aggregation(spark, stream_path, tmp_path):
+    """Tumbling-window agg with watermark over the event-time column —
+    the reference expresses this in SQLTransform (SURVEY.md §2.7)."""
+    schema = spark.read.parquet(stream_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(stream_path)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 minute"), F.col("op"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("win_counts").agg(F.sum("n")).first()[0]
+    assert got == N
