@@ -345,6 +345,124 @@ def _statistics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return statistics(li, approximate=True)
 
 
+def _rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def _customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _load(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def _top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (q2-like): suppliers holding their
+    nation's max account balance."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = _load(spark, sf_dir, "supplier", "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        t["supplier"]
+        .withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session count with a 30-minute gap rule
+    (lag window + conditional sum)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_sess") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _load(spark, sf_dir, "part")
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowel"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+def _cdc_replay_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-engine smoke inside the correctness harness (rows-only): a
+    deterministic synthetic stream replayed through the micro-batch runner
+    into a lake table; returns the final table state."""
+    import tempfile
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    d = tempfile.mkdtemp(prefix="cdcmini_")
+    stream = write_change_stream(spark, f"{d}/ev", 2000, seed=13, num_partitions=8)
+    table, _ = create_table_for_stream(spark, stream, f"{d}/lake")
+    ReplayRunner(spark, stream, table, batch_size=700).run()
+    return table.read(spark).select("repo", "path", "seq", "commit", "content_sha256")
+
+
+def _language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_spark.operators.text import language_id
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_spark.operators.text import quality_metrics
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return quality_metrics(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -360,11 +478,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": _knn_brute,
         "cdc_lww_events": _cdc_lww_events,
         "diff_views": _diff_views,
+        "rollup_order_stats": _rollup_order_stats,
+        "customers_without_orders": _customers_without_orders,
+        "top_supplier_per_nation": _top_supplier_per_nation,
+        "user_sessions": _user_sessions,
+        "part_string_funcs": _part_string_funcs,
         # rows-only (non-SQL-expressible / approximate) operators:
         "minhash_near_dup": _minhash_near_dup,
         "simhash_near_dup": _simhash_near_dup,
         "embedding_near_dup": _embedding_near_dup,
         "statistics_lineitem": _statistics_lineitem,
+        "cdc_replay_mini": _cdc_replay_mini,
+        "language_id_documents": _language_id_documents,
+        "doc_quality": _doc_quality,
+        "ann_lsh": _ann_lsh,
     }
 
 
@@ -511,6 +638,44 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT o_orderkey, o_orderstatus
             FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "rollup_order_stats": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "top_supplier_per_nation": """
+            SELECT n_name, s_suppkey, s_name, s_acctbal
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE s_acctbal = (
+                SELECT MAX(s2.s_acctbal) FROM supplier s2
+                WHERE s2.s_nationkey = supplier.s_nationkey
+            )
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+            SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "part_string_funcs": """
+            SELECT p_partkey,
+                   upper(p_name) AS name_upper,
+                   substring(p_type, 1, 5) AS type_prefix,
+                   length(p_name) AS name_len,
+                   regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   reverse(p_brand) AS brand_rev
+            FROM part
         """,
     }
 

@@ -53,17 +53,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def _shingles(c: Column, n: int) -> Column:
-    """Array of distinct character n-gram shingles of the normalized text."""
+def _shingles(c: Column, n: int, mode: str = "word") -> Column:
+    """Array of distinct n-gram shingles of the normalized text.
+
+    ``word`` (default): n-grams of whitespace tokens — the standard for
+    document near-dup (à la CCNet/C4 dedup) and ~20-30x fewer set elements
+    than char shingles on prose, which directly scales the minhash/simhash
+    cost. ``char``: sliding character n-grams (better for short strings /
+    fuzzy identifiers — what the reference's SimilarityJoinTransform uses
+    via NGram over characters)."""
     norm = F.trim(F.lower(F.regexp_replace(c, r"\s+", " ")))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+    if mode == "char":
+        idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+    words = F.split(norm, " ")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
 
 
-def shingle_hashes(c: Column, shingle_n: int = 5) -> Column:
+def shingle_hashes(c: Column, shingle_n: int = 3, mode: str = "word") -> Column:
     """xxhash64 of each distinct shingle — computed ONCE; minhash functions
     then rehash these longs (cheap) instead of re-hashing strings."""
-    return F.transform(_shingles(c, shingle_n), lambda s: F.xxhash64(s))
+    return F.transform(_shingles(c, shingle_n, mode), lambda s: F.xxhash64(s))
 
 
 def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
@@ -79,9 +93,11 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     return F.array(*[F.array_min(F.transform(hashes, _h(i))) for i in range(num_hashes)])
 
 
-def minhash_signature(c: Column, num_hashes: int, shingle_n: int = 5) -> Column:
+def minhash_signature(
+    c: Column, num_hashes: int, shingle_n: int = 3, mode: str = "word"
+) -> Column:
     """Array of ``num_hashes`` minhash values for a text column."""
-    return minhash_signature_from_hashes(shingle_hashes(c, shingle_n), num_hashes)
+    return minhash_signature_from_hashes(shingle_hashes(c, shingle_n, mode), num_hashes)
 
 
 def minhash_near_dup(
@@ -91,7 +107,8 @@ def minhash_near_dup(
     *,
     num_hashes: int = 16,
     bands: int = 4,
-    shingle_n: int = 5,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
@@ -106,7 +123,7 @@ def minhash_near_dup(
     # text for every one of the num_hashes array_min branches
     sig = df.select(
         F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("_sh"),
+        shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
     ).select(
         "id",
         minhash_signature_from_hashes(F.col("_sh"), num_hashes).alias("sig"),
@@ -167,7 +184,7 @@ def minhash_near_dup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(c: Column, shingle_n: int = 4) -> Column:
+def simhash64(c: Column, shingle_n: int = 2, mode: str = "word") -> Column:
     """64-bit simhash: per bit, sign of the sum over shingles of ±1 from
     that shingle's hash bit.
 
@@ -176,7 +193,7 @@ def simhash64(c: Column, shingle_n: int = 4) -> Column:
     shingle, a single aggregate — NOT 64 aggregates, which explodes the
     codegen tree and falls back to interpreted eval).
     """
-    sh = _shingles(c, shingle_n)
+    sh = _shingles(c, shingle_n, mode)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     bit_idx = F.sequence(F.lit(0), F.lit(63))
     votes = F.aggregate(
@@ -205,7 +222,8 @@ def simhash_near_dup(
     *,
     max_hamming: int = 8,
     bands: int = 4,
-    shingle_n: int = 4,
+    shingle_n: int = 2,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Near-dup pairs whose simhash Hamming distance ≤ ``max_hamming``.
 
@@ -216,7 +234,7 @@ def simhash_near_dup(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n, shingle_mode).alias("sh"))
     banded = sig.select(
         "id",
         "sh",
@@ -261,13 +279,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    shingle_n: int = 5,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over character-shingle sets for (id_a, id_b) candidate
     pairs (the verify stage after minhash/simhash candidate generation)."""
     sh = df.select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n, shingle_mode).alias("sh")
     )
     j = (
         candidate_pairs.join(sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id"))

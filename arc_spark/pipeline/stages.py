@@ -440,7 +440,7 @@ class SimilarityJoinTransform(PipelineStage):
                 text = F.lower(text)
             return src.select(
                 F.struct(*src.columns).alias(f"{side}_row"),
-                shingle_hashes(text, shingle_n).alias("_sh"),
+                shingle_hashes(text, shingle_n, "char").alias("_sh"),
             ).select(
                 f"{side}_row",
                 minhash_signature_from_hashes(F.col("_sh"), num_hashes).alias(f"{side}_sig"),

@@ -1,0 +1,78 @@
+"""Plan-shape assertions: pushdown, column pruning, codegen — the
+"is this the plan you'd want at 100 TB" checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark.plans import pushed_filters, scan_info, wholestage_codegen_spans
+from arc_spark.plans.explain import read_schema_columns
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .filter(F.col("l_quantity") > 10)
+        .select("l_returnflag", "l_quantity")
+    )
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "l_quantity" in filters
+
+
+def test_column_pruning_two_column_projection(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_cdc_epoch_read_pushes_seq_range(spark, tmp_path):
+    from arc_spark.cdc.generator import write_change_stream
+
+    p = write_change_stream(spark, str(tmp_path / "ev"), 2000, num_partitions=4)
+    epoch = (
+        spark.read.parquet(p)
+        .filter((F.col("seq") >= 500) & (F.col("seq") <= 999))
+    )
+    filters = " ".join(pushed_filters(epoch))
+    assert "GreaterThanOrEqual(seq,500)" in filters
+    assert "LessThanOrEqual(seq,999)" in filters
+
+
+def test_thin_dedup_scan_prunes_payload(spark, tmp_path):
+    """The late-materialization winner scan must NOT read content."""
+    from arc_spark.cdc.generator import write_change_stream
+
+    p = write_change_stream(spark, str(tmp_path / "ev2"), 2000, num_partitions=4)
+    ev = spark.read.parquet(p)
+    thin = ev.select("repo", "path", "seq").groupBy("repo", "path").agg(
+        F.max("seq").alias("seq")
+    )
+    cols = read_schema_columns(thin)
+    assert "content" not in cols and set(cols) == {"repo", "path", "seq"}
+
+
+def test_q1_stays_in_codegen(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["q1_pricing_summary"](spark, SF)
+    df.collect()  # AQE: codegen spans only visible in the final plan
+    assert wholestage_codegen_spans(df) >= 1
+    info = scan_info(df)
+    assert info and info[0]["format"] == "parquet"
+    # money aggregation is partially aggregated map-side (partial_sum)
+    from arc_spark.plans.explain import explain_formatted
+
+    assert "partial_sum" in explain_formatted(df)
+
+
+def test_broadcast_join_for_small_dim(spark):
+    from arc_spark.plans.explain import explain_formatted
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert "Broadcast" in explain_formatted(joined)
