@@ -234,6 +234,7 @@ class LakeTable:
         delete_op: str = "delete",
         extra_counters: dict | None = None,
         max_retries: int = 3,
+        bucket_pruning: bool | str = "auto",
     ) -> dict:
         """MERGE a deduplicated change batch (one row per key) into the table.
 
@@ -252,7 +253,7 @@ class LakeTable:
             try:
                 return self._merge_attempt(
                     spark, snap, changes, epoch, start_seq, end_seq, op_col, delete_op,
-                    extra_counters or {},
+                    extra_counters or {}, bucket_pruning,
                 )
             except CommitConflict:
                 if attempt == max_retries - 1:
@@ -270,6 +271,7 @@ class LakeTable:
         op_col: str,
         delete_op: str,
         extra_counters: dict,
+        bucket_pruning: bool | str = "auto",
     ) -> dict:
         keys = snap.key_cols
         seq_col = snap.seq_col
@@ -292,19 +294,37 @@ class LakeTable:
             else:
                 src_sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         src = src.select(*src_sel, F.col(op_col).alias("_op"), F.col("_bucket"))
-        # The change batch is consumed twice (touched-bucket discovery, then
-        # the merge join/write). Persist so the upstream normalize/
-        # fingerprint/dedup chain runs once — without this every epoch pays
-        # the whole pipeline twice. MEMORY_AND_DISK_DESER spills cleanly for
-        # over-memory batches (same policy as the reference's default
-        # storage level, ARC.scala:57-68).
+
+        # Bucket pruning (copy-on-write scope) needs the set of touched
+        # buckets, which costs one extra materialization of the change
+        # batch. When the batch plausibly covers every bucket anyway
+        # (events >> buckets), pruning is pure overhead — skip the
+        # discovery pass entirely and stream the batch ONCE through the
+        # merge join. "auto" uses the seq-range size as the proxy.
+        if bucket_pruning == "auto":
+            bucket_pruning = (end_seq - start_seq + 1) < snap.num_buckets * 64
+
+        if not bucket_pruning:
+            return self._merge_write(
+                spark, snap, src, new_schema, data_cols, epoch, start_seq,
+                end_seq, delete_op, extra_counters, touched=None,
+            )
+
+        # Pruned path: the batch is consumed twice (touched-bucket
+        # discovery, then the merge join/write) — persist so the upstream
+        # normalize/fingerprint/dedup chain runs once. MEMORY_AND_DISK
+        # spills cleanly for over-memory batches (same policy as the
+        # reference's default storage level, ARC.scala:57-68).
         from pyspark import StorageLevel
 
         src = src.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         try:
+            touched = sorted(
+                r[0] for r in src.select("_bucket").distinct().collect()
+            )
             return self._merge_write(
                 spark, snap, src, new_schema, data_cols, epoch, start_seq,
-                end_seq, delete_op, extra_counters,
+                end_seq, delete_op, extra_counters, touched=touched,
             )
         finally:
             src.unpersist()
@@ -321,15 +341,14 @@ class LakeTable:
         end_seq: int,
         delete_op: str,
         extra_counters: dict,
+        touched: list | None,
     ) -> dict:
         keys = snap.key_cols
         seq_col = snap.seq_col
 
         t0 = time.time()
-        # Which buckets does this batch touch? (small: ≤ num_buckets rows)
-        touched = sorted(
-            r[0] for r in src.select("_bucket").distinct().collect()
-        )
+        if touched is None:
+            touched = list(range(snap.num_buckets))
         touched_set = {str(b) for b in touched}
         t_materialize = time.time() - t0
 

@@ -55,9 +55,15 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def substitute_params(text: str, args: dict[str, str]) -> str:
+def substitute_params(text: str, args: dict[str, str], *, strict: bool = True) -> str:
     """${k} / ${k=default} resolution: args ⟵ ETL_CONF_* env ⟵ default
-    (util/SQLUtils.scala:5-45 + ARC.scala env handling)."""
+    (util/SQLUtils.scala:5-45 + ARC.scala env handling).
+
+    ``strict=False`` leaves unresolved placeholders intact instead of
+    raising — used at config-parse time so runtime-computed parameters
+    (ConfigExecute, the reference's LazyEvaluator mechanism,
+    ``plugins/pipeline/LazyEvaluator.scala:70-95``) can resolve later, at
+    stage-execute time."""
 
     def repl(m: re.Match) -> str:
         key, default = m.group(1), m.group(2)
@@ -70,6 +76,8 @@ def substitute_params(text: str, args: dict[str, str]) -> str:
             return os.environ[key]
         if default is not None:
             return default
+        if not strict:
+            return m.group(0)
         raise KeyError(f"unresolved parameter ${{{key}}}")
 
     return _PARAM_RE.sub(repl, text)
@@ -86,9 +94,9 @@ def parse_pipeline(
     errors: list[str] = []
     if isinstance(config, str):
         try:
-            config = json.loads(substitute_params(config, ctx.args))
-        except KeyError as e:
-            raise ConfigError([str(e)]) from None
+            # lenient here: runtime-computed params (ConfigExecute) resolve
+            # at stage-execute time; stages re-substitute strictly then
+            config = json.loads(substitute_params(config, ctx.args, strict=False))
         except json.JSONDecodeError as e:
             raise ConfigError([f"invalid JSON: {e}"]) from None
     if not isinstance(config, dict) or "stages" not in config:
@@ -137,7 +145,10 @@ def parse_pipeline(
     return ETLPipeline(flat)
 
 
-_COMMON_KEYS = {"type", "name", "description", "environments", "numPartitions", "partitionBy", "persist"}
+_COMMON_KEYS = {
+    "type", "name", "description", "environments", "numPartitions",
+    "partitionBy", "persist", "resolution",
+}
 
 
 def _validate_keys(cls: type[PipelineStage], raw: dict, where: str) -> list[str]:
@@ -176,8 +187,10 @@ def _instantiate(cls: type[PipelineStage], raw: dict, ctx: PipelineContext) -> P
         **params,
     )
     validate = getattr(stage, "validate_config", None)
-    if validate:
-        validate(ctx)  # e.g. SQL parse pre-validation (ConfigUtils.scala:855-867)
+    if validate and raw.get("resolution") != "lazy":
+        # SQL parse pre-validation (ConfigUtils.scala:855-867); skipped for
+        # lazy stages whose params only exist at runtime (LazyEvaluator)
+        validate(ctx)
     return stage
 
 

@@ -945,3 +945,224 @@ class DataLineage(LifecyclePlugin):
                 {"event": "lineage", "stage": stage.name, "plan": plan}
             )
         return df
+
+
+# ---------------------------------------------------------------------------
+# external-system stages (fully formed; need a reachable endpoint/driver at
+# execute time — unavailable in this sandbox, covered by lint-mode tests)
+# ---------------------------------------------------------------------------
+
+
+@register_stage
+class ImageExtract(PipelineStage):
+    """extract/ImageExtract.scala:133-144 — image directory read via
+    Spark's built-in image source."""
+
+    stage_type = "ImageExtract"
+    REQUIRED = ("inputURI", "outputView")
+    OPTIONAL = ("dropInvalid", "basePath", "watermark")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = (
+            ctx.spark.read.format("image")
+            .option("dropInvalid", str(self.params.get("dropInvalid", False)).lower())
+            .load(self.params["inputURI"])
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class JDBCExtract(PipelineStage):
+    """extract/JDBCExtract.scala:150-199 — partitioned JDBC read with
+    auto-computed lower/upper bounds via SELECT MIN(c), MAX(c) (:152-179)."""
+
+    stage_type = "JDBCExtract"
+    REQUIRED = ("jdbcURL", "tableName", "outputView")
+    OPTIONAL = ("partitionColumn", "fetchsize", "predicates", "params", "driver")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        url, table = self.params["jdbcURL"], self.params["tableName"]
+        props = {k: str(v) for k, v in (self.params.get("params") or {}).items()}
+        if self.params.get("driver"):
+            props["driver"] = self.params["driver"]
+        if self.params.get("fetchsize"):
+            props["fetchsize"] = str(self.params["fetchsize"])
+        reader = ctx.spark.read
+        part_col = self.params.get("partitionColumn")
+        num_partitions = self.params.get("numPartitions")
+        if part_col and num_partitions:
+            # auto MIN/MAX bounds, computed by the database (one row)
+            bounds = reader.jdbc(
+                url,
+                f"(SELECT MIN({part_col}) AS lo, MAX({part_col}) AS hi FROM {table}) b",
+                properties=props,
+            ).first()
+            df = reader.jdbc(
+                url, table, column=part_col,
+                lowerBound=int(bounds["lo"]), upperBound=int(bounds["hi"]) + 1,
+                numPartitions=int(num_partitions), properties=props,
+            )
+        elif self.params.get("predicates"):
+            df = reader.jdbc(url, table, predicates=list(self.params["predicates"]), properties=props)
+        else:
+            df = reader.jdbc(url, table, properties=props)
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class JDBCLoad(PipelineStage):
+    """load/JDBCLoad.scala:154-310 — write via df.write.jdbc with
+    post-write row-count parity verification (:279-293)."""
+
+    stage_type = "JDBCLoad"
+    REQUIRED = ("inputView", "jdbcURL", "tableName")
+    OPTIONAL = ("saveMode", "isolationLevel", "batchsize", "params", "driver", "verify")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.params["inputView"])
+        props = {k: str(v) for k, v in (self.params.get("params") or {}).items()}
+        if self.params.get("driver"):
+            props["driver"] = self.params["driver"]
+        if self.params.get("batchsize"):
+            props["batchsize"] = str(self.params["batchsize"])
+        # cache + count BEFORE the write so verification doesn't recompute
+        # upstream non-deterministically (JDBCLoad.scala:162-165)
+        df = df.persist()
+        expected = df.count()
+        df.write.jdbc(
+            self.params["jdbcURL"], self.params["tableName"],
+            mode=self.params.get("saveMode", "append"), properties=props,
+        )
+        if self.params.get("verify", True):
+            actual = ctx.spark.read.jdbc(
+                self.params["jdbcURL"], self.params["tableName"], properties=props
+            ).count()
+            if actual < expected:
+                raise ValueError(
+                    f"{self.name}: JDBC write verification failed: wrote {expected}, target has {actual}"
+                )
+        df.unpersist()
+        return df
+
+
+@register_stage
+class JDBCExecute(PipelineStage):
+    """execute/JDBCExecute.scala:104-137 — run DDL/DML on an external DB
+    through the JVM DriverManager (driver-side, like the reference)."""
+
+    stage_type = "JDBCExecute"
+    REQUIRED = ("jdbcURL",)
+    OPTIONAL = ("sql", "sqlURI", "params")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        jvm = ctx.spark._sc._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.params["jdbcURL"])
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(sql)
+            stmt.close()
+        finally:
+            conn.close()
+        return None
+
+
+@register_stage
+class HTTPExecute(PipelineStage):
+    """execute/HTTPExecute.scala:103-146 — POST params JSON to an endpoint,
+    assert the response status (driver-side)."""
+
+    stage_type = "HTTPExecute"
+    REQUIRED = ("uri",)
+    OPTIONAL = ("payloads", "headers", "validStatusCodes")
+
+    def execute(self, ctx: PipelineContext) -> None:
+        import urllib.request
+
+        body = json.dumps(self.params.get("payloads") or {}).encode()
+        req = urllib.request.Request(
+            self.params["uri"], data=body,
+            headers={"Content-Type": "application/json", **(self.params.get("headers") or {})},
+            method="POST",
+        )
+        valid = set(self.params.get("validStatusCodes", [200, 201, 202]))
+        with urllib.request.urlopen(req) as resp:
+            if resp.status not in valid:
+                raise ValueError(f"{self.name}: HTTP {resp.status}")
+        return None
+
+
+@register_stage
+class HTTPLoad(PipelineStage):
+    """load/HTTPLoad.scala:109-253 — POST each row's ``value`` column to an
+    endpoint from the executors (foreachPartition with a pooled client)."""
+
+    stage_type = "HTTPLoad"
+    REQUIRED = ("inputView", "outputURI")
+    OPTIONAL = ("headers", "validStatusCodes")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        uri = self.params["outputURI"]
+        headers = self.params.get("headers") or {}
+        valid = set(self.params.get("validStatusCodes", [200, 201, 202]))
+        df = ctx.spark.table(self.params["inputView"])
+
+        def send(rows):
+            import urllib.request
+
+            for row in rows:
+                req = urllib.request.Request(
+                    uri, data=str(row["value"]).encode(), headers=headers, method="POST"
+                )
+                with urllib.request.urlopen(req) as resp:
+                    if resp.status not in valid:
+                        raise ValueError(f"HTTP {resp.status}")
+
+        df.foreachPartition(send)
+        return df
+
+
+@register_stage
+class MLTransform(PipelineStage):
+    """transform/MLTransform.scala:140-230 — apply a saved SparkML
+    PipelineModel; appends prediction (+ max probability when present)."""
+
+    stage_type = "MLTransform"
+    REQUIRED = ("inputView", "outputView", "inputURI")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from pyspark.ml import PipelineModel
+        from pyspark.ml.functions import vector_to_array
+
+        model = PipelineModel.load(self.params["inputURI"])
+        df = model.transform(ctx.spark.table(self.params["inputView"]))
+        if "probability" in df.columns:
+            df = df.withColumn("probability", F.array_max(vector_to_array("probability")))
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class ConfigExecute(PipelineStage):
+    """execute/ConfigExecute.scala:115-184 — SQL → one JSON-string row
+    merged into the runtime args for later ${param} resolution (the lazy
+    stage-config mechanism)."""
+
+    stage_type = "ConfigExecute"
+    OPTIONAL = ("sql", "sqlURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI"),)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        sql = self.params.get("sql")
+        if sql is None:
+            with open(self.params["sqlURI"]) as f:
+                sql = f.read()
+        sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
+        row = ctx.spark.sql(sql).first()
+        if row is None or len(row) != 1:
+            raise ValueError(f"{self.name}: must return 1 row with 1 JSON string column")
+        ctx.args.update({k: str(v) for k, v in json.loads(row[0]).items()})
+        return None

@@ -139,7 +139,7 @@ def main() -> None:
         n_events = int(os.environ.get("ARC_BENCH_EVENTS", "4000000"))
         batches = int(os.environ.get("ARC_BENCH_BATCHES", "2"))
         low = int(os.environ.get("ARC_BENCH_CPUS_LOW", "4"))
-        reps = int(os.environ.get("ARC_BENCH_REPS", "2"))
+        reps = int(os.environ.get("ARC_BENCH_REPS", "3"))
         high = low * 4
 
         from arc_spark.cdc.generator import write_change_stream
@@ -150,28 +150,46 @@ def main() -> None:
             spark, os.path.join(stream_dir, "events"), n_events,
             seed=42, num_partitions=max(high * 8, 64),
         )
+        # weak-scaling input: n/4 events at the low parallelism = identical
+        # per-core load at both cluster sizes
+        weak_path = write_change_stream(
+            spark, os.path.join(stream_dir, "events_weak"), n_events // 4,
+            seed=42, num_partitions=max(high * 2, 16),
+        )
         gen_sec = round(time.time() - t0, 3)
         spark.stop()
 
-        tp = {low: 0.0, high: 0.0}
+        samples: dict[int, list[float]] = {low: [], high: []}
+        weak_low: list[float] = []
         try:
             for _ in range(reps):
                 for cpus in (low, high):  # interleaved vs host drift
-                    tp[cpus] = max(
-                        tp[cpus], _cdc_replay(f"local[{cpus}]", stream_path, n_events, batches)
+                    samples[cpus].append(
+                        _cdc_replay(f"local[{cpus}]", stream_path, n_events, batches)
                     )
+                weak_low.append(
+                    _cdc_replay(f"local[{low}]", weak_path, n_events // 4, batches)
+                )
         finally:
             shutil.rmtree(stream_dir, ignore_errors=True)
 
+        tp_low, tp_high = max(samples[low]), max(samples[high])
+        tp_weak = max(weak_low)
         result["cdc"] = {
             "n_events": n_events,
             "gen_sec": gen_sec,
-            "events_per_sec_low": round(tp[low], 1),
-            "events_per_sec_high": round(tp[high], 1),
+            "events_per_sec_low": round(tp_low, 1),
+            "events_per_sec_high": round(tp_high, 1),
             "parallelism_low": low,
             "parallelism_high": high,
             "reps_best_of": reps,
-            "scaling_efficiency": round(tp[high] / (4.0 * tp[low]), 3),
+            "samples_low": [round(x, 1) for x in samples[low]],
+            "samples_high": [round(x, 1) for x in samples[high]],
+            # strong scaling: same input, 4x cores
+            "scaling_efficiency": round(tp_high / (4.0 * tp_low), 3),
+            # weak scaling: 4x input with 4x cores vs 1x input at 1x cores
+            "weak_events_per_sec_low": round(tp_weak, 1),
+            "weak_scaling_efficiency": round(tp_high / (4.0 * tp_weak), 3),
         }
 
     print(json.dumps(result))

@@ -218,6 +218,21 @@ def test_pipeline_execute_inlines_subpipeline(spark, tmp_path):
     assert df.first()["y"] == 8
 
 
+def test_config_execute_feeds_lazy_stage(spark):
+    """Runtime-computed params (ConfigExecute) resolve in later lazy stages
+    — the LazyEvaluator mechanism (plugins/pipeline/LazyEvaluator.scala)."""
+    cfg = {
+        "stages": [
+            {"type": "ConfigExecute", "name": "cfg",
+             "sql": "SELECT to_json(named_struct('threshold', '7'))"},
+            {"type": "SQLTransform", "name": "use", "resolution": "lazy",
+             "sql": "SELECT ${threshold} AS t", "outputView": "v"},
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    assert df.first()["t"] == 7
+
+
 def test_statistics_and_metadata_extract(spark):
     cfg = {
         "stages": [
