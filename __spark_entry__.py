@@ -463,6 +463,28 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
 
 
+def _asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for each event, the most recent order by the
+    same key (user_id = o_custkey) with o_orderdate <= ts."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.asof import asof_join
+
+    t = _load(spark, sf_dir, "events", "orders")
+    left = t["events"].select(F.col("user_id").alias("k"), "ts", "event_id")
+    right = t["orders"].select(
+        F.col("o_custkey").alias("k"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        left, right, keys=["k"], left_time="ts", right_time="o_orderdate"
+    )
+    return out.select(
+        "event_id",
+        F.col("r_o_orderkey").alias("matched_orderkey"),
+        F.col("r_o_orderdate").alias("matched_orderdate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -483,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_per_nation": _top_supplier_per_nation,
         "user_sessions": _user_sessions,
         "part_string_funcs": _part_string_funcs,
+        "asof_latest_order": _asof_latest_order,
         # rows-only (non-SQL-expressible / approximate) operators:
         "minhash_near_dup": _minhash_near_dup,
         "simhash_near_dup": _simhash_near_dup,
@@ -666,6 +689,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "asof_latest_order": """
+            SELECT e.event_id,
+                   o.o_orderkey AS matched_orderkey,
+                   o.o_orderdate AS matched_orderdate
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "part_string_funcs": """
             SELECT p_partkey,

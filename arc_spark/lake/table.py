@@ -520,6 +520,43 @@ class LakeTable:
         return {"status": "compacted", "version": manifest["version"], "files": n_files}
 
 
+    def expire_snapshots(self, *, keep_last: int = 2) -> dict:
+        """Drop all but the newest ``keep_last`` manifests, then delete data
+        files referenced by no surviving manifest (Iceberg
+        expire_snapshots + remove_orphan_files). Readers of surviving
+        snapshots are unaffected — files they reference are kept."""
+        d = os.path.join(self.root, MANIFEST_DIR)
+        versions = sorted(
+            int(n[1:-5]) for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+        )
+        to_drop = versions[:-keep_last] if keep_last else versions
+        keep = versions[-keep_last:] if keep_last else []
+        live: set[str] = set()
+        for v in keep:
+            live |= set(self.snapshot(v).file_list())
+        removed_files = 0
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    removed_files += 1
+        for v in to_drop:
+            os.remove(self._manifest_path(v))
+        # prune now-empty attempt directories
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            if not dirnames and not filenames and dirpath != data_root:
+                os.rmdir(dirpath)
+        return {
+            "status": "expired",
+            "manifests_removed": len(to_drop),
+            "data_files_removed": removed_files,
+            "versions_kept": keep,
+        }
+
+
 def _parquet_rows(paths: list[str]) -> int:
     import pyarrow.parquet as pq
 

@@ -1166,3 +1166,119 @@ class ConfigExecute(PipelineStage):
             raise ValueError(f"{self.name}: must return 1 row with 1 JSON string column")
         ctx.args.update({k: str(v) for k, v in json.loads(row[0]).items()})
         return None
+
+
+@register_stage
+class HTTPExtract(PipelineStage):
+    """extract/HTTPExtract.scala:150-280 — GET/POST per row of an input
+    view (or a single URI) returning [uri, statusCode, reasonPhrase,
+    contentType, contentLength, body]; executor-side pooled client via
+    mapInPandas (:179-186). Requires reachable endpoints at execute time."""
+
+    stage_type = "HTTPExtract"
+    REQUIRED = ("outputView",)
+    OPTIONAL = ("inputURI", "inputView", "uriField", "bodyField", "method",
+                "headers", "validStatusCodes")
+    ONE_OF = (("inputURI", "inputView"),)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        import pandas as pd
+
+        method = self.params.get("method", "GET").upper()
+        headers = self.params.get("headers") or {}
+        valid = set(self.params.get("validStatusCodes", [200, 201, 202]))
+        uri_field = self.params.get("uriField", "value")
+        body_field = self.params.get("bodyField")
+
+        if "inputURI" in self.params:
+            src = ctx.spark.createDataFrame(
+                [(self.params["inputURI"],)], f"{uri_field} string"
+            )
+        else:
+            src = ctx.spark.table(self.params["inputView"])
+
+        out_schema = T.StructType(
+            [
+                T.StructField("uri", T.StringType(), True),
+                T.StructField("statusCode", T.IntegerType(), True),
+                T.StructField("reasonPhrase", T.StringType(), True),
+                T.StructField("contentType", T.StringType(), True),
+                T.StructField("contentLength", T.LongType(), True),
+                T.StructField("body", T.StringType(), True),
+            ]
+        )
+
+        def fetch(batches):
+            import urllib.request
+
+            for pdf in batches:
+                rows = {k.name: [] for k in out_schema.fields}
+                for i in range(len(pdf)):
+                    uri = str(pdf[uri_field].iloc[i])
+                    data = (
+                        str(pdf[body_field].iloc[i]).encode()
+                        if body_field is not None
+                        else None
+                    )
+                    req = urllib.request.Request(uri, data=data, headers=headers, method=method)
+                    with urllib.request.urlopen(req) as resp:
+                        if resp.status not in valid:
+                            raise ValueError(f"HTTP {resp.status} for {uri}")
+                        body = resp.read().decode(errors="replace")
+                        rows["uri"].append(uri)
+                        rows["statusCode"].append(resp.status)
+                        rows["reasonPhrase"].append(resp.reason)
+                        rows["contentType"].append(resp.headers.get("Content-Type"))
+                        rows["contentLength"].append(len(body))
+                        rows["body"].append(body)
+                yield pd.DataFrame(rows)
+
+        df = src.mapInPandas(fetch, schema=out_schema)
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class TensorFlowServingTransform(PipelineStage):
+    """transform/TensorFlowServingTransform.scala:149-302 — batched REST
+    calls to a TF Serving predict endpoint; appends a typed ``result``
+    column. Same executor-side batched-POST pattern as HTTPTransform."""
+
+    stage_type = "TensorFlowServingTransform"
+    REQUIRED = ("inputView", "outputView", "uri")
+    OPTIONAL = ("inputField", "batchSize", "signatureName", "responseType")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        import pandas as pd
+
+        uri = self.params["uri"]
+        field = self.params.get("inputField", "value")
+        batch_size = int(self.params.get("batchSize", 100))
+        signature = self.params.get("signatureName")
+        rtype = self.params.get("responseType", "double")
+        spark_rtype = {"integer": T.IntegerType(), "double": T.DoubleType(), "object": T.StringType()}[rtype]
+        src = ctx.spark.table(self.params["inputView"])
+        out_schema = T.StructType(list(src.schema.fields) + [T.StructField("result", spark_rtype, True)])
+
+        def call(batches):
+            import urllib.request
+
+            for pdf in batches:
+                results = []
+                for start in range(0, len(pdf), batch_size):
+                    chunk = pdf[field].iloc[start : start + batch_size]
+                    payload = {"instances": [v for v in chunk]}
+                    if signature:
+                        payload["signature_name"] = signature
+                    req = urllib.request.Request(
+                        uri, data=json.dumps(payload).encode(),
+                        headers={"Content-Type": "application/json"}, method="POST",
+                    )
+                    with urllib.request.urlopen(req) as resp:
+                        preds = json.loads(resp.read())["predictions"]
+                    results.extend(preds)
+                pdf = pdf.copy()
+                pdf["result"] = pd.Series(results, index=pdf.index)
+                yield pdf
+
+        df = src.mapInPandas(call, schema=out_schema)
+        return self.register_output(ctx, df, self.params["outputView"])

@@ -85,6 +85,22 @@ def test_compact_preserves_state_and_vacuums_tombstones(spark, stream_path, expe
     }
 
 
+def test_expire_snapshots_keeps_current_state(spark, stream_path, expected_state, tmp_path):
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake_x"))
+    ReplayRunner(spark, stream_path, table, batch_size=1000).run()
+    n_versions = table.current_version() + 1
+    res = table.expire_snapshots(keep_last=1)
+    assert res["manifests_removed"] == n_versions - 1
+    assert res["data_files_removed"] > 0  # superseded epoch files gone
+    got = _final_state(spark, table)
+    assert {k: v["content_sha256"] for k, v in got.items()} == {
+        k: v["sha256"] for k, v in expected_state.items()
+    }
+    # table still mergeable after expiry
+    snap = table.snapshot()
+    assert snap.end_seq == N_EVENTS - 1
+
+
 def test_generator_deterministic(spark):
     a = change_stream(spark, 500, seed=7, num_partitions=4).collect()
     b = change_stream(spark, 500, seed=7, num_partitions=2).collect()
