@@ -368,8 +368,12 @@ class LakeTable:
         )
 
         # Full-outer merge on keys. One shuffle join; AQE turns it into a
-        # broadcast join when the change batch is small.
-        s = src.alias("s")
+        # broadcast join when the change batch is small. The shuffle_hash
+        # hint builds a hash map on the (smaller) change side instead of
+        # sort-merge — sorting multi-KB content rows is the expensive part
+        # of SMJ, and the planner won't pick SHJ for FULL OUTER on its own
+        # unless the size stats qualify.
+        s = src.hint("shuffle_hash").alias("s")
         b = base.alias("b")
         cond = None
         for k in keys:

@@ -1282,3 +1282,43 @@ class TensorFlowServingTransform(PipelineStage):
 
         df = src.mapInPandas(call, schema=out_schema)
         return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class LakeCompactExecute(PipelineStage):
+    """Engine-specific maintenance stage: rewrite lake buckets into single
+    files and vacuum tombstones below a seq low-watermark (see
+    arc_spark.lake.table.LakeTable.compact)."""
+
+    stage_type = "LakeCompactExecute"
+    REQUIRED = ("tableURI",)
+    OPTIONAL = ("vacuumTombstonesBelowSeq",)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        from arc_spark.lake.table import LakeTable
+
+        res = LakeTable(self.params["tableURI"]).compact(
+            ctx.spark,
+            vacuum_tombstones_below_seq=self.params.get("vacuumTombstonesBelowSeq"),
+        )
+        ctx.user_data[f"{self.name}.result"] = res
+        return None
+
+
+@register_stage
+class LakeExpireExecute(PipelineStage):
+    """Engine-specific maintenance stage: expire old snapshots + delete
+    orphaned data files (LakeTable.expire_snapshots)."""
+
+    stage_type = "LakeExpireExecute"
+    REQUIRED = ("tableURI",)
+    OPTIONAL = ("keepLast",)
+
+    def execute(self, ctx: PipelineContext) -> None:
+        from arc_spark.lake.table import LakeTable
+
+        res = LakeTable(self.params["tableURI"]).expire_snapshots(
+            keep_last=int(self.params.get("keepLast", 2))
+        )
+        ctx.user_data[f"{self.name}.result"] = res
+        return None

@@ -1,0 +1,156 @@
+"""IO-stage coverage: avro glob + from_avro binary decode (the CDC
+binlog-decode primitive, AvroExtract.scala:183-184), delimited/json
+from-view, bytes extract, text load singleFile, ORC roundtrip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from arc_spark.pipeline import run_config
+
+
+def _avro_available(spark) -> bool:
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct("id"))).collect()
+        return True
+    except Exception:
+        return False
+
+
+def test_avro_roundtrip_and_binary_decode(spark, tmp_path):
+    if not _avro_available(spark):
+        pytest.skip(
+            "spark-avro module not deployed in this sandbox (external data "
+            "source since Spark 2.4); AvroExtract/AvroLoad need --packages "
+            "org.apache.spark:spark-avro at submit time"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.avro.functions import to_avro
+
+    src = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", -3.25)], "id long, name string, bal double"
+    )
+    avro_dir = str(tmp_path / "avro")
+    src.write.format("avro").save(avro_dir)
+
+    # glob read via the stage
+    cfg = {
+        "stages": [
+            {"type": "AvroExtract", "name": "a", "inputURI": avro_dir, "outputView": "va"}
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    assert df.count() == 2 and set(df.columns) == {"id", "name", "bal"}
+
+    # binary-column decode (binlog-style): encode rows to an avro binary
+    # column, then decode through the stage with an .avsc
+    avsc = {
+        "type": "record", "name": "rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "bal", "type": "double"},
+        ],
+    }
+    src.select(to_avro(F.struct("id", "name", "bal"), json.dumps(avsc)).alias("payload")) \
+        .createOrReplaceTempView("binlog")
+    cfg2 = {
+        "stages": [
+            {"type": "AvroExtract", "name": "d", "inputView": "binlog",
+             "inputField": "payload", "avroSchema": avsc, "outputView": "decoded"}
+        ]
+    }
+    df2, _ = run_config(spark, json.dumps(cfg2))
+    rows = {r["id"]: r for r in df2.collect()}
+    assert rows[1]["name"] == "alice" and rows[2]["bal"] == -3.25
+
+
+def test_delimited_and_json_from_view(spark):
+    spark.createDataFrame(
+        [("1,alice",), ("2,bob",)], "value string"
+    ).createOrReplaceTempView("lines")
+    cfg = {
+        "stages": [
+            {"type": "DelimitedExtract", "name": "c", "inputView": "lines",
+             "outputView": "parsed",
+             "schema": [{"name": "id", "type": "integer"}, {"name": "nm", "type": "string"}]}
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    assert {(r["id"], r["nm"]) for r in df.collect()} == {(1, "alice"), (2, "bob")}
+
+    spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ('{"a": 2, "b": "y"}',)], "value string"
+    ).createOrReplaceTempView("jlines")
+    cfg2 = {
+        "stages": [
+            {"type": "JSONExtract", "name": "j", "inputView": "jlines", "outputView": "jp"}
+        ]
+    }
+    df2, _ = run_config(spark, json.dumps(cfg2))
+    assert {(r["a"], r["b"]) for r in df2.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_bytes_extract(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"f{i}.bin").write_bytes(bytes([i]) * 10)
+    cfg = {
+        "stages": [
+            {"type": "BytesExtract", "name": "b", "inputURI": str(tmp_path),
+             "outputView": "blobs"}
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {len(r["value"]) for r in rows} == {10}
+    assert all(r["_filename"].startswith("file:") for r in rows)
+    # _filename carries internal metadata
+    assert dict(zip(df.columns, df.schema.fields))["_filename"].metadata["internal"] is True
+
+
+def test_text_load_single_file(spark, tmp_path):
+    spark.createDataFrame([("b",), ("a",), ("c",)], "value string").createOrReplaceTempView("txt")
+    out = str(tmp_path / "one.txt")
+    cfg = {
+        "stages": [
+            {"type": "TextLoad", "name": "t", "inputView": "txt", "outputURI": out,
+             "singleFile": True, "prefix": "[", "separator": ",", "suffix": "]"}
+        ]
+    }
+    run_config(spark, json.dumps(cfg))
+    content = open(out).read()
+    assert content.startswith("[") and content.endswith("]")
+    assert sorted(content[1:-1].split(",")) == ["a", "b", "c"]
+
+
+def test_orc_load_then_extract(spark, tmp_path):
+    spark.createDataFrame([(1, "x")], "id long, v string").createOrReplaceTempView("src_orc")
+    uri = str(tmp_path / "orc")
+    cfg = {
+        "stages": [
+            {"type": "ORCLoad", "name": "w", "inputView": "src_orc", "outputURI": uri},
+            {"type": "ORCExtract", "name": "r", "inputURI": uri, "outputView": "back"},
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    assert df.first()["v"] == "x"
+
+
+def test_typing_failfast_mode(spark):
+    spark.createDataFrame([("12",), ("oops",)], "n string").createOrReplaceTempView("nums_raw")
+    cfg = {
+        "stages": [
+            {"type": "TypingTransform", "name": "t", "inputView": "nums_raw",
+             "outputView": "typed", "failMode": "failfast",
+             "schema": [{"name": "n", "type": "integer"}]}
+        ]
+    }
+    with pytest.raises(ValueError, match="failfast"):
+        run_config(spark, json.dumps(cfg))
