@@ -287,14 +287,20 @@ class TypingTransform(PipelineStage):
 
     stage_type = "TypingTransform"
     REQUIRED = ("inputView", "outputView")
-    OPTIONAL = ("schema", "schemaURI", "failMode")
-    ONE_OF = (("schema", "schemaURI"),)
+    OPTIONAL = ("schema", "schemaURI", "schemaView", "failMode")
+    ONE_OF = (("schema", "schemaURI", "schemaView"),)
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         from arc_spark.operators.typing import typing_transform
 
         if "schema" in self.params:
             specs = parse_arc_schema(self.params["schema"])
+        elif "schemaView" in self.params:
+            # schema-as-data: field definitions produced by earlier stages
+            # (schema/ArcSchema.scala:25-27)
+            from arc_spark.schema import parse_arc_schema_dataframe
+
+            specs = parse_arc_schema_dataframe(ctx.spark.table(self.params["schemaView"]))
         else:
             with open(self.params["schemaURI"]) as f:
                 specs = parse_arc_schema(f.read())

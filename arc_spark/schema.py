@@ -133,6 +133,29 @@ def _parse_field(f_: dict) -> ColumnSpec:
     return ColumnSpec(**kwargs)
 
 
+def parse_arc_schema_dataframe(df) -> list[ColumnSpec]:
+    """Schema-as-data: build ColumnSpecs from a DataFrame whose rows are
+    field definitions (reference: ``schema/ArcSchema.scala:25-27``
+    parseArcSchemaDataFrame — schemas can be produced by earlier stages).
+
+    Expected columns: ``name``, ``type`` (required); any other column whose
+    name matches an Arc schema key is applied; a ``metadata`` column may
+    hold a JSON object string.
+    """
+    rows = [r.asDict() for r in df.collect()]
+    fields = []
+    for r in rows:
+        f_: dict = {}
+        for k, v in r.items():
+            if v is None:
+                continue
+            if k == "metadata" and isinstance(v, str):
+                v = json.loads(v)
+            f_[k] = v
+        fields.append(f_)
+    return parse_arc_schema(fields)
+
+
 def to_struct_type(specs: list[ColumnSpec]) -> T.StructType:
     return T.StructType([s.to_struct_field() for s in specs])
 

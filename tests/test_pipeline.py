@@ -247,3 +247,23 @@ def test_statistics_and_metadata_extract(spark):
     stats = {r["col_name"]: r for r in spark.table("stats").collect()}
     assert stats["v"]["count"] == 100 and stats["v"]["max"] == 148.5
     assert {r["name"] for r in df.collect()} == {"id", "v"}
+
+
+def test_schema_view_typing(spark):
+    """Schema-as-data: a view of field definitions drives TypingTransform
+    (parseArcSchemaDataFrame parity, schema/ArcSchema.scala:25-27)."""
+    cfg = {
+        "stages": [
+            {"type": "SQLTransform", "name": "schema source", "outputView": "schema_v",
+             "sql": "SELECT 'n' AS name, 'integer' AS type, true AS nullable "
+                    "UNION ALL SELECT 'label', 'string', true"},
+            {"type": "SQLTransform", "name": "raw", "outputView": "raw_v",
+             "sql": "SELECT '42' AS n, 'x' AS label UNION ALL SELECT 'bad', 'y'"},
+            {"type": "TypingTransform", "name": "typed", "inputView": "raw_v",
+             "outputView": "typed_v", "schemaView": "schema_v"},
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    rows = {r["label"]: r for r in df.collect()}
+    assert rows["x"]["n"] == 42 and rows["x"]["_errors"] == []
+    assert rows["y"]["n"] is None and len(rows["y"]["_errors"]) == 1
