@@ -453,6 +453,18 @@ def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_clusters=8, nprobe=3
+    )
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -515,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": _language_id_documents,
         "doc_quality": _doc_quality,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
     }
 
 

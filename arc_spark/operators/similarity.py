@@ -130,6 +130,83 @@ def lsh_topk(
     )
 
 
+class IVFIndex:
+    """IVF (inverted-file) ANN index: a KMeans coarse quantizer assigns
+    every vector to its nearest centroid; a query probes only the
+    ``nprobe`` nearest clusters and brute-forces inside them.
+
+    Scale rationale: the index is a plain DataFrame partitioned/clustered
+    by ``_cluster`` — written as parquet partitioned on it, a query scans
+    only nprobe/k of the data (partition pruning), and the KMeans fit is
+    Spark MLlib's distributed Lloyd's (no driver-side vocabulary/index
+    build beyond k centroid vectors).
+    """
+
+    def __init__(self, model, assigned: DataFrame, vec_col: str, id_col: str):
+        self.model = model
+        self.assigned = assigned
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        k: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+        model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
+        assigned = (
+            model.transform(feat)
+            .withColumnRenamed("prediction", "_cluster")
+            .drop("_features")
+        )
+        return cls(model, assigned, vec_col, id_col)
+
+    def topk(self, query_vec: list[float], k: int = 10, *, nprobe: int = 4) -> DataFrame:
+        import numpy as np
+
+        centers = self.model.clusterCenters()
+        q = np.array(query_vec, dtype=float)
+        dists = [float(np.linalg.norm(q - c)) for c in centers]
+        probe = sorted(range(len(centers)), key=lambda i: dists[i])[:nprobe]
+        cand = self.assigned.filter(F.col("_cluster").isin(probe))
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            cand.select(
+                F.col(self.id_col),
+                cosine(F.col(self.vec_col).cast("array<double>"), qcol).alias("cosine_sim"),
+            )
+            .orderBy(F.col("cosine_sim").desc(), F.col(self.id_col))
+            .limit(k)
+        )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot IVF query (build + probe). For repeated queries build an
+    IVFIndex once and call ``topk``."""
+    index = IVFIndex.build(df, k=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed)
+    return index.topk(query_vec, k, nprobe=nprobe)
+
+
 def embedding_near_dup(
     df: DataFrame,
     *,

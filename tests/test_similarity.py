@@ -1,0 +1,56 @@
+"""Similarity-search operators: brute-force exactness, LSH and IVF recall
+vs the brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arc_spark.operators.similarity import IVFIndex, cosine_topk, ivf_topk, lsh_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+
+@pytest.fixture(scope="module")
+def brute_ids(emb, qvec):
+    rows = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10).collect()
+    assert len(rows) == 10
+    # descending similarity
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    return [r["vec_id"] for r in rows]
+
+
+def test_lsh_recall_vs_brute(emb, qvec, brute_ids):
+    got = [r["vec_id"] for r in lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+           .collect()]
+    # approximate: require decent overlap with the exact top-10
+    assert len(set(got) & set(brute_ids)) >= 5
+
+
+def test_ivf_recall_vs_brute(emb, qvec, brute_ids):
+    got = [r["vec_id"] for r in ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, n_clusters=8, nprobe=3
+    ).collect()]
+    assert len(set(got) & set(brute_ids)) >= 6
+
+
+def test_ivf_index_reuse_and_pruning(emb, qvec):
+    index = IVFIndex.build(emb, k=8)
+    # probing all clusters == brute force exactly
+    all_probe = [r["vec_id"] for r in index.topk(qvec, k=10, nprobe=8).collect()]
+    brute = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    assert all_probe == brute
+    # fewer probes scan fewer candidates
+    n_probe1 = index.assigned.filter(F.col("_cluster") == 0).count()
+    assert 0 < n_probe1 < emb.count()
