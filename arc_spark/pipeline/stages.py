@@ -984,7 +984,7 @@ class JDBCExtract(PipelineStage):
 
     stage_type = "JDBCExtract"
     REQUIRED = ("jdbcURL", "tableName", "outputView")
-    OPTIONAL = ("partitionColumn", "fetchsize", "predicates", "params", "driver")
+    OPTIONAL = ("partitionColumn", "fetchsize", "predicates", "params", "driver", "boundsQuery")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         url, table = self.params["jdbcURL"], self.params["tableName"]
@@ -997,15 +997,20 @@ class JDBCExtract(PipelineStage):
         part_col = self.params.get("partitionColumn")
         num_partitions = self.params.get("numPartitions")
         if part_col and num_partitions:
-            # auto MIN/MAX bounds, computed by the database (one row)
-            bounds = reader.jdbc(
-                url,
-                f"(SELECT MIN({part_col}) AS lo, MAX({part_col}) AS hi FROM {table}) b",
-                properties=props,
-            ).first()
+            # auto MIN/MAX bounds, computed by the database (one row);
+            # ANSI-quote the column — unquoted identifiers are upcased by
+            # Derby/Postgres-family engines and won't match Spark-written
+            # lowercase columns (override with boundsQuery for engines with
+            # non-ANSI quoting, e.g. MySQL backticks)
+            bounds_sql = self.params.get(
+                "boundsQuery",
+                f'(SELECT MIN("{part_col}") AS lo, MAX("{part_col}") AS hi FROM {table}) b',
+            )
+            bounds = reader.jdbc(url, bounds_sql, properties=props).first()
             df = reader.jdbc(
                 url, table, column=part_col,
-                lowerBound=int(bounds["lo"]), upperBound=int(bounds["hi"]) + 1,
+                # positional access — engines upcase unquoted aliases
+                lowerBound=int(bounds[0]), upperBound=int(bounds[1]) + 1,
                 numPartitions=int(num_partitions), properties=props,
             )
         elif self.params.get("predicates"):
