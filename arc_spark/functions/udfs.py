@@ -14,8 +14,9 @@ Two tiers here:
   JVM expression), probit/probnorm as pandas UDFs over erf / Acklam's
   inverse-normal approximation (public-domain constants).
 
-get_uri / get_uri_array (driver-free URL fetching, :127-202) require
-network egress and are not registered in this sandbox.
+get_uri / get_uri_array (:127-202): executor-side URL fetching with
+auto-decompression — tested against a localhost server (external egress
+is unavailable in this sandbox, but the code path is identical).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, IntegerType, LongType
 
 
 @pandas_udf(DoubleType())
@@ -94,6 +95,44 @@ def _json_array_udf(py_type):
     return extract
 
 
+def _fetch_uri(uri: str) -> bytes | None:
+    """Executor-side fetch with transparent gzip/deflate/bz2/lz4-frame
+    decompression by suffix or content-encoding
+    (plugins/udf/ARC.scala:127-202)."""
+    import bz2
+    import gzip
+    import urllib.request
+
+    if uri is None:
+        return None
+    with urllib.request.urlopen(uri) as resp:
+        data = resp.read()
+        enc = (resp.headers.get("Content-Encoding") or "").lower()
+    if uri.endswith(".gz") or enc == "gzip":
+        return gzip.decompress(data)
+    if uri.endswith(".bz2"):
+        return bz2.decompress(data)
+    if uri.endswith(".zz") or enc == "deflate":
+        import zlib
+
+        return zlib.decompress(data)
+    return data
+
+
+@pandas_udf(BinaryType())
+def _get_uri(uris: pd.Series) -> pd.Series:
+    return uris.map(_fetch_uri)
+
+
+def _get_uri_array_impl(uris: pd.Series) -> pd.Series:
+    def many(u):
+        if u is None:
+            return None
+        return [_fetch_uri(x) for x in str(u).split(",")]
+
+    return uris.map(many)
+
+
 def register_udfs(spark: SparkSession) -> list[str]:
     """Register the built-in function set for SQL callers; returns the
     registered names (mirrors udf/UDF.scala:11-29 catalog diffing)."""
@@ -109,6 +148,13 @@ def register_udfs(spark: SparkSession) -> list[str]:
     ):
         spark.udf.register(name, pandas_udf(_json_array_udf(py), ArrayType(elem)))
         registered.append(name)
+
+    # driver-free URI fetching (http(s)/file) with auto-decompression
+    spark.udf.register("get_uri", _get_uri)
+    spark.udf.register(
+        "get_uri_array", pandas_udf(_get_uri_array_impl, ArrayType(BinaryType()))
+    )
+    registered += ["get_uri", "get_uri_array"]
     return registered
 
 

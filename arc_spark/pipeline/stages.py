@@ -1027,7 +1027,8 @@ class JDBCLoad(PipelineStage):
 
     stage_type = "JDBCLoad"
     REQUIRED = ("inputView", "jdbcURL", "tableName")
-    OPTIONAL = ("saveMode", "isolationLevel", "batchsize", "params", "driver", "verify")
+    OPTIONAL = ("saveMode", "isolationLevel", "batchsize", "params", "driver",
+                "verify", "checkpointLocation")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         df = ctx.spark.table(self.params["inputView"])
@@ -1036,6 +1037,25 @@ class JDBCLoad(PipelineStage):
             props["driver"] = self.params["driver"]
         if self.params.get("batchsize"):
             props["batchsize"] = str(self.params["batchsize"])
+        if df.isStreaming:
+            # streaming sink: per-micro-batch JDBC append (the reference's
+            # JDBCSink ForeachWriter role, util/JDBCSink.scala:17-80 /
+            # load/JDBCLoad.scala:240-248)
+            url, table = self.params["jdbcURL"], self.params["tableName"]
+
+            def write_batch(batch: DataFrame, batch_id: int) -> None:
+                batch.write.jdbc(url, table, mode="append", properties=props)
+
+            query = (
+                df.writeStream.foreachBatch(write_batch)
+                .option(
+                    "checkpointLocation",
+                    self.params.get("checkpointLocation", f"/tmp/_jdbc_ck_{self.name}"),
+                )
+                .start()
+            )
+            ctx.user_data.setdefault("streaming_queries", []).append(query)
+            return df
         # cache + count BEFORE the write so verification doesn't recompute
         # upstream non-deterministically (JDBCLoad.scala:162-165)
         df = df.persist()

@@ -172,3 +172,45 @@ def test_tensorflow_serving_transform(spark, http_server):
     df, _ = run_config(spark, json.dumps(cfg))
     got = {r["value"]: r["result"] for r in df.collect()}
     assert got == {"ab": 2.0, "abcd": 4.0}
+
+
+def test_get_uri_udfs(spark, http_server):
+    import gzip as _gzip
+
+    from arc_spark.functions import register_udfs
+
+    register_udfs(spark)
+    spark.createDataFrame(
+        [(http_server + "/data",)], "u string"
+    ).createOrReplaceTempView("uris_udf")
+    row = spark.sql("SELECT get_uri(u) AS b FROM uris_udf").first()
+    assert bytes(row["b"]) == b"hello:/data"
+    row2 = spark.sql(
+        f"SELECT get_uri_array('{http_server}/p1,{http_server}/p2') AS arr"
+    ).first()
+    assert [bytes(x) for x in row2["arr"]] == [b"hello:/p1", b"hello:/p2"]
+
+
+def test_jdbc_load_streaming_foreach_batch(spark, tmp_path):
+    """Streaming JDBC sink: foreachBatch + df.write.jdbc (the reference's
+    JDBCSink ForeachWriter role, util/JDBCSink.scala:17-80)."""
+    url = "jdbc:derby:memory:stream;create=true"
+    src = str(tmp_path / "in")
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(src)
+    cfg = {
+        "stages": [
+            {"type": "ParquetExtract", "name": "e", "inputURI": src,
+             "outputView": "sv",
+             "schema": [{"name": "id", "type": "long"}, {"name": "v", "type": "long"}]},
+            {"type": "JDBCLoad", "name": "w", "inputView": "sv",
+             "jdbcURL": url, "tableName": "stream_t", "saveMode": "append",
+             "params": DERBY,
+             "checkpointLocation": str(tmp_path / "ck")},
+        ]
+    }
+    _, ctx = run_config(spark, json.dumps(cfg), streaming=True)
+    for q in ctx.user_data["streaming_queries"]:
+        q.processAllAvailable()
+        q.stop()
+    back = spark.read.jdbc(url, "stream_t", properties=DERBY)
+    assert back.count() == 10

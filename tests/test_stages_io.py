@@ -154,3 +154,35 @@ def test_typing_failfast_mode(spark):
     }
     with pytest.raises(ValueError, match="failfast"):
         run_config(spark, json.dumps(cfg))
+
+
+def _make_png(w: int, h: int, rgb: tuple) -> bytes:
+    """Minimal valid RGB PNG, no image library needed."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return sig + ihdr + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_image_extract_reads_png(spark, tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "red.png").write_bytes(_make_png(4, 3, (255, 0, 0)))
+    (d / "blue.png").write_bytes(_make_png(8, 2, (0, 0, 255)))
+    cfg = {
+        "stages": [
+            {"type": "ImageExtract", "name": "img", "inputURI": str(d),
+             "outputView": "imgs", "dropInvalid": True}
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    rows = {r["image"]["width"]: r["image"] for r in df.collect()}
+    assert rows[4]["height"] == 3 and rows[8]["height"] == 2
+    assert all(img["nChannels"] in (3, 4) for img in rows.values())
