@@ -419,6 +419,7 @@ class LakeTable:
         # attempt dir only — O(files written this epoch))
         new_files: dict[str, list[str]] = {}
         rows_written = 0
+        rows_per_bucket: dict[str, int] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
@@ -430,7 +431,9 @@ class LakeTable:
                 if fn.endswith(".parquet")
             ]
             new_files[bucket] = rel
-            rows_written += _parquet_rows([os.path.join(self.root, p) for p in rel])
+            n = _parquet_rows([os.path.join(self.root, p) for p in rel])
+            rows_per_bucket[bucket] = n
+            rows_written += n
 
         files = {b: fs for b, fs in snap.files.items() if b not in touched_set}
         files.update(new_files)
@@ -440,6 +443,10 @@ class LakeTable:
             "rows_written": rows_written,
             "buckets_rewritten": len(touched),
             "buckets_total": snap.num_buckets,
+            # per-partition lineage: rows now resident per bucket after this
+            # epoch (from parquet footers — no extra Spark job); skew in
+            # these numbers is the signal to raise salt_buckets/num_buckets
+            "rows_per_bucket": rows_per_bucket,
             "materialize_sec": round(t_materialize, 3),
             "write_sec": round(t_write, 3),
             "finalize_sec": round(time.time() - t0, 3),
