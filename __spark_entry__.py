@@ -420,6 +420,47 @@ def _part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H q12 shape): per return flag, how many
+    high- vs low-priority order line items shipped."""
+    from pyspark.sql import functions as F
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= "1995-01-01")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(hi).alias("high_line_count"),
+            F.count_if(~hi).alias("low_line_count"),
+        )
+    )
+
+
+def _promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio (TPC-H q14 shape): revenue share of PROMO
+    parts, decimal-exact then one final double division."""
+    from pyspark.sql import functions as F
+
+    t = _load(spark, sf_dir, "part", "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,4)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    j = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    # rounded to 12 decimals: DECIMAL(38,8)->DOUBLE conversion can differ by
+    # 1 ULP between engines (two-step int128 scaling vs single rounding)
+    return j.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0)).cast("decimal(38,8)")).cast("double")
+            / F.sum(rev.cast("decimal(38,8)")).cast("double"),
+            12,
+        ).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def _cdc_replay_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-engine smoke inside the correctness harness (rows-only): a
     deterministic synthetic stream replayed through the micro-batch runner
@@ -518,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _user_sessions,
         "part_string_funcs": _part_string_funcs,
         "asof_latest_order": _asof_latest_order,
+        "shipmode_priority": _shipmode_priority,
+        "promo_share": _promo_share,
         # rows-only (non-SQL-expressible / approximate) operators:
         "minhash_near_dup": _minhash_near_dup,
         "simhash_near_dup": _simhash_near_dup,
@@ -710,6 +753,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "shipmode_priority": """
+            SELECT l_returnflag,
+                   COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_line_count,
+                   COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        "promo_share": f"""
+            SELECT ROUND(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC})) AS DECIMAL(38,8))
+                       ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(CAST(l_extendedprice AS {_DEC}) * (CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC})) AS DECIMAL(38,8))) AS DOUBLE), 12)
+                   AS promo_share,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
         """,
         "part_string_funcs": """
             SELECT p_partkey,

@@ -278,7 +278,22 @@ class SQLTransform(PipelineStage):
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         df = ctx.spark.sql(self._stmt(ctx))
-        return self.register_output(ctx, df, self.params["outputView"])
+        out = self.register_output(ctx, df, self.params["outputView"])
+        # observability parity: record scan pushdown/pruning info for this
+        # stage's plan, as the reference scrapes FileSourceScanExec
+        # partitionFilters/dataFilters into its logs
+        # (util/QueryExecutionUtils.scala:8-24, SQLTransform.scala:189-190)
+        try:
+            from arc_spark.plans.explain import scan_info
+
+            scans = scan_info(out)
+            if scans:
+                ctx.events.append(
+                    {"event": "stage.scans", "stage": self.name, "scans": scans}
+                )
+        except Exception:  # introspection must never fail the stage
+            pass
+        return out
 
 
 @register_stage

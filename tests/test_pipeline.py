@@ -83,7 +83,10 @@ def test_end_to_end_job(spark, csv_dir, tmp_path):
     assert [r["name"] for r in rows] == ["alice", "carol"]
     events = [e["event"] for e in ctx.events]
     assert events.count("stage.complete") == 5
-    assert all(e["duration_ms"] >= 0 for e in ctx.events)
+    assert all(e["duration_ms"] >= 0 for e in ctx.events if "duration_ms" in e)
+    # SQLTransform records its scan pushdown info (QueryExecutionUtils parity)
+    scans = [e for e in ctx.events if e["event"] == "stage.scans"]
+    assert scans and any("csv" in s.get("format", "") for e in scans for s in e["scans"])
 
 
 def test_validate_gate_fails_job(spark, csv_dir, tmp_path):
