@@ -2,7 +2,7 @@
 
 ``entry(spark)``   — flagship: CDC last-writer-wins replay over the
                      sf0.001 events table (normalize + Arrow sha256
-                     fingerprint + max_by LWW kernel).
+                     fingerprint + thin LWW kernel).
 ``queries()``      — one entry per implemented operator (SURVEY.md §2 and
                      the training-data operator family).
 ``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every SQL-expressible
@@ -51,7 +51,8 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]
 def entry(spark: SparkSession) -> DataFrame:
     """CDC LWW replay of the sf0.001 events table: binlog-style mapping
     (seq=event_id, key=user_id, delete on 'error'), Arrow-vectorized
-    normalize+sha256 on the payload, max_by last-writer-wins kernel."""
+    normalize+sha256 on the payload, thin (late-materialization)
+    last-writer-wins kernel — the scale default (see cdc/apply.py)."""
     return _cdc_lww(spark, "/root/testdata/sf0.001")
 
 
@@ -72,7 +73,7 @@ def _cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("content"),
     )
     changes = normalize_and_fingerprint(changes)
-    winners = last_writer_wins(changes, ["user_id"], "seq", strategy="max_by")
+    winners = last_writer_wins(changes, ["user_id"], "seq", strategy="thin")
     return winners.filter(F.col("op") != "delete").select(
         "user_id",
         F.col("seq").alias("last_seq"),
@@ -393,12 +394,17 @@ def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # sub-second-exact gap: timestamp subtraction yields an exact
+    # microsecond interval in both engines — unix_timestamp() truncates to
+    # seconds and can classify a boundary gap differently from the oracle
+    gap = F.col("ts") - F.lag("ts").over(w)
     return (
-        ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        ev.withColumn(
+            "new_sess", F.when(gap > F.expr("INTERVAL '1800' SECOND"), 1).otherwise(0)
+        )
         .groupBy("user_id")
         .agg(
-            (F.sum("new_sess") + 1).alias("n_sessions"),
+            (F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -738,12 +744,14 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": """
             WITH g AS (
                 SELECT user_id,
-                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       CASE WHEN ts - lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 1800 SECOND
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
             )
-            SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "asof_latest_order": """

@@ -159,7 +159,16 @@ def _lww_thin(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | 
         )
     else:
         winners = thin.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
-    return df.join(winners, [*keys, seq_col], "left_semi")
+    # eqNullSafe join: a null-unsafe semi join would silently drop rows
+    # whose key columns are NULL, while max_by/window keep NULL keys as a
+    # group (and LakeTable.merge joins null-safely) — all strategies must
+    # produce identical output.
+    d, w = df.alias("_d"), winners.alias("_w")
+    cond = None
+    for k in [*keys, seq_col]:
+        c = F.col(f"_d.{k}").eqNullSafe(F.col(f"_w.{k}"))
+        cond = c if cond is None else (cond & c)
+    return d.join(w, cond, "left_semi")
 
 
 def _lww_max_by(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:

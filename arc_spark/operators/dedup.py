@@ -37,15 +37,21 @@ from pyspark.sql import functions as F
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized-text value.
 
-    groupBy on a 64-bit text hash → partial aggregation map-side; the full
-    text never shuffles, only (hash, min_id).
+    groupBy on a 128-bit text fingerprint → partial aggregation map-side;
+    the full text never shuffles, only (fp128, min_id).
+
+    128 bits, not 64: at the 10^10-document design scale a single 64-bit
+    key has O(1-10) expected birthday collisions (silently merging
+    non-duplicates); two independent xxhash64 values push the collision
+    odds to ~1e-19 while keeping the shuffled key a thin 16 bytes
+    (vs 32+ for an md5/sha hex string).
     """
     norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    keyed = df.withColumn("_fp", F.xxhash64(norm))
-    keep = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return (
-        keyed.join(keep, [id_col, "_fp"], "left_semi").drop("_fp")
+    keyed = df.withColumn("_fp1", F.xxhash64(norm)).withColumn(
+        "_fp2", F.xxhash64(norm, F.lit(0x5F3C))
     )
+    keep = keyed.groupBy("_fp1", "_fp2").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, [id_col, "_fp1", "_fp2"], "left_semi").drop("_fp1", "_fp2")
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ def diff_views(
 
     left_only = lh.join(rh.select("_hash"), "_hash", "left_anti").drop("_hash")
     right_only = rh.join(lh.select("_hash"), "_hash", "left_anti").drop("_hash")
-    intersection = lh.join(rh.select("_hash").distinct(), "_hash", "left_semi").drop("_hash")
+    intersection = lh.join(rh.select("_hash"), "_hash", "left_semi").drop("_hash")
     return {
         "left_only": left_only,
         "intersection": intersection,

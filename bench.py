@@ -70,7 +70,9 @@ def _time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _cdc_replay(master: str, stream_path: str, n_events: int, batches: int) -> float:
+def _cdc_replay(
+    master: str, stream_path: str, n_events: int, batches: int, strategy: str = "thin"
+) -> float:
     """Run the full replay job cold at the given parallelism; return events/sec.
 
     Fairness: the JOB is identical at both levels — same shuffle partition
@@ -106,7 +108,7 @@ def _cdc_replay(master: str, stream_path: str, n_events: int, batches: int) -> f
         )
         batch = (n_events + batches - 1) // batches
         runner = ReplayRunner(
-            spark, stream_path, table, batch_size=batch, strategy="max_by"
+            spark, stream_path, table, batch_size=batch, strategy=strategy
         )
         t0 = time.time()
         runner.run()
@@ -161,6 +163,7 @@ def main() -> None:
 
         samples: dict[int, list[float]] = {low: [], high: []}
         weak_low: list[float] = []
+        ab_max_by = None
         try:
             for _ in range(reps):
                 for cpus in (low, high):  # interleaved vs host drift
@@ -169,6 +172,12 @@ def main() -> None:
                     )
                 weak_low.append(
                     _cdc_replay(f"local[{low}]", weak_path, n_events // 4, batches)
+                )
+            # one-run strategy A/B: the documented-slower max_by kernel at
+            # the high parallelism level, vs the thin default measured above
+            if os.environ.get("ARC_BENCH_SKIP_AB") != "1":
+                ab_max_by = _cdc_replay(
+                    f"local[{high}]", stream_path, n_events, batches, strategy="max_by"
                 )
         finally:
             shutil.rmtree(stream_dir, ignore_errors=True)
@@ -190,6 +199,10 @@ def main() -> None:
             # weak scaling: 4x input with 4x cores vs 1x input at 1x cores
             "weak_events_per_sec_low": round(tp_weak, 1),
             "weak_scaling_efficiency": round(tp_high / (4.0 * tp_weak), 3),
+            "strategy": "thin",
+            "ab_max_by_events_per_sec_high": (
+                round(ab_max_by, 1) if ab_max_by is not None else None
+            ),
         }
 
     print(json.dumps(result))
