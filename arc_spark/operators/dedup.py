@@ -116,12 +116,16 @@ def minhash_near_dup(
     shingle_n: int = 3,
     shingle_mode: str = "word",
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Pipeline: signature (map-only) → explode band buckets → groupBy bucket
     self-pairs → estimate Jaccard from full signatures → threshold.
     Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+
+    ``max_bucket_size`` drops degenerate buckets (boilerplate text) whose
+    self-join would be quadratic — see similarity._cap_buckets.
     """
     rows_per_band = num_hashes // bands
     # two selects so the shingle-hash array materializes once per row —
@@ -151,6 +155,10 @@ def minhash_near_dup(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+    if max_bucket_size:
+        from arc_spark.operators.similarity import _cap_buckets
+
+        banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -230,13 +238,15 @@ def simhash_near_dup(
     bands: int = 4,
     shingle_n: int = 2,
     shingle_mode: str = "word",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs whose simhash Hamming distance ≤ ``max_hamming``.
 
-    Candidate generation: split the 64-bit hash into ``bands`` 16-bit
-    chunks; by pigeonhole, any pair within distance < bands must agree on
-    ≥1 chunk → join on (band, chunk), then verify exact Hamming distance
-    via bit_count(xor).
+    Candidate generation: split the 64-bit hash into ``bands`` equal-width
+    chunks; by pigeonhole, any pair within Hamming distance < bands must
+    agree on ≥1 chunk → join on (band, chunk), then verify exact Hamming
+    distance via bit_count(xor). With bands > max_hamming the candidate
+    set provably contains EVERY pair within max_hamming (recall 1).
     """
     width = 64 // bands
     mask = (1 << width) - 1
@@ -256,6 +266,10 @@ def simhash_near_dup(
             )
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.chunk")
+    if max_bucket_size:
+        from arc_spark.operators.similarity import _cap_buckets
+
+        banded = _cap_buckets(banded, ["band", "chunk"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -24,8 +24,11 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -75,6 +78,27 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _cap_buckets(banded: DataFrame, bucket_cols: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop degenerate LSH buckets larger than ``max_bucket_size``.
+
+    A single boilerplate-heavy bucket makes the banded self-join quadratic
+    in that bucket's size — at 10^10 rows one bad bucket is a job-killer.
+    The guard costs one thin aggregation over (band, bucket) counts; the
+    dropped buckets are by construction low-signal (a near-dup pair
+    colliding in a degenerate bucket almost surely collides in another
+    band too).
+    """
+    if not max_bucket_size:
+        return banded
+    ok = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bs"))
+        .filter(F.col("_bs") <= max_bucket_size)
+        .drop("_bs")
+    )
+    return banded.join(ok, bucket_cols, "left_semi")
+
+
 def lsh_bucket_expr(vec: Column, planes: list[list[float]], band: int, rows_per_band: int) -> Column:
     bits = []
     for r in range(rows_per_band):
@@ -87,25 +111,9 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]], band: int, rows_per_
     return key
 
 
-def lsh_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    *,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    num_planes: int = 16,
-    bands: int = 4,
-    seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k: only rows sharing ≥1 LSH band bucket with the
-    query are scored. Deterministic given ``seed``."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, num_planes, seed)
-    rpb = num_planes // bands
-    v = F.col(vec_col).cast("array<double>")
-
-    import numpy as np
+def _query_band_keys(
+    query_vec: list[float], planes: list[list[float]], bands: int, rpb: int
+) -> list[int]:
 
     qarr = np.array(query_vec, dtype=float)
     q_keys = []
@@ -116,10 +124,71 @@ def lsh_topk(
             if float(qarr @ p) >= 0:
                 key += 2**r
         q_keys.append(key)
+    return q_keys
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    prefix: str = "_lsh",
+) -> DataFrame:
+    """Materialize per-band LSH bucket keys as columns ``{prefix}{band}``.
+
+    The index-build half of ``lsh_topk``: compute the hyperplane
+    projections ONCE, persist (e.g. ``write.partitionBy(f"{prefix}0")``),
+    and serve repeated queries with partition-pruned scans instead of
+    re-projecting every row per query.
+    """
+    sample = df.select(vec_col).first()  # array length isn't in the schema
+    dim = len(sample[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    rpb = num_planes // bands
+    v = F.col(vec_col).cast("array<double>")
+    out = df
+    for band in range(bands):
+        out = out.withColumn(f"{prefix}{band}", lsh_bucket_expr(v, planes, band, rpb))
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    bucket_prefix: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: only rows sharing ≥1 LSH band bucket with the
+    query are scored. Deterministic given ``seed``.
+
+    ``bucket_prefix``: use precomputed bucket-key columns (from
+    ``add_lsh_buckets``) instead of projecting every row per query — on a
+    stored table partitioned by the first band key this prunes the scan
+    itself (IVF-style); without it each query is a full scan with cheaper
+    scoring only.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, num_planes, seed)
+    rpb = num_planes // bands
+    v = F.col(vec_col).cast("array<double>")
+    q_keys = _query_band_keys(query_vec, planes, bands, rpb)
 
     cand = None
     for band in range(bands):
-        m = lsh_bucket_expr(v, planes, band, rpb) == F.lit(q_keys[band])
+        key = (
+            F.col(f"{bucket_prefix}{band}")
+            if bucket_prefix
+            else lsh_bucket_expr(v, planes, band, rpb)
+        )
+        m = key == F.lit(q_keys[band])
         cand = m if cand is None else (cand | m)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
@@ -130,20 +199,58 @@ def lsh_topk(
     )
 
 
-class IVFIndex:
-    """IVF (inverted-file) ANN index: a KMeans coarse quantizer assigns
-    every vector to its nearest centroid; a query probes only the
-    ``nprobe`` nearest clusters and brute-forces inside them.
+def _lloyd_kmeans(X, k: int, seed: int, max_iter: int = 25):
+    """Deterministic k-means (k-means++ init, Lloyd iterations) in numpy.
 
-    Scale rationale: the index is a plain DataFrame partitioned/clustered
-    by ``_cluster`` — written as parquet partitioned on it, a query scans
-    only nprobe/k of the data (partition pruning), and the KMeans fit is
-    Spark MLlib's distributed Lloyd's (no driver-side vocabulary/index
-    build beyond k centroid vectors).
+    Runs DRIVER-side on a (deterministic) sample — at 100 TB you fit the
+    coarse quantizer on a sampled slice, never the full table; the full
+    table is only ever ASSIGNED to the fitted centroids (one distributed
+    map pass). Being plain seeded numpy it is also independent of Spark
+    partitioning/parallelism, unlike MLlib's k-means|| init — the same
+    input yields the same index on any cluster size.
     """
 
-    def __init__(self, model, assigned: DataFrame, vec_col: str, id_col: str):
-        self.model = model
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[rng.randint(n)])
+            continue
+        centers.append(X[rng.choice(n, p=d2 / tot)])
+    C = np.array(centers)
+    for _ in range(max_iter):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        newC = np.array(
+            [X[assign == j].mean(axis=0) if (assign == j).any() else C[j] for j in range(k)]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+class IVFIndex:
+    """IVF (inverted-file) ANN index: a coarse quantizer assigns every
+    vector to its nearest centroid; a query probes only the ``nprobe``
+    nearest clusters and brute-forces inside them.
+
+    Scale rationale: the index is a plain DataFrame partitioned/clustered
+    by ``_cluster`` — written as parquet partitioned on it
+    (``write_index``), a query scans only nprobe/k of the data (partition
+    pruning). The quantizer fits on a deterministic hash-sample
+    driver-side (``method="sample"``, the default — parallelism-invariant)
+    or via MLlib's distributed KMeans (``method="mllib"``).
+    """
+
+    def __init__(self, centers, assigned: DataFrame, vec_col: str, id_col: str):
+        self.centers = centers  # list[list[float]]
         self.assigned = assigned
         self.vec_col = vec_col
         self.id_col = id_col
@@ -157,27 +264,64 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         seed: int = 42,
-        max_iter: int = 20,
+        max_iter: int = 25,
+        method: str = "sample",
+        sample_mod: int = 1,
     ) -> "IVFIndex":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
 
-        feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-        model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
-        assigned = (
-            model.transform(feat)
-            .withColumnRenamed("prediction", "_cluster")
-            .drop("_features")
+        if method == "mllib":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feat = df.withColumn(
+                "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+            )
+            model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
+            centers = [list(map(float, c)) for c in model.clusterCenters()]
+        else:
+            # deterministic hash-sample: row included iff
+            # xxhash64(id) % sample_mod == 0 — stable under any
+            # partitioning, unlike df.sample()
+            sample = df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            if sample_mod > 1:
+                sample = sample.filter(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+                )
+            rows = sorted(sample.collect(), key=lambda r: r[0])
+            X = np.array([r[1] for r in rows], dtype=np.float64)
+            centers = [list(map(float, c)) for c in _lloyd_kmeans(X, k, seed, max_iter)]
+
+        # assignment: one vectorized Arrow pass (numpy matmul per batch) —
+        # ||v-c||² = |v|² - 2v·c + |c|², argmin over c
+        from pyspark.sql.types import IntegerType
+
+        C = np.array(centers, dtype=np.float64)
+        c_norm2 = (C**2).sum(axis=1)
+
+        @pandas_udf(IntegerType())
+        def _assign(v: pd.Series) -> pd.Series:
+            V = np.array(v.tolist(), dtype=np.float64)
+            d2 = -2.0 * (V @ C.T) + c_norm2[None, :]
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        assigned = df.withColumn(
+            "_cluster", _assign(F.col(vec_col).cast("array<double>"))
         )
-        return cls(model, assigned, vec_col, id_col)
+        return cls(centers, assigned, vec_col, id_col)
+
+    def write_index(self, path: str) -> None:
+        """Persist the assigned table partitioned by cluster id so queries
+        prune at the file-listing level (only nprobe directories scanned)."""
+        self.assigned.write.mode("overwrite").partitionBy("_cluster").parquet(path)
+
+    def probe_clusters(self, query_vec: list[float], nprobe: int) -> list[int]:
+
+        q = np.array(query_vec, dtype=float)
+        dists = [float(np.linalg.norm(q - np.array(c))) for c in self.centers]
+        return sorted(range(len(self.centers)), key=lambda i: dists[i])[:nprobe]
 
     def topk(self, query_vec: list[float], k: int = 10, *, nprobe: int = 4) -> DataFrame:
-        import numpy as np
-
-        centers = self.model.clusterCenters()
-        q = np.array(query_vec, dtype=float)
-        dists = [float(np.linalg.norm(q - c)) for c in centers]
-        probe = sorted(range(len(centers)), key=lambda i: dists[i])[:nprobe]
+        probe = self.probe_clusters(query_vec, nprobe)
         cand = self.assigned.filter(F.col("_cluster").isin(probe))
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
@@ -200,10 +344,13 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    method: str = "sample",
 ) -> DataFrame:
     """One-shot IVF query (build + probe). For repeated queries build an
-    IVFIndex once and call ``topk``."""
-    index = IVFIndex.build(df, k=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed)
+    IVFIndex once, ``write_index`` it, and call ``topk``."""
+    index = IVFIndex.build(
+        df, k=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed, method=method
+    )
     return index.topk(query_vec, k, nprobe=nprobe)
 
 
@@ -213,12 +360,22 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 16,
-    bands: int = 4,
+    num_planes: int = 32,
+    bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, via banded hyperplane-LSH
-    bucketing + exact re-rank (id_a < id_b)."""
+    bucketing + exact re-rank (id_a < id_b).
+
+    Late materialization: the banded self-join shuffles ONLY thin
+    (id, band, bucket) rows — never the vectors. Candidate id pairs are
+    deduped first, then the (small relative to pairs) vector table joins
+    back twice for the verify, and the exact cosine runs as one numpy
+    matmul-shaped Arrow pass instead of a per-element expression chain.
+    """
+    from pyspark.sql.types import DoubleType
+
     sample = df.select(vec_col).first()
     dim = len(sample[0])
     planes = _hyperplanes(dim, num_planes, seed)
@@ -227,7 +384,6 @@ def embedding_near_dup(
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
     banded = base.select(
         "id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -239,7 +395,8 @@ def embedding_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "v", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -248,16 +405,24 @@ def embedding_near_dup(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    @pandas_udf(DoubleType())
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        pairs.withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", _cos(F.col("va"), F.col("vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

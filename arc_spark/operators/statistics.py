@@ -45,7 +45,14 @@ def statistics(
         aggs.append(F.count_if(c.isNull()).alias(f"{name}__nulls"))
         if isinstance(f_.dataType, NumericType):
             d = c.cast("double")
-            aggs.append(F.avg(d).alias(f"{name}__mean"))
+            # mean via exact decimal sum, not F.avg(double): double
+            # summation is partition-order-dependent; the decimal tree is
+            # exact so the result is deterministic (and oracle-matchable)
+            aggs.append(
+                (F.sum(d.cast("decimal(30,6)")).cast("double") / F.count(d)).alias(
+                    f"{name}__mean"
+                )
+            )
             aggs.append(F.stddev_samp(d).alias(f"{name}__stddev"))
             aggs.append(F.min(d).alias(f"{name}__min"))
             aggs.append(F.max(d).alias(f"{name}__max"))

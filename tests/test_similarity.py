@@ -54,3 +54,33 @@ def test_ivf_index_reuse_and_pruning(emb, qvec):
     # fewer probes scan fewer candidates
     n_probe1 = index.assigned.filter(F.col("_cluster") == 0).count()
     assert 0 < n_probe1 < emb.count()
+
+
+def test_ivf_pruned_probe_matches_numpy_replication(emb, qvec):
+    """nprobe < k prunes the scan, and the Spark result equals a full
+    numpy replication of the same deterministic pipeline (hash-sample
+    Lloyd fit → centroid assignment → probe → cosine top-k) — pinning
+    that the distributed assignment/pruning path computes exactly what
+    the algorithm specifies, independent of parallelism."""
+    import numpy as np
+
+    from arc_spark.operators.similarity import _lloyd_kmeans
+
+    base = emb.filter(F.col("vec_id") != 0)
+    index = IVFIndex.build(base, k=8)
+    nprobe = 2
+    got = [r["vec_id"] for r in index.topk(qvec, k=10, nprobe=nprobe).collect()]
+
+    rows = sorted(base.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows])
+    V = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+    C = _lloyd_kmeans(V, 8, 42)
+    assign = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    q = np.array(qvec, dtype=np.float64)
+    probe = np.argsort(((q - C) ** 2).sum(axis=1))[:nprobe]
+    mask = np.isin(assign, probe)
+    assert 0 < mask.sum() < len(ids)  # genuinely pruned
+    sims = (V[mask] @ q) / (np.linalg.norm(V[mask], axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids[mask], -sims))
+    expected = ids[mask][order[:10]].tolist()
+    assert got == expected
