@@ -54,6 +54,7 @@ class ReplayRunner:
         salt_buckets: int | None = None,
         fingerprint: bool = True,
         metrics_path: str | None = None,
+        merge_mode: str = "auto",
     ):
         self.spark = spark
         self.events_path = events_path
@@ -63,6 +64,9 @@ class ReplayRunner:
         self.salt_buckets = salt_buckets
         self.fingerprint = fingerprint
         self.metrics_path = metrics_path
+        # "auto" commits small epochs as merge-on-read deltas and big ones
+        # as copy-on-write rewrites (see LakeTable.merge)
+        self.merge_mode = merge_mode
         self.metrics: list[dict] = []
 
     # ------------------------------------------------------------------
@@ -173,6 +177,7 @@ class ReplayRunner:
             epoch=epoch,
             start_seq=start_seq,
             end_seq=end_seq,
+            mode=self.merge_mode,
         )
 
         if failure_injector:
@@ -186,6 +191,7 @@ class ReplayRunner:
             "end_seq": end_seq,
             "duration_sec": round(wall, 3),
             "status": result.get("status"),
+            "mode": result.get("mode", "cow"),
             **(obs_read.get if result.get("status") == "committed" else {}),
             **(obs_applied.get if result.get("status") == "committed" else {}),
             "rows_written": result.get("rows_written"),

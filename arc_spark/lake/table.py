@@ -69,6 +69,10 @@ class Snapshot:
     committed_epochs: dict[str, dict]  # epoch -> {start_seq, end_seq}
     counters: dict = field(default_factory=dict)
     parent_version: int = -1
+    # merge-on-read delta files per bucket (newer rows shadowing base by seq)
+    delta_files: dict[str, list[str]] = field(default_factory=dict)
+    # live-row upper bound per bucket (base rows + delta rows)
+    bucket_rows: dict[str, int] = field(default_factory=dict)
 
     @property
     def end_seq(self) -> int:
@@ -76,8 +80,13 @@ class Snapshot:
             return -1
         return max(int(v["end_seq"]) for v in self.committed_epochs.values())
 
+    @property
+    def total_rows(self) -> int:
+        return sum(self.bucket_rows.values())
+
     def file_list(self) -> list[str]:
-        return [p for fs in self.files.values() for p in fs]
+        base = [p for fs in self.files.values() for p in fs]
+        return base + [p for fs in self.delta_files.values() for p in fs]
 
 
 class CommitConflict(Exception):
@@ -125,6 +134,8 @@ class LakeTable:
             committed_epochs=m["committed_epochs"],
             counters=m.get("counters", {}),
             parent_version=m.get("parent_version", -1),
+            delta_files=m.get("delta_files", {}),
+            bucket_rows=m.get("bucket_rows", {}),
         )
 
     def _commit(self, manifest: dict) -> int:
@@ -163,6 +174,8 @@ class LakeTable:
             "key_cols": key_cols,
             "seq_col": seq_col,
             "files": {},
+            "delta_files": {},
+            "bucket_rows": {},
             "committed_epochs": {},
             "counters": {},
             "parent_version": -1,
@@ -182,12 +195,55 @@ class LakeTable:
     ) -> DataFrame:
         """Current table rows. Deletes are stored as tombstone rows (with
         their winning seq) so that late-arriving older events cannot
-        resurrect a deleted key; reads filter them out by default."""
+        resurrect a deleted key; reads filter them out by default.
+
+        Merge-on-read: if the snapshot carries delta files, base and delta
+        rows are unioned and resolved to the max-seq row per key at read
+        time (the Iceberg MOR / Hudi read-optimized-vs-realtime tradeoff:
+        cheap small-epoch commits, one window pass per read until
+        compaction folds the deltas)."""
         snap = self.snapshot(version)
-        df = self._read_files(spark, snap, snap.file_list(), with_tombstone=True)
+        df = self._resolve(spark, snap)
         if include_tombstones:
             return df
         return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(TOMBSTONE_COL)
+
+    def _resolve(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        buckets: set[str] | None = None,
+    ) -> DataFrame:
+        """Tombstone-carrying rows for the given buckets (default all),
+        with any MOR deltas LWW-resolved against the base."""
+        base_files = [
+            p
+            for b, fs in snap.files.items()
+            if buckets is None or b in buckets
+            for p in fs
+        ]
+        delta_files = [
+            p
+            for b, fs in snap.delta_files.items()
+            if buckets is None or b in buckets
+            for p in fs
+        ]
+        base = self._read_files(spark, snap, base_files, with_tombstone=True)
+        if not delta_files:
+            return base
+        delta = self._read_files(spark, snap, delta_files, with_tombstone=True)
+        merged = base.unionByName(delta)
+        # one row per key: max seq wins (seq is globally unique, so no tie
+        # rule is needed; NULL keys group together, matching the COW
+        # merge's eqNullSafe join)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*snap.key_cols).orderBy(F.col(snap.seq_col).desc())
+        return (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def _read_files(
         self,
@@ -235,6 +291,9 @@ class LakeTable:
         extra_counters: dict | None = None,
         max_retries: int = 3,
         bucket_pruning: bool | str = "auto",
+        mode: str = "cow",
+        delta_fraction: float = 0.05,
+        max_delta_chain: int = 8,
     ) -> dict:
         """MERGE a deduplicated change batch (one row per key) into the table.
 
@@ -242,6 +301,18 @@ class LakeTable:
           WHEN MATCHED  AND src.op = 'delete' AND src.seq >= tgt.seq THEN DELETE
           WHEN MATCHED  AND src.seq >= tgt.seq                       THEN UPDATE *
           WHEN NOT MATCHED AND src.op != 'delete'                    THEN INSERT *
+
+        ``mode``:
+          - ``cow``   copy-on-write: rewrite touched buckets (reads stay
+            one-file-per-row cheap; writes re-copy the bucket).
+          - ``delta`` merge-on-read: append the deduped winners as delta
+            files; reads LWW-resolve base+delta. A small epoch against a
+            big table writes O(epoch) instead of O(buckets touched) — the
+            COW write amplification is the single biggest cost of frequent
+            small commits at 100 TB.
+          - ``auto``  delta when the epoch is small relative to the table
+            (< ``delta_fraction`` of estimated rows) and no bucket's delta
+            chain exceeds ``max_delta_chain``; cow otherwise.
 
         Exactly-once: if ``epoch`` is already in the snapshot's
         ``committed_epochs`` the call is a fenced no-op (idempotent retry).
@@ -253,7 +324,8 @@ class LakeTable:
             try:
                 return self._merge_attempt(
                     spark, snap, changes, epoch, start_seq, end_seq, op_col, delete_op,
-                    extra_counters or {}, bucket_pruning,
+                    extra_counters or {}, bucket_pruning, mode, delta_fraction,
+                    max_delta_chain,
                 )
             except CommitConflict:
                 if attempt == max_retries - 1:
@@ -272,6 +344,9 @@ class LakeTable:
         delete_op: str,
         extra_counters: dict,
         bucket_pruning: bool | str = "auto",
+        mode: str = "cow",
+        delta_fraction: float = 0.05,
+        max_delta_chain: int = 8,
     ) -> dict:
         keys = snap.key_cols
         seq_col = snap.seq_col
@@ -294,6 +369,21 @@ class LakeTable:
             else:
                 src_sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         src = src.select(*src_sel, F.col(op_col).alias("_op"), F.col("_bucket"))
+
+        if mode == "auto":
+            epoch_events = end_seq - start_seq + 1
+            chain = max((len(v) for v in snap.delta_files.values()), default=0)
+            use_delta = (
+                snap.total_rows > 0
+                and epoch_events < max(1.0, delta_fraction * snap.total_rows)
+                and chain < max_delta_chain
+            )
+            mode = "delta" if use_delta else "cow"
+        if mode == "delta":
+            return self._merge_delta_write(
+                spark, snap, src, new_schema, data_cols, epoch, start_seq,
+                end_seq, delete_op, extra_counters,
+            )
 
         # Bucket pruning (copy-on-write scope) needs the set of touched
         # buckets, which costs one extra materialization of the change
@@ -352,9 +442,10 @@ class LakeTable:
         touched_set = {str(b) for b in touched}
         t_materialize = time.time() - t0
 
-        # Base rows from touched buckets only (copy-on-write scope)
-        base_files = [p for b, fs in snap.files.items() if b in touched_set for p in fs]
-        base = self._read_files(spark, snap, base_files, with_tombstone=True)
+        # Base rows from touched buckets only (copy-on-write scope); any
+        # MOR delta files on those buckets are LWW-folded here and their
+        # manifest entries cleared below.
+        base = self._resolve(spark, snap, buckets=touched_set)
         # align base to evolved schema (+ tombstone flag)
         base_sel = []
         for f_ in new_schema.fields:
@@ -437,6 +528,13 @@ class LakeTable:
 
         files = {b: fs for b, fs in snap.files.items() if b not in touched_set}
         files.update(new_files)
+        delta_files = {
+            b: fs for b, fs in snap.delta_files.items() if b not in touched_set and fs
+        }
+        bucket_rows = dict(snap.bucket_rows)
+        for b in touched_set:
+            bucket_rows.pop(b, None)
+        bucket_rows.update({b: n for b, n in rows_per_bucket.items()})
 
         counters = {
             "epoch": epoch,
@@ -460,6 +558,94 @@ class LakeTable:
             "key_cols": keys,
             "seq_col": seq_col,
             "files": files,
+            "delta_files": delta_files,
+            "bucket_rows": bucket_rows,
+            "committed_epochs": {
+                **snap.committed_epochs,
+                str(epoch): {"start_seq": start_seq, "end_seq": end_seq},
+            },
+            "counters": counters,
+            "parent_version": snap.version,
+            "committed_at": time.time(),
+        }
+        self._commit(manifest)
+        return {"status": "committed", "version": manifest["version"], **counters}
+
+    def _merge_delta_write(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        src: DataFrame,
+        new_schema: StructType,
+        data_cols: list[str],
+        epoch: int,
+        start_seq: int,
+        end_seq: int,
+        delete_op: str,
+        extra_counters: dict,
+    ) -> dict:
+        """Merge-on-read commit: append the deduped winners (deletes as
+        tombstone rows) as per-bucket delta files — no base read, no COW
+        rewrite. Reads resolve base+delta by max seq per key."""
+        rows = src.select(
+            *data_cols,
+            (F.col("_op") == delete_op).alias(TOMBSTONE_COL),
+            F.col("_bucket"),
+        )
+        attempt_id = f"epoch={epoch}-delta-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, DATA_DIR, attempt_id)
+        t0 = time.time()
+        (
+            rows.repartition(min(spark.sparkContext.defaultParallelism, snap.num_buckets), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        t_write = time.time() - t0
+        t0 = time.time()
+
+        delta_files = {b: list(fs) for b, fs in snap.delta_files.items()}
+        bucket_rows = dict(snap.bucket_rows)
+        rows_written = 0
+        rows_per_bucket: dict[str, int] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            rel = [
+                os.path.join(DATA_DIR, attempt_id, entry, fn)
+                for fn in os.listdir(bdir)
+                if fn.endswith(".parquet")
+            ]
+            delta_files.setdefault(bucket, []).extend(rel)
+            n = _parquet_rows([os.path.join(self.root, p) for p in rel])
+            rows_per_bucket[bucket] = n
+            bucket_rows[bucket] = bucket_rows.get(bucket, 0) + n
+            rows_written += n
+
+        counters = {
+            "epoch": epoch,
+            "mode": "delta",
+            "rows_written": rows_written,
+            "buckets_rewritten": 0,
+            "buckets_total": snap.num_buckets,
+            "rows_per_bucket": rows_per_bucket,
+            "materialize_sec": 0.0,
+            "write_sec": round(t_write, 3),
+            "finalize_sec": round(time.time() - t0, 3),
+            **extra_counters,
+        }
+        manifest = {
+            "version": snap.version + 1,
+            "epoch": epoch,
+            "schema": new_schema.jsonValue(),
+            "num_buckets": snap.num_buckets,
+            "key_cols": snap.key_cols,
+            "seq_col": snap.seq_col,
+            "files": snap.files,
+            "delta_files": delta_files,
+            "bucket_rows": bucket_rows,
             "committed_epochs": {
                 **snap.committed_epochs,
                 str(epoch): {"start_seq": start_seq, "end_seq": end_seq},
@@ -480,13 +666,14 @@ class LakeTable:
         *,
         vacuum_tombstones_below_seq: int | None = None,
     ) -> dict:
-        """Rewrite every bucket into one file; optionally vacuum tombstones
-        whose seq is below the low-watermark (no event with a smaller seq
-        can still arrive). The epoch-chain COW merge leaves one file per
-        epoch per touched bucket; compaction bounds read amplification —
-        the Iceberg rewrite_data_files analogue."""
+        """Rewrite every bucket into one file, folding any MOR delta files
+        into the base; optionally vacuum tombstones whose seq is below the
+        low-watermark (no event with a smaller seq can still arrive). The
+        epoch-chain COW merge leaves one file per epoch per touched bucket
+        and delta merges chain delta files; compaction bounds read
+        amplification — the Iceberg rewrite_data_files analogue."""
         snap = self.snapshot()
-        df = self._read_files(spark, snap, snap.file_list(), with_tombstone=True)
+        df = self._resolve(spark, snap)
         if vacuum_tombstones_below_seq is not None:
             df = df.filter(
                 ~(
@@ -513,6 +700,10 @@ class LakeTable:
                 for fn in os.listdir(os.path.join(out_dir, entry))
                 if fn.endswith(".parquet")
             ]
+        bucket_rows = {
+            b: _parquet_rows([os.path.join(self.root, p) for p in fs])
+            for b, fs in files.items()
+        }
         manifest = {
             "version": snap.version + 1,
             "epoch": snap.epoch,
@@ -521,6 +712,8 @@ class LakeTable:
             "key_cols": snap.key_cols,
             "seq_col": snap.seq_col,
             "files": files,
+            "delta_files": {},
+            "bucket_rows": bucket_rows,
             "committed_epochs": snap.committed_epochs,
             "counters": {"compacted": True},
             "parent_version": snap.version,

@@ -57,6 +57,61 @@ HEADLINE = [
 ]
 
 
+def _cpu_worker(dur, q):
+    import numpy as np
+
+    x = np.arange(10_000, dtype=np.int64)  # cache-resident: no bus traffic
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < dur:
+        for _ in range(50):
+            x = x * 6364136223846793005 + 1442695040888963407
+        n += 50
+    q.put(n)
+
+
+def _mem_worker(dur, q):
+    import numpy as np
+
+    a = np.zeros(64 * 1024 * 1024, dtype=np.uint8)  # streams through the bus
+    b = np.zeros_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < dur:
+        np.copyto(b, a)
+        np.copyto(a, b)
+        n += 2
+    q.put(n * a.nbytes)
+
+
+def _host_scaling_evidence(low: int, high: int, dur: float = 4.0) -> dict:
+    """Measure how pure-CPU work vs pure-memory-bandwidth work scales from
+    ``low`` to ``high`` processes on THIS host. The replay pipeline moves
+    multi-KB content rows through scan → shuffle → Arrow → write, so its
+    single-box strong-scaling ceiling is the memory bus (one bus shared by
+    all cores here), not engine serialization — on a real N→4N EXECUTOR
+    cluster each node adds its own bus. These two numbers anchor that
+    interpretation: if membw_scaling ≈ replay scaling ≪ cpu_scaling, the
+    residual is the host, not the engine."""
+    import multiprocessing as mp
+
+    def run(worker, nproc):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(dur, q)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot / dur
+
+    out = {}
+    for name, w in (("cpu", _cpu_worker), ("membw", _mem_worker)):
+        r_lo, r_hi = run(w, low), run(w, high)
+        out[f"{name}_scaling_{low}_{high}"] = round(r_hi / ((high / low) * r_lo), 3)
+    return out
+
+
 def _time_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entry_mod.queries()
     out: dict[str, float] = {}
@@ -116,6 +171,56 @@ def _cdc_replay(
         return n_events / wall
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
+        spark.stop()
+
+
+def _cdc_steady_state(master: str, n_events: int) -> dict:
+    """Production-shaped CDC measurement: a table pre-built from 75% of a
+    wide-keyspace stream, then the remaining 25% applied in 8 small
+    epochs — once as merge-on-read deltas, once as copy-on-write. At
+    10^10 scale epochs are always small relative to the table, so THIS
+    ratio (not the build-from-empty number) is what COW amplification
+    costs per commit."""
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        "cdc-steady",
+        master=master,
+        shuffle_partitions=64,
+        extra_conf={"spark.local.dir": f"{shm}/sparktmp"} if shm else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="steady_", dir=shm)
+    try:
+        stream = write_change_stream(
+            spark, os.path.join(work, "ev"), n_events,
+            seed=42, num_partitions=64, n_repos=500, paths_per_repo=5000,
+        )
+        build = int(n_events * 0.75)
+        tail = n_events - build
+        out: dict = {"n_events": n_events, "tail_events": tail, "epochs": 8}
+        for mode in ("delta", "cow"):
+            table, _ = create_table_for_stream(
+                spark, stream, os.path.join(work, f"t_{mode}"), num_buckets=64
+            )
+            ReplayRunner(spark, stream, table, batch_size=build, merge_mode="cow").run(
+                max_epochs=1
+            )
+            runner = ReplayRunner(
+                spark, stream, table, batch_size=(tail + 7) // 8, merge_mode=mode
+            )
+            t0 = time.time()
+            runner.run()
+            out[f"events_per_sec_{mode}"] = round(tail / (time.time() - t0), 1)
+        out["delta_vs_cow_speedup"] = round(
+            out["events_per_sec_delta"] / out["events_per_sec_cow"], 2
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
 
@@ -204,6 +309,12 @@ def main() -> None:
                 round(ab_max_by, 1) if ab_max_by is not None else None
             ),
         }
+        if os.environ.get("ARC_BENCH_SKIP_EVIDENCE") != "1":
+            result["cdc"]["host_scaling_evidence"] = _host_scaling_evidence(low, high)
+        if os.environ.get("ARC_BENCH_SKIP_STEADY") != "1":
+            result["cdc"]["steady_state"] = _cdc_steady_state(
+                f"local[{high}]", max(n_events // 2, 200_000)
+            )
 
     print(json.dumps(result))
 

@@ -1,0 +1,117 @@
+"""Merge-on-read (delta) commits: equivalence with copy-on-write, delta
+chaining, compaction folding, tombstones through the delta path, and the
+auto mode-selection policy."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from arc_spark.cdc.bootstrap import create_table_for_stream
+from arc_spark.cdc.generator import write_change_stream
+from arc_spark.cdc.runner import ReplayRunner
+from arc_spark.lake.table import LakeTable
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def stream(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("mor")
+    return write_change_stream(spark, str(d / "ev"), N, seed=7, num_partitions=8)
+
+
+def _replay(spark, stream, root, merge_mode, batch_size):
+    table, _ = create_table_for_stream(spark, stream, root, num_buckets=8)
+    runner = ReplayRunner(
+        spark, stream, table, batch_size=batch_size, merge_mode=merge_mode
+    )
+    runner.run()
+    return table, runner
+
+
+def test_delta_replay_equals_cow_replay(spark, stream, tmp_path):
+    cow, _ = _replay(spark, stream, str(tmp_path / "cow"), "cow", batch_size=N)
+    # 1 big COW epoch then 4 small delta epochs
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "mor"), num_buckets=8)
+    ReplayRunner(spark, stream, table, batch_size=2000, merge_mode="cow").run(max_epochs=1)
+    base_files = dict(table.snapshot().files)
+    ReplayRunner(spark, stream, table, batch_size=250, merge_mode="delta").run()
+    snap = table.snapshot()
+    # delta commits never rewrote the base
+    assert snap.files == base_files
+    assert sum(len(v) for v in snap.delta_files.values()) > 0
+    a, b = table.read(spark), cow.read(spark)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_delta_tombstone_blocks_resurrection(spark, tmp_path):
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "t")
+    table = LakeTable(root)
+    df = spark.createDataFrame(
+        [Row(repo="r", path="p", seq=1, content="v1", op="upsert")]
+    )
+    table.create(df.drop("op").schema, ["repo", "path"], num_buckets=4)
+    table.merge(spark, df, epoch=0, start_seq=0, end_seq=1, mode="cow")
+    # delete arrives as a DELTA commit
+    d = spark.createDataFrame(
+        [("r", "p", 5, None, "delete")], "repo string, path string, seq long, content string, op string"
+    )
+    table.merge(spark, d, epoch=1, start_seq=5, end_seq=5, mode="delta")
+    assert table.read(spark).count() == 0
+    # a LATE lower-seq upsert (also delta) must not resurrect the key
+    late = spark.createDataFrame([Row(repo="r", path="p", seq=3, content="late", op="upsert")])
+    table.merge(spark, late, epoch=2, start_seq=3, end_seq=6, mode="delta")
+    assert table.read(spark).count() == 0
+
+
+def test_compact_folds_deltas(spark, stream, tmp_path):
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "c"), num_buckets=8)
+    ReplayRunner(spark, stream, table, batch_size=2000, merge_mode="cow").run(max_epochs=1)
+    ReplayRunner(spark, stream, table, batch_size=500, merge_mode="delta").run()
+    before = table.read(spark)
+    before_rows = before.count()
+    assert sum(len(v) for v in table.snapshot().delta_files.values()) > 0
+    table.compact(spark)
+    snap = table.snapshot()
+    assert snap.delta_files == {}
+    after = table.read(spark)
+    assert after.count() == before_rows
+    assert after.exceptAll(before).count() == 0
+    # bucket_rows bookkeeping matches reality (tombstones included)
+    assert sum(snap.bucket_rows.values()) == table.read(
+        spark, include_tombstones=True
+    ).count()
+
+
+def test_cow_folds_touched_bucket_deltas(spark, stream, tmp_path):
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "f"), num_buckets=8)
+    ReplayRunner(spark, stream, table, batch_size=1500, merge_mode="cow").run(max_epochs=1)
+    ReplayRunner(spark, stream, table, batch_size=500, merge_mode="delta").run(max_epochs=1)
+    # a full COW epoch folds every touched bucket's delta chain
+    ReplayRunner(spark, stream, table, batch_size=N, merge_mode="cow").run()
+    snap = table.snapshot()
+    assert snap.delta_files == {}
+    ref, _ = _replay(spark, stream, str(tmp_path / "ref"), "cow", batch_size=N)
+    assert table.read(spark).exceptAll(ref.read(spark)).count() == 0
+    assert ref.read(spark).exceptAll(table.read(spark)).count() == 0
+
+
+def test_auto_mode_policy(spark, stream, tmp_path):
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "a"), num_buckets=8)
+    r = ReplayRunner(spark, stream, table, batch_size=2500, merge_mode="auto")
+    r.run(max_epochs=1)
+    assert r.metrics[0]["mode"] == "cow"  # empty table -> cow
+    # tiny epoch vs ~2.4k-row table -> delta
+    r2 = ReplayRunner(spark, stream, table, batch_size=60, merge_mode="auto")
+    r2.run(max_epochs=1)
+    assert r2.metrics[0]["mode"] == "delta"
+    # resume/fencing still hold through mixed modes
+    r3 = ReplayRunner(spark, stream, table, batch_size=300, merge_mode="auto")
+    r3.run()
+    ref, _ = _replay(spark, stream, str(tmp_path / "aref"), "cow", batch_size=N)
+    assert table.read(spark).exceptAll(ref.read(spark)).count() == 0
+    assert ref.read(spark).exceptAll(table.read(spark)).count() == 0
