@@ -14,8 +14,10 @@ Plugins.scala:32-178``, ``config/ConfigUtils.scala:404-440``):
   instantiated for this run,
 - lint mode parses and validates without executing (``ARC.scala:46``).
 
-(The reference parses HOCON; we parse JSON — the subset its own test
-fixtures use — with the same resolution semantics.)
+Config text may be JSON or HOCON (the reference's native format — parsed
+by arc_spark.pipeline.hocon), loaded inline or from a file/http/classpath
+URI; Arc ``.ipynb`` notebooks are converted to configs first
+(``config/ConfigUtils.scala:187-330``).
 """
 
 from __future__ import annotations
@@ -93,12 +95,21 @@ def parse_pipeline(
 
     errors: list[str] = []
     if isinstance(config, str):
+        # lenient here: runtime-computed params (ConfigExecute) resolve
+        # at stage-execute time; stages re-substitute strictly then
+        text = substitute_params(config, ctx.args, strict=False)
         try:
-            # lenient here: runtime-computed params (ConfigExecute) resolve
-            # at stage-execute time; stages re-substitute strictly then
-            config = json.loads(substitute_params(config, ctx.args, strict=False))
-        except json.JSONDecodeError as e:
-            raise ConfigError([f"invalid JSON: {e}"]) from None
+            config = json.loads(text)
+        except json.JSONDecodeError as json_err:
+            # HOCON — the reference's native job format (a JSON superset)
+            from arc_spark.pipeline.hocon import HoconError, parse_hocon
+
+            try:
+                config = parse_hocon(text)
+            except HoconError as e:
+                raise ConfigError(
+                    [f"invalid config: not JSON ({json_err}) nor HOCON ({e})"]
+                ) from None
     if not isinstance(config, dict) or "stages" not in config:
         raise ConfigError(["config must be an object with a 'stages' array"])
 
@@ -147,7 +158,8 @@ def parse_pipeline(
 
 _COMMON_KEYS = {
     "type", "name", "description", "environments", "numPartitions",
-    "partitionBy", "persist", "resolution",
+    "partitionBy", "persist", "resolution", "authentication", "params",
+    "id",
 }
 
 
@@ -194,6 +206,15 @@ def _instantiate(cls: type[PipelineStage], raw: dict, ctx: PipelineContext) -> P
     return stage
 
 
+def _looks_like_uri(s: str) -> bool:
+    s = s.strip()
+    if "\n" in s or "{" in s:
+        return False
+    return bool(re.match(r"^[a-z][a-z0-9+.\-]*://", s)) or s.endswith(
+        (".json", ".conf", ".ipynb")
+    )
+
+
 def run_config(
     spark,
     config: str | dict,
@@ -206,8 +227,18 @@ def run_config(
 ):
     """Parse + run a pipeline config; returns (last DataFrame, ctx).
 
+    ``config`` may be inline JSON/HOCON text, a parsed dict, or a URI /
+    path to a ``.json`` / ``.conf`` / ``.ipynb`` job file (file, http(s)
+    and classpath schemes — ``config/ArcPipeline.scala:26-45``).
     ``lint=True`` parses/validates only (ARC.scala lintOnly, :46,299-308).
     """
+    if isinstance(config, str) and _looks_like_uri(config):
+        from arc_spark.pipeline.hocon import ipynb_to_config, read_uri
+
+        text = read_uri(config)
+        if config.endswith(".ipynb"):
+            text = ipynb_to_config(text)
+        config = text
     ctx = PipelineContext(
         spark=spark,
         environment=environment,

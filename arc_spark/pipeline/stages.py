@@ -27,18 +27,84 @@ from arc_spark.schema import parse_arc_schema, to_struct_type
 # ---------------------------------------------------------------------------
 
 
+_INTERNAL_META = {"internal": True}
+
+
+def add_internal_columns(df: DataFrame, *, contiguous_index: bool = True) -> DataFrame:
+    """Append the Arc internal provenance columns ``_filename`` and
+    ``_index`` (util/ExtractUtils.scala:41-131) to a batch extract.
+
+    ``_index`` is the 1-based row number within each source file. The
+    reference computes it without a window (a per-file window would drag
+    each whole file to one task): per-(file, partition) min/max of
+    monotonically_increasing_id are collected (O(files × partitions) driver
+    rows), a scan assigns each partition its start offset within its file,
+    and each row derives its index from the low 33 bits of the monotonic
+    id. We follow the same two-phase plan but apply the per-group offsets
+    with a broadcast join + column arithmetic instead of a mapPartitions
+    closure — stays inside codegen, no Python in the row path.
+    """
+    if df.isStreaming or ({"_filename", "_index", "_monotonically_increasing_id"} & set(df.columns)):
+        return df
+    spark = df.sparkSession
+    enriched = (
+        df.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_filename", F.input_file_name())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if not contiguous_index:
+        return enriched.drop("_pid").withColumnsRenamed({"_mid": "_monotonically_increasing_id"}).withColumn(
+            "_filename", F.col("_filename").alias("_filename", metadata=_INTERNAL_META)
+        )
+    mask = (1 << 33) - 1
+    summary = (
+        enriched.groupBy("_filename", "_pid")
+        .agg(F.min("_mid").alias("mn"), F.max("_mid").alias("mx"))
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for r in summary:
+        by_file.setdefault(r["_filename"], []).append(r)
+    rows = []
+    for fname, parts in by_file.items():
+        prev_max = 0
+        for r in sorted(parts, key=lambda x: x["_pid"]):
+            start = prev_max + 1
+            prev_max = start + (r["mx"] - r["mn"])
+            rows.append((fname, r["_pid"], start, r["mn"] & mask))
+    offsets = spark.createDataFrame(
+        rows, "_filename string, _pid int, _start long, _offset long"
+    )
+    return (
+        enriched.join(F.broadcast(offsets), ["_filename", "_pid"], "left")
+        .withColumn(
+            "_index",
+            ((F.col("_mid").bitwiseAND(F.lit(mask))) - F.col("_offset") + F.col("_start")).alias(
+                "_index", metadata=_INTERNAL_META
+            ),
+        )
+        .withColumn("_filename", F.col("_filename").alias("_filename", metadata=_INTERNAL_META))
+        .drop("_mid", "_pid", "_start", "_offset")
+    )
+
+
 class _FileExtract(PipelineStage):
     """Shared skeleton for file-format extracts (extract/*Extract.scala):
     glob input, optional declared Arc schema, optional watermark, streaming
     mode via ctx.streaming (schema mandatory when streaming,
-    DelimitedExtract.scala:186-225)."""
+    DelimitedExtract.scala:186-225). Batch extracts append the internal
+    ``_filename``/``_index`` provenance columns (contiguousIndex=false
+    keeps the raw monotonic id instead); an empty/missing glob yields a
+    typed empty DataFrame when a schema is declared
+    (extract/DelimitedExtract.scala:236-265)."""
 
     format: str = ""
     default_options: dict[str, str] = {}
 
     REQUIRED = ("outputView",)
     OPTIONAL = ("inputURI", "inputView", "inputField", "schema", "schemaURI",
-                "options", "watermark", "basePath")
+                "options", "watermark", "basePath", "contiguousIndex",
+                "internalColumns")
 
     def _schema(self) -> T.StructType | None:
         if "schema" in self.params:
@@ -56,18 +122,35 @@ class _FileExtract(PipelineStage):
         opts = self._options()
         if self.params.get("basePath"):
             opts["basePath"] = self.params["basePath"]
-        if ctx.streaming:
+        if "inputView" in self.params:
+            df = self._from_view(ctx, opts, schema)
+        elif ctx.streaming:
             if schema is None:
                 raise ValueError(f"{self.name}: streaming extract requires a schema")
             reader = ctx.spark.readStream.format(self.format).options(**opts).schema(schema)
             df = reader.load(self.params["inputURI"])
-        elif "inputView" in self.params:
-            df = self._from_view(ctx, opts, schema)
         else:
             reader = ctx.spark.read.format(self.format).options(**opts)
             if schema is not None:
                 reader = reader.schema(schema)
-            df = reader.load(self.params["inputURI"])
+            try:
+                df = reader.load(self.params["inputURI"])
+                if len(df.schema.fields) == 0:
+                    raise ValueError("zero-column input")
+            except Exception as e:
+                # empty or not-yet-arrived glob → typed empty DataFrame if a
+                # schema is declared (scheduled jobs must not fail on gaps,
+                # extract/DelimitedExtract.scala:236-265)
+                if schema is None:
+                    raise ValueError(
+                        f"{self.name}: input {self.params['inputURI']!r} is empty or "
+                        f"missing and no schema is declared: {e}"
+                    ) from None
+                df = ctx.spark.createDataFrame([], schema)
+        if self.params.get("internalColumns", True):
+            df = add_internal_columns(
+                df, contiguous_index=self.params.get("contiguousIndex", True)
+            )
         wm = self.params.get("watermark")
         if wm:
             df = df.withWatermark(wm["eventTime"], wm["delayThreshold"])
@@ -103,12 +186,64 @@ class DelimitedExtract(_FileExtract):
     stage_type = "DelimitedExtract"
     format = "csv"
     default_options = {"header": "false", "sep": ","}
+    OPTIONAL = _FileExtract.OPTIONAL + ("delimiter", "quote", "header", "customDelimiter")
+    # Arc-style enum aliases for delimiter/quote (api/API.scala Delimited)
+    _DELIMITERS = {"Comma": ",", "Pipe": "|", "DefaultHive": "\x01", "Custom": None}
+    _QUOTES = {"DoubleQuote": '"', "SingleQuote": "'", "None": "\x00"}
+
+    def _options(self) -> dict[str, str]:
+        opts = super()._options()
+        d = self.params.get("delimiter")
+        if d:
+            opts["sep"] = self._DELIMITERS.get(d) or self.params.get("customDelimiter", d)
+        q = self.params.get("quote")
+        if q:
+            opts["quote"] = self._QUOTES.get(q, q)
+        if "header" in self.params:
+            opts["header"] = str(self.params["header"]).lower()
+        return opts
 
     def _from_view(self, ctx, opts, schema):
+        """Parse a string column as CSV lines via the ``from_csv``
+        expression — no df.rdd round trip (keeps lineage + codegen, and
+        works on STREAMING views, unlike the reference's textContent
+        collect, DelimitedExtract.scala:226-235)."""
         field = self.params.get("inputField", "value")
-        src = ctx.spark.table(self.params["inputView"]).select(F.col(field).cast("string"))
-        rdd = src.rdd.map(lambda r: r[0])
-        return ctx.spark.read.options(**opts).csv(rdd, schema=schema)
+        src = ctx.spark.table(self.params["inputView"]).select(
+            F.col(field).cast("string").alias("value")
+        )
+        header = str(opts.get("header", "false")).lower() == "true"
+        header_line = None
+        if header:
+            if src.isStreaming:
+                raise ValueError(f"{self.name}: header=true unsupported on a streaming view")
+            first = src.limit(1).collect()
+            header_line = first[0]["value"] if first else None
+            src = src.filter(F.col("value") != F.lit(header_line))
+        parse_opts = {k: v for k, v in opts.items() if k != "header"}
+        if schema is None:
+            if src.isStreaming:
+                raise ValueError(f"{self.name}: streaming from-view requires a schema")
+            sample = src.filter(F.col("value").isNotNull()).limit(1).collect()
+            if not sample:
+                raise ValueError(f"{self.name}: cannot infer CSV schema from an empty view")
+            schema_str = (
+                ctx.spark.range(1)
+                .select(F.schema_of_csv(F.lit(sample[0]["value"]), parse_opts))
+                .first()[0]
+            )
+            parsed = src.select(F.from_csv(F.col("value"), F.lit(schema_str), parse_opts).alias("_r"))
+            out = parsed.select("_r.*")
+            if header_line is not None:
+                sep = parse_opts.get("sep", ",")
+                names = [n.strip() for n in header_line.split(sep)]
+                if len(names) == len(out.columns):
+                    out = out.toDF(*names)
+            return out
+        parsed = src.select(
+            F.from_csv(F.col("value"), F.lit(schema.simpleString()), parse_opts).alias("_r")
+        )
+        return parsed.select("_r.*")
 
 
 @register_stage
@@ -120,11 +255,38 @@ class JSONExtract(_FileExtract):
     default_options = {"multiLine": "true"}
 
     def _from_view(self, ctx, opts, schema):
+        """Parse a string column as JSON via the ``from_json`` expression —
+        no df.rdd round trip (keeps lineage + codegen; streaming-capable,
+        unlike the reference's collect-based path, JSONExtract.scala)."""
         field = self.params.get("inputField", "value")
-        src = ctx.spark.table(self.params["inputView"]).select(F.col(field).cast("string"))
-        rdd = src.rdd.map(lambda r: r[0])
-        reader = ctx.spark.read.options(**{**opts, "multiLine": "false"})
-        return reader.json(rdd, schema=schema)
+        src = ctx.spark.table(self.params["inputView"]).select(
+            F.col(field).cast("string").alias("value")
+        )
+        parse_opts = {k: v for k, v in opts.items() if k != "multiLine"}
+        if schema is None:
+            if src.isStreaming:
+                raise ValueError(f"{self.name}: streaming from-view requires a schema")
+            # infer by merging the per-row schemas of a bounded sample
+            # driver-side (from_json needs one fixed schema)
+            sample = [
+                r["value"]
+                for r in src.filter(F.col("value").isNotNull()).limit(100).collect()
+            ]
+            if not sample:
+                raise ValueError(f"{self.name}: cannot infer JSON schema from an empty view")
+            inferred = (
+                ctx.spark.createDataFrame([(s,) for s in sample], "value string")
+                .select(F.schema_of_json_agg("value").alias("s"))
+                .first()[0]
+                if hasattr(F, "schema_of_json_agg")
+                else ctx.spark.range(1).select(F.schema_of_json(F.lit(sample[0]))).first()[0]
+            )
+            parsed = src.select(F.from_json("value", inferred, parse_opts).alias("_r"))
+            return parsed.select("_r.*")
+        parsed = src.select(
+            F.from_json("value", schema.simpleString(), parse_opts).alias("_r")
+        )
+        return parsed.select("_r.*")
 
 
 @register_stage
@@ -261,14 +423,15 @@ class SQLTransform(PipelineStage):
 
     stage_type = "SQLTransform"
     REQUIRED = ("outputView",)
-    OPTIONAL = ("sql", "sqlURI", "sqlParams", "authentication")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "sqlParams", "authentication")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def _stmt(self, ctx: PipelineContext) -> str:
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         return substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
 
     def validate_config(self, ctx: PipelineContext) -> None:
@@ -412,8 +575,8 @@ class MetadataFilterTransform(PipelineStage):
 
     stage_type = "MetadataFilterTransform"
     REQUIRED = ("inputView", "outputView")
-    OPTIONAL = ("sql", "sqlURI", "sqlParams")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         src = ctx.spark.table(self.params["inputView"])
@@ -426,8 +589,9 @@ class MetadataFilterTransform(PipelineStage):
         ).createOrReplaceTempView("metadata")
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
         keep = [r[0] for r in ctx.spark.sql(sql).collect()]
         df = src.select(*[c for c in src.columns if c in keep])
@@ -764,14 +928,15 @@ class SQLValidate(PipelineStage):
     canonical data-quality gate on typing ``_errors``."""
 
     stage_type = "SQLValidate"
-    OPTIONAL = ("sql", "sqlURI", "sqlParams")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def execute(self, ctx: PipelineContext) -> None:
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
         rows = ctx.spark.sql(sql).collect()
         if len(rows) != 1 or len(rows[0]) != 2:
@@ -836,8 +1001,8 @@ class MetadataValidate(PipelineStage):
 
     stage_type = "MetadataValidate"
     REQUIRED = ("inputView",)
-    OPTIONAL = ("sql", "sqlURI", "sqlParams")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def execute(self, ctx: PipelineContext) -> None:
         src = ctx.spark.table(self.params["inputView"])
@@ -850,8 +1015,9 @@ class MetadataValidate(PipelineStage):
         ).createOrReplaceTempView("metadata")
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
         out = ctx.spark.sql(sql).collect()
         if len(out) != 1 or len(out[0]) != 2:
@@ -866,14 +1032,15 @@ class LogExecute(PipelineStage):
     """execute/LogExecute.scala:106-171 — SQL → 1 row message to the log."""
 
     stage_type = "LogExecute"
-    OPTIONAL = ("sql", "sqlURI", "sqlParams")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def execute(self, ctx: PipelineContext) -> None:
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
         row = ctx.spark.sql(sql).first()
         ctx.user_data[f"{self.name}.message"] = row[0] if row else None
@@ -886,14 +1053,15 @@ class ControlFlowExecute(PipelineStage):
     message]; stores the payload for the ControlFlow lifecycle gate."""
 
     stage_type = "ControlFlowExecute"
-    OPTIONAL = ("sql", "sqlURI", "sqlParams", "key")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "sqlParams", "key")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def execute(self, ctx: PipelineContext) -> None:
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
         row = ctx.spark.sql(sql).first()
         key = self.params.get("key", "controlflow")
@@ -912,9 +1080,12 @@ class PipelineExecute(PipelineStage):
 
     def validate_config(self, ctx: PipelineContext) -> None:
         from arc_spark.pipeline.config import parse_pipeline
+        from arc_spark.pipeline.hocon import ipynb_to_config, read_uri
 
-        with open(self.params["uri"]) as f:
-            sub = parse_pipeline(f.read(), ctx)
+        text = read_uri(self.params["uri"])
+        if self.params["uri"].endswith(".ipynb"):
+            text = ipynb_to_config(text)
+        sub = parse_pipeline(text, ctx)
         self._inline_stages = sub.stages
 
     def execute(self, ctx: PipelineContext) -> None:  # pragma: no cover
@@ -1098,14 +1269,15 @@ class JDBCExecute(PipelineStage):
 
     stage_type = "JDBCExecute"
     REQUIRED = ("jdbcURL",)
-    OPTIONAL = ("sql", "sqlURI", "params")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "params")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def execute(self, ctx: PipelineContext) -> None:
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         jvm = ctx.spark._sc._jvm
         conn = jvm.java.sql.DriverManager.getConnection(self.params["jdbcURL"])
         try:
@@ -1198,14 +1370,15 @@ class ConfigExecute(PipelineStage):
     stage-config mechanism)."""
 
     stage_type = "ConfigExecute"
-    OPTIONAL = ("sql", "sqlURI", "sqlParams")
-    ONE_OF = (("sql", "sqlURI"),)
+    OPTIONAL = ("sql", "sqlURI", "inputURI", "sqlParams")
+    ONE_OF = (("sql", "sqlURI", "inputURI"),)
 
     def execute(self, ctx: PipelineContext) -> None:
         sql = self.params.get("sql")
         if sql is None:
-            with open(self.params["sqlURI"]) as f:
-                sql = f.read()
+            from arc_spark.pipeline.hocon import read_uri
+
+            sql = read_uri(self.params.get("sqlURI") or self.params["inputURI"])
         sql = substitute_params(sql, {**ctx.args, **(self.params.get("sqlParams") or {})})
         row = ctx.spark.sql(sql).first()
         if row is None or len(row) != 1:
