@@ -23,12 +23,22 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, BinaryType, DoubleType, IntegerType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 @pandas_udf(DoubleType())
@@ -133,6 +143,29 @@ def _get_uri_array_impl(uris: pd.Series) -> pd.Series:
     return uris.map(many)
 
 
+def _expand_uri(uri: str) -> list[tuple[bytes, str]]:
+    """(content, filename) pairs for a URI; file URIs may be GLOB patterns
+    (plugins/udf/ARC.scala:146-202 getURIFilenameArray)."""
+    if uri.startswith(("http://", "https://")):
+        return [(_fetch_uri(uri), uri)]
+    import glob as _glob
+
+    path = uri[7:] if uri.startswith("file://") else uri
+    matches = sorted(_glob.glob(path))
+    if not matches:
+        raise FileNotFoundError(f"no files found for uri '{uri}'")
+    return [(_fetch_uri("file://" + os.path.abspath(m)), m) for m in matches]
+
+
+def _get_uri_filename_array_impl(uris: pd.Series) -> pd.Series:
+    def many(u):
+        if u is None:
+            return None
+        return [{"value": v, "filename": f} for v, f in _expand_uri(str(u))]
+
+    return uris.map(many)
+
+
 def register_udfs(spark: SparkSession) -> list[str]:
     """Register the built-in function set for SQL callers; returns the
     registered names (mirrors udf/UDF.scala:11-29 catalog diffing)."""
@@ -149,12 +182,48 @@ def register_udfs(spark: SparkSession) -> list[str]:
         spark.udf.register(name, pandas_udf(_json_array_udf(py), ArrayType(elem)))
         registered.append(name)
 
-    # driver-free URI fetching (http(s)/file) with auto-decompression
+    # driver-free URI fetching (http(s)/file incl. globs) with
+    # auto-decompression
     spark.udf.register("get_uri", _get_uri)
     spark.udf.register(
         "get_uri_array", pandas_udf(_get_uri_array_impl, ArrayType(BinaryType()))
     )
-    registered += ["get_uri", "get_uri_array"]
+    spark.udf.register(
+        "get_uri_filename_array",
+        pandas_udf(
+            _get_uri_filename_array_impl,
+            ArrayType(
+                StructType(
+                    [
+                        StructField("value", BinaryType()),
+                        StructField("filename", StringType()),
+                    ]
+                )
+            ),
+        ),
+    )
+    registered += ["get_uri", "get_uri_array", "get_uri_filename_array"]
+
+    # random (plugins/udf/ARC.scala:115-117) — newer Spark ships a native
+    # `random()` alias of rand(); register a fallback only if absent so
+    # SQL written against the reference always resolves
+    try:
+        spark.sql("SELECT random()").collect()
+    except Exception:
+        import random as _random
+
+        spark.udf.register("random", lambda: _random.random(), DoubleType())
+    registered.append("random")
+
+    # struct_keys (plugins/udf/ARC.scala:119-125): SQL callers get a
+    # row-level UDF (structs reach Python as Rows); DataFrame pipelines
+    # should prefer the JVM column helper `struct_keys` below
+    spark.udf.register(
+        "struct_keys",
+        lambda row: None if row is None else list(row.asDict().keys()),
+        ArrayType(StringType()),
+    )
+    registered.append("struct_keys")
     return registered
 
 

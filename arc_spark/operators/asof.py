@@ -41,23 +41,37 @@ def asof_join(
     ``tolerance_seconds``: if set, matches older than the tolerance are
     nulled (pandas ``merge_asof(tolerance=...)`` semantics).
     """
+    from pyspark.sql import types as T
+
     l_payload = [c for c in left.columns if c not in keys and c != left_time]
     r_payload = [c for c in right.columns if c not in keys]
 
+    # The matched right row is carried as ONE struct (time + payload), not
+    # per-column last(ignorenulls): per-column carry would stitch values
+    # from DIFFERENT right rows whenever the matched row has a legit NULL
+    # payload column (an older row's non-null value would leak through,
+    # and the tolerance check would compare against the wrong row's time).
+    r_struct_type = T.StructType(
+        [T.StructField("_rt", right.schema[right_time].dataType)]
+        + [T.StructField(f"{right_prefix}{c}", right.schema[c].dataType) for c in r_payload]
+    )
     lt = F.col(left_time)
     l_side = left.select(
         *[F.col(k) for k in keys],
         lt.alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c).alias(c) for c in l_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}") for c in r_payload],
+        F.lit(None).cast(r_struct_type).alias("_rrow"),
     )
     r_side = right.select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in r_payload],
+        F.struct(
+            F.col(right_time).alias("_rt"),
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in r_payload],
+        ).alias("_rrow"),
     )
     u = l_side.unionByName(r_side)
 
@@ -67,35 +81,30 @@ def asof_join(
         .orderBy(F.col("_t"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(f"{right_prefix}{c}"), ignorenulls=True).over(w).alias(f"{right_prefix}{c}")
-        for c in r_payload
-    ]
-    carried_t = F.last(
-        F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True
-    ).over(w)
-
     out = (
-        u.select(*keys, "_t", "_is_left", *l_payload, *carried, carried_t.alias("_rt"))
+        u.select(
+            *keys, "_t", "_is_left", *l_payload,
+            F.last("_rrow", ignorenulls=True).over(w).alias("_m"),
+        )
         .filter(F.col("_is_left") == 1)
     )
     if tolerance_seconds is not None:
-        within = (
-            F.col("_rt").isNotNull()
-            & (F.unix_timestamp(F.col("_t")) - F.unix_timestamp(F.col("_rt")) <= tolerance_seconds)
+        within = F.col("_m").isNotNull() & (
+            F.unix_timestamp(F.col("_t")) - F.unix_timestamp(F.col("_m._rt"))
+            <= tolerance_seconds
         )
         out = out.select(
             *keys,
             F.col("_t").alias(left_time),
             *l_payload,
             *[
-                F.when(within, F.col(f"{right_prefix}{c}")).alias(f"{right_prefix}{c}")
+                F.when(within, F.col(f"_m.{right_prefix}{c}")).alias(f"{right_prefix}{c}")
                 for c in r_payload
             ],
         )
     else:
         out = out.select(
             *keys, F.col("_t").alias(left_time), *l_payload,
-            *[F.col(f"{right_prefix}{c}") for c in r_payload],
+            *[F.col(f"_m.{right_prefix}{c}").alias(f"{right_prefix}{c}") for c in r_payload],
         )
     return out

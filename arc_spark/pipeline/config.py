@@ -224,6 +224,8 @@ def run_config(
     streaming: bool = False,
     lint: bool = False,
     lifecycle: list | None = None,
+    storage_level: str = "MEMORY_AND_DISK_SER",
+    immutable_views: bool = False,
 ):
     """Parse + run a pipeline config; returns (last DataFrame, ctx).
 
@@ -246,6 +248,8 @@ def run_config(
         streaming=streaming,
         lint=lint,
         lifecycle=lifecycle or [],
+        storage_level=storage_level,
+        immutable_views=immutable_views,
     )
     pipeline = parse_pipeline(config, ctx)
     if lint:

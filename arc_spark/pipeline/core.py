@@ -39,6 +39,24 @@ class PipelineContext:
     lifecycle: list["LifecyclePlugin"] = field(default_factory=list)
     # accumulated per-stage metrics (duration, rows where cheap)
     events: list[dict] = field(default_factory=list)
+    # execution policies (ARC.scala:57-74): persist storage level for
+    # `persist: true` stages, and immutable views (a second registration
+    # of the same view name is an error)
+    storage_level: str = "MEMORY_AND_DISK_SER"
+    immutable_views: bool = False
+    registered_views: set = field(default_factory=set)
+
+
+def _storage_level(ctx: PipelineContext):
+    from pyspark import StorageLevel
+
+    name = (ctx.storage_level or "MEMORY_AND_DISK_SER").upper()
+    # pyspark has no *_SER levels (serialization is inherent); the
+    # reference default MEMORY_AND_DISK_SER maps to MEMORY_AND_DISK
+    name = {"MEMORY_AND_DISK_SER": "MEMORY_AND_DISK", "MEMORY_ONLY_SER": "MEMORY_ONLY"}.get(
+        name, name
+    )
+    return getattr(StorageLevel, name, StorageLevel.MEMORY_AND_DISK)
 
 
 class LifecyclePlugin:
@@ -94,9 +112,15 @@ class PipelineStage:
             elif partition_by:
                 df = df.repartition(*partition_by)
         if output_view:
+            if ctx.immutable_views and output_view in ctx.registered_views:
+                raise ValueError(
+                    f"{self.name}: view {output_view!r} is already registered and "
+                    f"policy immutableViews is enabled (ARC.scala:66-70)"
+                )
             df.createOrReplaceTempView(output_view)
+            ctx.registered_views.add(output_view)
         if self.params.get("persist") and not df.isStreaming:
-            ctx.spark.catalog.cacheTable(output_view)
+            ctx.spark.catalog.cacheTable(output_view, storageLevel=_storage_level(ctx))
             df.count()
         return df
 

@@ -705,7 +705,7 @@ class HTTPTransform(PipelineStage):
 
     stage_type = "HTTPTransform"
     REQUIRED = ("inputView", "outputView", "uri")
-    OPTIONAL = ("inputField", "batchSize", "headers", "validStatusCodes")
+    OPTIONAL = ("inputField", "batchSize", "delimiter", "headers", "validStatusCodes")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         import pandas as pd
@@ -713,6 +713,10 @@ class HTTPTransform(PipelineStage):
         uri = self.params["uri"]
         field = self.params.get("inputField", "value")
         batch_size = int(self.params.get("batchSize", 100))
+        # reference batching (:214-270): batchSize rows are joined with
+        # `delimiter` into ONE POST; the response body splits back into
+        # one element per row — request count is ceil(rows/batchSize)
+        delimiter = self.params.get("delimiter", "\n")
         headers = self.params.get("headers") or {}
         valid = set(self.params.get("validStatusCodes", [200, 201, 202]))
         src = ctx.spark.table(self.params["inputView"])
@@ -722,17 +726,24 @@ class HTTPTransform(PipelineStage):
             import urllib.request
 
             for pdf in batches:
-                bodies = []
+                bodies: list[str] = []
                 for start in range(0, len(pdf), batch_size):
                     chunk = pdf[field].iloc[start : start + batch_size]
-                    for v in chunk:
-                        req = urllib.request.Request(
-                            uri, data=str(v).encode(), headers=headers, method="POST"
+                    sep = delimiter if len(chunk) > 1 else ""
+                    payload = sep.join(str(v) for v in chunk)
+                    req = urllib.request.Request(
+                        uri, data=payload.encode(), headers=headers, method="POST"
+                    )
+                    with urllib.request.urlopen(req) as resp:
+                        if resp.status not in valid:
+                            raise ValueError(f"HTTP {resp.status}")
+                        text = resp.read().decode()
+                    parts = text.split(delimiter) if len(chunk) > 1 else [text]
+                    if len(parts) != len(chunk):
+                        raise ValueError(
+                            f"HTTPTransform expected {len(chunk)} response elements, got {len(parts)}"
                         )
-                        with urllib.request.urlopen(req) as resp:
-                            if resp.status not in valid:
-                                raise ValueError(f"HTTP {resp.status}")
-                            bodies.append(resp.read().decode())
+                    bodies.extend(parts)
                 pdf = pdf.copy()
                 pdf["body"] = pd.Series(bodies, index=pdf.index)
                 yield pdf
@@ -830,29 +841,71 @@ class AvroLoad(_FileLoad):
 
 @register_stage
 class TextLoad(PipelineStage):
-    """load/TextLoad.scala:129-276. singleFile mode writes one file with
-    prefix/separator/suffix (the idempotent-manifest pattern)."""
+    """load/TextLoad.scala:129-276. singleFile mode accepts [value],
+    [value, filename] or [value, filename, index] signatures: one output
+    file per filename, rows ordered by index within each file, each file
+    wrapped with prefix/separator/suffix, written on the EXECUTORS
+    (grouped by filename — the reference's repartition(col("filename")) +
+    foreachPartition, :160-250, minus its quirk of attributing a whole
+    hash-partition to its first row's filename), and the written paths
+    recorded in ctx.events (its collectionAccumulator)."""
 
     stage_type = "TextLoad"
-    REQUIRED = ("inputView", "outputURI")
-    OPTIONAL = ("singleFile", "prefix", "separator", "suffix", "saveMode")
+    REQUIRED = ("inputView",)
+    OPTIONAL = ("outputURI", "singleFile", "prefix", "separator", "suffix",
+                "saveMode", "singleFileNumPartitions")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         df = ctx.spark.table(self.params["inputView"])
-        uri = self.params["outputURI"]
+        uri = self.params.get("outputURI")
         if self.params.get("singleFile"):
-            if len(df.columns) != 1:
-                raise ValueError(f"{self.name}: singleFile requires exactly one column")
-            parts = [
-                self.params.get("prefix", ""),
-                self.params.get("separator", "\n").join(
-                    str(r[0]) for r in df.toLocalIterator()
-                ),
-                self.params.get("suffix", ""),
-            ]
-            os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
-            with open(uri, "w") as f:
-                f.write("".join(parts))
+            allowed = (["value"], ["value", "filename"], ["value", "filename", "index"])
+            if sorted(df.columns) not in [sorted(a) for a in allowed]:
+                raise ValueError(
+                    f"{self.name}: singleFile requires [value], [value, filename] or "
+                    f"[value, filename, index], got {df.columns}"
+                )
+            if "filename" not in df.columns:
+                if not uri:
+                    raise ValueError(
+                        f"{self.name}: outputURI required when no 'filename' column exists"
+                    )
+                df = df.withColumn("filename", F.lit(uri))
+            has_index = "index" in df.columns
+            prefix = self.params.get("prefix", "")
+            sep = self.params.get("separator", "\n")
+            suffix = self.params.get("suffix", "")
+            save_mode = self.params.get("saveMode", "overwrite").lower()
+            n_part = int(self.params.get("singleFileNumPartitions", 32))
+
+            def write_group(pdf):
+                import pandas as pd
+
+                path = pdf["filename"].iloc[0]
+                if has_index:
+                    pdf = pdf.sort_values("index")
+                body = prefix + sep.join(str(v) for v in pdf["value"]) + suffix
+                exists = os.path.exists(path)
+                if exists and save_mode == "errorifexists":
+                    raise FileExistsError(path)
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                with open(path, "a" if (exists and save_mode == "append") else "w") as f:
+                    f.write(body)
+                return pd.DataFrame({"filename": [path], "rows": [len(pdf)]})
+
+            written = (
+                df.repartition(n_part, "filename")
+                .groupBy("filename")
+                .applyInPandas(write_group, "filename string, rows long")
+                .collect()
+            )
+            ctx.events.append(
+                {
+                    "event": "stage.outputFiles",
+                    "stage": self.name,
+                    "outputFiles": sorted(r["filename"] for r in written),
+                }
+            )
             return df
         df.write.mode(self.params.get("saveMode", "overwrite")).text(uri)
         return df
@@ -1246,17 +1299,33 @@ class JDBCLoad(PipelineStage):
         # upstream non-deterministically (JDBCLoad.scala:162-165)
         df = df.persist()
         expected = df.count()
-        df.write.jdbc(
-            self.params["jdbcURL"], self.params["tableName"],
-            mode=self.params.get("saveMode", "append"), properties=props,
-        )
-        if self.params.get("verify", True):
-            actual = ctx.spark.read.jdbc(
+        mode = self.params.get("saveMode", "append")
+        verify = self.params.get("verify", True)
+
+        def _target_count() -> int:
+            return ctx.spark.read.jdbc(
                 self.params["jdbcURL"], self.params["tableName"], properties=props
             ).count()
-            if actual < expected:
+
+        # pre/post delta, not a total-count floor: comparing the whole
+        # target count to this batch masks lost writes whenever the table
+        # already has rows (load/JDBCLoad.scala:279-293 counts both sides)
+        pre = 0
+        if verify and mode == "append":
+            try:
+                pre = _target_count()
+            except Exception:
+                pre = 0  # table doesn't exist yet
+        df.write.jdbc(
+            self.params["jdbcURL"], self.params["tableName"], mode=mode, properties=props
+        )
+        if verify:
+            post = _target_count()
+            delta = post - pre if mode == "append" else post
+            if delta != expected:
                 raise ValueError(
-                    f"{self.name}: JDBC write verification failed: wrote {expected}, target has {actual}"
+                    f"{self.name}: JDBC write verification failed: wrote {expected}, "
+                    f"target gained {delta} (pre={pre}, post={post})"
                 )
         df.unpersist()
         return df

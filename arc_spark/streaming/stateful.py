@@ -93,10 +93,15 @@ def sessionize(
             # snapshot of the still-open session
             out.append((key[0], s_start, s_end, s_n, False))
             state.update((s_start, s_end, s_n))
-            # seal when event time passes end-of-session + gap
-            state.setTimeoutTimestamp(
-                int((s_end + gap).timestamp() * 1000)
-            )
+            # seal when event time passes end-of-session + gap. The naive
+            # datetime is session-UTC event time; .timestamp() would
+            # interpret it in the MACHINE's local timezone, firing the
+            # event-time timeout offset by the UTC delta on non-UTC hosts
+            # (possibly below the watermark) — pin it to UTC explicitly.
+            import datetime as _dt
+
+            seal = (s_end + gap).replace(tzinfo=_dt.timezone.utc)
+            state.setTimeoutTimestamp(int(seal.timestamp() * 1000))
         if out:
             yield pd.DataFrame(
                 out,

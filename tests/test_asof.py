@@ -92,3 +92,15 @@ def test_asof_tolerance(spark, quotes_trades):
     assert by_id[1] == 100.0   # gap 1s <= 2s
     assert by_id[3] == 102.0   # gap 1s
     assert by_id[5] is None    # B@30 vs quote@6: gap 24s > 2s → nulled
+
+
+def test_asof_null_right_payload_not_stitched(spark):
+    """A matched right row with a NULL payload column must yield NULL —
+    not an older row's non-null value (per-column carry-forward bug)."""
+    left = spark.createDataFrame([("k", 10, "L")], "k string, t long, lv string")
+    right = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 5, None)], "k string, t long, rv string"
+    )
+    out = asof_join(left, right, keys=["k"], left_time="t", right_time="t").first()
+    assert out["r_rv"] is None  # matched row (t=5) has NULL rv
+    assert out["r_t"] == 5

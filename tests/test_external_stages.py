@@ -78,6 +78,8 @@ def test_jdbc_execute_ddl(spark):
 
 
 class _Handler(BaseHTTPRequestHandler):
+    post_counts: dict[str, int] = {}
+
     def log_message(self, *a):  # quiet
         pass
 
@@ -94,6 +96,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         n = int(self.headers.get("Content-Length", 0))
         data = self.rfile.read(n)
+        _Handler.post_counts[self.path] = _Handler.post_counts.get(self.path, 0) + 1
         if self.path == "/predict":
             payload = json.loads(data)
             preds = [len(str(x)) * 1.0 for x in payload["instances"]]
@@ -189,6 +192,118 @@ def test_get_uri_udfs(spark, http_server):
         f"SELECT get_uri_array('{http_server}/p1,{http_server}/p2') AS arr"
     ).first()
     assert [bytes(x) for x in row2["arr"]] == [b"hello:/p1", b"hello:/p2"]
+
+
+def test_http_transform_batches_requests(spark, http_server):
+    """batchSize rows are joined into ONE POST and the response splits
+    back per row (HTTPTransform.scala:214-270) — request count is
+    ceil(rows/batchSize), not one per row."""
+    spark.createDataFrame(
+        [(f"m{i}",) for i in range(6)], "value string"
+    ).coalesce(1).createOrReplaceTempView("batch_msgs")
+    _Handler.post_counts.pop("/batched", None)
+    cfg = {
+        "stages": [
+            {"type": "HTTPTransform", "name": "t", "inputView": "batch_msgs",
+             "outputView": "bresp", "uri": http_server + "/batched",
+             "batchSize": 3},
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    assert {r["body"] for r in df.collect()} == {f"M{i}" for i in range(6)}
+    assert _Handler.post_counts["/batched"] == 2  # 6 rows / batchSize 3
+
+
+def test_jdbc_load_detects_short_write(spark, monkeypatch):
+    """Pre/post count-delta verification catches lost rows even when the
+    target table already has data (the total-count floor check was
+    vacuous for append-to-non-empty, JDBCLoad.scala:279-293)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    url = "jdbc:derby:memory:shortw;create=true"
+    spark.range(100).selectExpr("CAST(id AS INT) AS id").write.jdbc(
+        url, "dest", mode="overwrite", properties=DERBY
+    )
+    spark.createDataFrame([(200,), (201,), (202,), (203,)], "id int").createOrReplaceTempView(
+        "short_src"
+    )
+    orig = DataFrameWriter.jdbc
+
+    def lossy(self, jurl, table, mode=None, properties=None):
+        half = self._df.limit(2)  # simulate a short write
+        return orig(half.write, jurl, table, mode=mode, properties=properties)
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", lossy)
+    cfg = {
+        "stages": [
+            {"type": "JDBCLoad", "name": "w", "inputView": "short_src",
+             "jdbcURL": url, "tableName": "dest", "saveMode": "append",
+             "params": DERBY},
+        ]
+    }
+    with pytest.raises(Exception, match="verification failed"):
+        run_config(spark, json.dumps(cfg))
+    monkeypatch.undo()
+    # healthy append passes and the delta matches
+    df, _ = run_config(spark, json.dumps(cfg))
+    assert spark.read.jdbc(url, "dest", properties=DERBY).count() == 106  # 100+2+4
+
+
+def test_textload_singlefile_per_filename_ordered(spark, tmp_path):
+    """[value, filename, index] signature: one file per filename, rows
+    ordered by index, prefix/separator/suffix applied, written paths in
+    ctx.events (load/TextLoad.scala:160-250)."""
+    a, b = str(tmp_path / "out" / "a.txt"), str(tmp_path / "out" / "b.txt")
+    spark.createDataFrame(
+        [("2nd", a, 2), ("1st", a, 1), ("only", b, 1)],
+        "value string, filename string, index int",
+    ).createOrReplaceTempView("tl_src")
+    cfg = {
+        "stages": [
+            {"type": "TextLoad", "name": "w", "inputView": "tl_src",
+             "singleFile": True, "prefix": "[", "separator": "|", "suffix": "]"},
+        ]
+    }
+    _, ctx = run_config(spark, json.dumps(cfg))
+    assert open(a).read() == "[1st|2nd]"
+    assert open(b).read() == "[only]"
+    files = [e for e in ctx.events if e["event"] == "stage.outputFiles"][0]["outputFiles"]
+    assert files == sorted([a, b])
+
+
+def test_udf_parity_random_struct_keys_uri_filename_array(spark, tmp_path):
+    from arc_spark.functions import register_udfs
+
+    names = register_udfs(spark)
+    assert {"random", "struct_keys", "get_uri_filename_array"} <= set(names)
+    r = spark.sql("SELECT random() AS r").first()["r"]
+    assert 0.0 <= r < 1.0
+    ks = spark.sql("SELECT struct_keys(named_struct('a', 1, 'b', 2)) AS k").first()["k"]
+    assert ks == ["a", "b"]
+    (tmp_path / "f1.txt").write_text("one")
+    (tmp_path / "f2.txt").write_text("two")
+    row = spark.sql(
+        f"SELECT get_uri_filename_array('{tmp_path}/f*.txt') AS arr"
+    ).first()["arr"]
+    assert [(bytes(e["value"]), e["filename"].split("/")[-1]) for e in row] == [
+        (b"one", "f1.txt"), (b"two", "f2.txt"),
+    ]
+
+
+def test_immutable_views_policy(spark):
+    spark.range(3).createOrReplaceTempView("iv_src")
+    cfg = {
+        "stages": [
+            {"type": "SQLTransform", "name": "a", "sql": "SELECT * FROM iv_src",
+             "outputView": "iv_dup"},
+            {"type": "SQLTransform", "name": "b", "sql": "SELECT * FROM iv_src",
+             "outputView": "iv_dup"},
+        ]
+    }
+    with pytest.raises(Exception, match="immutableViews"):
+        run_config(spark, json.dumps(cfg), immutable_views=True)
+    df, _ = run_config(spark, json.dumps(cfg))  # default: allowed
+    assert df.count() == 3
 
 
 def test_jdbc_load_streaming_foreach_batch(spark, tmp_path):
