@@ -26,8 +26,41 @@ bottleneck at 100 TB).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# In-bucket candidate-pair expansion: ids arrive SORTED, so slice-after-i
+# yields each (x, y) with x < y exactly once. groupBy+expand replaces a
+# banded SELF-JOIN — a self-join scans and recomputes the signature
+# pipeline for BOTH sides; this shape computes signatures once and
+# shuffles only thin (bucket, ids) rows.
+_PAIR_EXPAND = (
+    "flatten(transform({ids}, (x, i) -> "
+    "transform(slice({ids}, i + 2, size({ids})), y -> struct(x AS a, y AS b))))"
+)
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    elem,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Distinct candidate pairs (a, b with a < b) of ``elem`` values that
+    share a bucket; buckets above ``max_bucket_size`` are dropped (the
+    degenerate-bucket guard — one boilerplate bucket is otherwise
+    quadratic)."""
+    g = banded.groupBy(*bucket_cols).agg(F.sort_array(F.collect_set(elem)).alias("ids"))
+    g = g.filter(F.size("ids") >= 2)
+    if max_bucket_size:
+        g = g.filter(F.size("ids") <= max_bucket_size)
+    return (
+        g.select(F.explode(F.expr(_PAIR_EXPAND.format(ids="ids"))).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -59,6 +92,18 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and pass the bound value to ``fn``.
+
+    Catalyst inlines plain column references into transform lambdas, so an
+    expression like ``transform(seq, i -> slice(split(norm), i, n))``
+    re-evaluates the whole split/regexp subtree at EVERY lambda iteration
+    (measured ~50x redundant work per doc). Routing the subtree through a
+    single-element array + lambda variable forces one evaluation.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _shingles(c: Column, n: int, mode: str = "word") -> Column:
     """Array of distinct n-gram shingles of the normalized text.
 
@@ -70,13 +115,23 @@ def _shingles(c: Column, n: int, mode: str = "word") -> Column:
     via NGram over characters)."""
     norm = F.trim(F.lower(F.regexp_replace(c, r"\s+", " ")))
     if mode == "char":
-        idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-        return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
-    words = F.split(norm, " ")
-    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), count)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        return _bind(
+            norm,
+            lambda nm: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(nm) - (n - 1), F.lit(1))),
+                    lambda i: nm.substr(i, F.lit(n)),
+                )
+            ),
+        )
+    return _bind(
+        F.split(norm, " "),
+        lambda ws: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            )
+        ),
     )
 
 
@@ -138,9 +193,12 @@ def minhash_near_dup(
         "id",
         minhash_signature_from_hashes(F.col("_sh"), num_hashes).alias("sig"),
     )
+    # the signature table is referenced by the banding pass AND both sides
+    # of the estimate join-back — persist it (thin: id + 16 longs) so the
+    # shingle/signature pipeline runs exactly once
+    sig = sig.persist()
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -154,29 +212,14 @@ def minhash_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-    if max_bucket_size:
-        from arc_spark.operators.similarity import _cap_buckets
-
-        banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    ).select("id", "bb.band", "bb.bucket")
+    pairs = _bucket_pairs(banded, ["band", "bucket"], F.col("id"), max_bucket_size).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
+    # late materialization: the signature joins back onto the (small)
+    # deduped pair set for the estimate, instead of riding every banded row
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     jac = (
         F.size(
             F.filter(
@@ -187,7 +230,9 @@ def minhash_near_dup(
         / F.lit(float(num_hashes))
     )
     return (
-        pairs.withColumn("jaccard_est", jac)
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", jac)
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
@@ -198,35 +243,41 @@ def minhash_near_dup(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_from_hashes_udf():
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(hash_arrays), dtype=np.uint64)
+        bitsel = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hash_arrays):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            # (n_shingles, 64) bit matrix -> per-bit vote sums
+            bits = (h[:, None] & bitsel[None, :]) != 0
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+            out[i] = (bitsel[votes > 0]).sum(dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
+
+    return _simhash
+
+
 def simhash64(c: Column, shingle_n: int = 2, mode: str = "word") -> Column:
     """64-bit simhash: per bit, sign of the sum over shingles of ±1 from
     that shingle's hash bit.
 
-    One pass over the shingle array: the accumulator is an array of 64
-    vote counters updated via zip_with + bit_get (64 cheap ops per
-    shingle, a single aggregate — NOT 64 aggregates, which explodes the
-    codegen tree and falls back to interpreted eval).
+    Shingling + xxhash64 stay JVM-side; the 64-lane bit voting runs as ONE
+    Arrow-batched numpy kernel (a (shingles × 64) bit matrix per row).
+    The earlier pure-expression form (zip_with + bit_get folded over the
+    shingle array) is interpreted per element by Catalyst and measured
+    ~10x slower at 5k docs — exactly the 'Pandas UDFs beat per-element
+    expression trees for wide numeric kernels' tradeoff.
     """
     sh = _shingles(c, shingle_n, mode)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(bit_idx, lambda b: F.bit_get(h, b).cast("int")),
-            lambda a, bit: a + bit * 2 - 1,
-        ),
-    )
-    # bit weights as longs; bit 63 is the (negative) sign-bit value
-    powers = F.array(
-        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
-    )
-    bits = F.zip_with(
-        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return _simhash_from_hashes_udf()(hashes)
 
 
 def simhash_near_dup(
@@ -250,10 +301,20 @@ def simhash_near_dup(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n, shingle_mode).alias("sh"))
+    # the Arrow UDF's argument must be a PLAIN column: handed the
+    # higher-order transform(...) expression (which CollapseProject will
+    # re-inline across selects, and the cache manager may substitute
+    # into), planner extraction fails with INTERNAL_ERROR: Cannot
+    # generate code for expression: _simhash. localCheckpoint truncates
+    # the lineage at the shingle-hash level so the UDF always sits in a
+    # plain projection over a materialized relation.
+    hashes = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
+    ).localCheckpoint(eager=False)
+    sig = hashes.select("id", _simhash_from_hashes_udf()(F.col("_sh")).alias("sh"))
     banded = sig.select(
-        "id",
-        "sh",
+        F.struct("id", "sh").alias("e"),
         F.explode(
             F.array(
                 *[
@@ -265,27 +326,18 @@ def simhash_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.chunk")
-    if max_bucket_size:
-        from arc_spark.operators.similarity import _cap_buckets
-
-        banded = _cap_buckets(banded, ["band", "chunk"], max_bucket_size)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+    ).select("e", "bb.band", "bb.chunk")
+    # the signature is one long, so it rides the bucket rows; pairs carry
+    # both signatures out of the groupBy for the exact Hamming verify
+    pairs = _bucket_pairs(banded, ["band", "chunk"], F.col("e"), max_bucket_size)
+    return (
+        pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -305,9 +357,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over character-shingle sets for (id_a, id_b) candidate
     pairs (the verify stage after minhash/simhash candidate generation)."""
+    # both pair sides join against the shingle table — persist so the
+    # shingling pipeline runs once
     sh = df.select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n, shingle_mode).alias("sh")
-    )
+    ).persist()
     j = (
         candidate_pairs.join(sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id"))
         .drop("id")

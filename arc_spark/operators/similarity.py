@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -368,45 +369,41 @@ def embedding_near_dup(
     """All pairs with cosine ≥ threshold, via banded hyperplane-LSH
     bucketing + exact re-rank (id_a < id_b).
 
-    Late materialization: the banded self-join shuffles ONLY thin
-    (id, band, bucket) rows — never the vectors. Candidate id pairs are
-    deduped first, then the (small relative to pairs) vector table joins
-    back twice for the verify, and the exact cosine runs as one numpy
-    matmul-shaped Arrow pass instead of a per-element expression chain.
+    Plan shape (the 100 TB story): one scan computes ALL band keys per row
+    in a single numpy matmul Arrow pass (n×dim @ dim×planes — a
+    per-expression fold would interpret dim·planes lambda steps per row);
+    thin (id, band, bucket) rows group by bucket and expand in-bucket
+    pairs (no self-join, so vectors and projections compute once); the
+    deduped pair set late-materializes the vectors for one vectorized
+    exact-cosine verify.
     """
     from pyspark.sql.types import DoubleType
+
+    from arc_spark.operators.dedup import _bucket_pairs
 
     sample = df.select(vec_col).first()
     dim = len(sample[0])
     planes = _hyperplanes(dim, num_planes, seed)
     rpb = num_planes // bands
-    v = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    P = np.array(planes, dtype=np.float64)  # (planes, dim)
+    weights = np.array([1 << r for r in range(rpb)], dtype=np.int64)
+    n_bands = bands
+
+    @pandas_udf(ArrayType(LongType()))
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ P.T >= 0).astype(np.int64)  # (n, planes)
+        keys = bits.reshape(len(V), n_bands, rpb) @ weights  # (n, bands)
+        return pd.Series(list(keys))
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()  # referenced by banding + both verify join sides
     banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        lsh_bucket_expr(F.col("v"), planes, band, rpb).alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        "id", F.posexplode(_band_keys(F.col("v"))).alias("band", "bucket")
+    )
+    pairs = _bucket_pairs(banded, ["band", "bucket"], F.col("id"), max_bucket_size).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
 
     @pandas_udf(DoubleType())
