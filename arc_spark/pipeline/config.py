@@ -41,10 +41,81 @@ class ConfigError(Exception):
 # stage-type registry (the ServiceLoader analogue, ARC.scala:171-175)
 STAGE_TYPES: dict[str, type[PipelineStage]] = {}
 
+# dynamic-configuration plugin registry (config/ArcPipeline.scala:74-85):
+# entries under `plugins.config` run BEFORE stage parsing and contribute
+# values to ${param} resolution (precedence: supplied args win over
+# dynamic values win over environment)
+CONFIG_PLUGINS: dict[str, Any] = {}
+
+# lifecycle plugin registry for `plugins.lifecycle` entries
+LIFECYCLE_TYPES: dict[str, type] = {}
+
 
 def register_stage(cls: type[PipelineStage]) -> type[PipelineStage]:
     STAGE_TYPES[cls.stage_type] = cls
     return cls
+
+
+def register_config_plugin(name: str):
+    def deco(fn):
+        CONFIG_PLUGINS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_lifecycle(name: str, cls: type) -> None:
+    LIFECYCLE_TYPES[name] = cls
+
+
+def _substitute_tree(node: Any, args: dict[str, str]) -> Any:
+    """Resolve remaining ${param} placeholders throughout a parsed config
+    tree (used after dynamic config plugins add resolution values)."""
+    if isinstance(node, str) and "${" in node:
+        return substitute_params(node, args, strict=False)
+    if isinstance(node, dict):
+        return {k: _substitute_tree(v, args) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_substitute_tree(v, args) for v in node]
+    return node
+
+
+def _apply_plugins(config: dict, ctx: PipelineContext, errors: list[str]) -> dict:
+    plugins = config.get("plugins") or {}
+    for i, raw in enumerate(plugins.get("config") or []):
+        envs = raw.get("environments") or []
+        if envs and ctx.environment not in envs:
+            continue
+        fn = CONFIG_PLUGINS.get(raw.get("type"))
+        if fn is None:
+            errors.append(f"plugins.config[{i}]: unknown config plugin {raw.get('type')!r}")
+            continue
+        try:
+            values = fn({k: v for k, v in raw.items() if k not in ("type", "environments")}, ctx) or {}
+        except Exception as e:
+            errors.append(f"plugins.config[{i}] ({raw.get('type')}): {e}")
+            continue
+        for k, v in values.items():
+            ctx.args.setdefault(k, str(v))  # supplied args keep precedence
+    for i, raw in enumerate(plugins.get("lifecycle") or []):
+        envs = raw.get("environments") or []
+        if envs and ctx.environment not in envs:
+            continue
+        cls = LIFECYCLE_TYPES.get(raw.get("type"))
+        if cls is None:
+            errors.append(
+                f"plugins.lifecycle[{i}]: unknown lifecycle plugin {raw.get('type')!r}"
+            )
+            continue
+        try:
+            ctx.lifecycle.append(
+                cls(**{k: v for k, v in raw.items() if k not in ("type", "environments", "name")})
+            )
+        except Exception as e:
+            errors.append(f"plugins.lifecycle[{i}] ({raw.get('type')}): {e}")
+    if plugins:
+        config = _substitute_tree(config, ctx.args)
+    return config
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -112,6 +183,8 @@ def parse_pipeline(
                 ) from None
     if not isinstance(config, dict) or "stages" not in config:
         raise ConfigError(["config must be an object with a 'stages' array"])
+
+    config = _apply_plugins(config, ctx, errors)
 
     stages: list[PipelineStage] = []
     for i, raw in enumerate(config["stages"]):

@@ -1610,3 +1610,12 @@ class LakeExpireExecute(PipelineStage):
         )
         ctx.user_data[f"{self.name}.result"] = res
         return None
+
+
+# lifecycle plugins resolvable from `plugins.lifecycle` config entries
+# (config/ArcPipeline.scala:86 resolveConfigPlugins on "plugins.lifecycle")
+from arc_spark.pipeline.config import register_lifecycle  # noqa: E402
+
+register_lifecycle("ControlFlow", ControlFlow)
+register_lifecycle("ChaosMonkey", ChaosMonkey)
+register_lifecycle("DataLineage", DataLineage)

@@ -272,3 +272,49 @@ def test_reference_pipeline_conf_runs(spark, monkeypatch):
     assert df.count() == 2
     for view in ("stage0", "stage1", "stage2", "stage3", "stage4"):
         assert spark.table(view).count() == 2
+
+
+def test_dynamic_config_plugin_resolution(spark):
+    """plugins.config entries run before stage parsing and contribute
+    ${param} values, with environments filtering and supplied-args
+    precedence (config/ArcPipeline.scala:74-85 + the reference's
+    dynamic_config_plugin.conf fixture shape)."""
+    from arc_spark.pipeline.config import register_config_plugin
+
+    @register_config_plugin("tests.EnvConfig")
+    def _plugin(params, ctx):
+        return {"arc.foo": params.get("key", "default"), "arc.n": 3}
+
+    spark.range(5).createOrReplaceTempView("dyn_src")
+    cfg = """
+    {
+      plugins.config = [
+        { type = "tests.EnvConfig", environments = ["test"], key = "testValue" }
+        { type = "tests.EnvConfig", environments = ["production"], key = "prodValue" }
+      ]
+      stages = [
+        { type = SQLTransform, name = s, outputView = o,
+          sql = "SELECT '${arc.foo}' AS v, ${arc.n} AS n FROM dyn_src LIMIT 1" }
+      ]
+    }
+    """
+    df, _ = run_config(spark, cfg, environment="test")
+    row = df.first()
+    assert row["v"] == "testValue" and row["n"] == 3
+    # supplied args outrank dynamic values
+    df2, _ = run_config(spark, cfg, environment="test", args={"arc.foo": "cli"})
+    assert df2.first()["v"] == "cli"
+
+
+def test_config_lifecycle_plugin(spark):
+    spark.range(4).createOrReplaceTempView("lc_src")
+    cfg = """
+    {
+      plugins.lifecycle = [ { type = "DataLineage" } ]
+      stages = [
+        { type = SQLTransform, name = s, outputView = o, sql = "SELECT * FROM lc_src" }
+      ]
+    }
+    """
+    _, ctx = run_config(spark, cfg)
+    assert any(type(p).__name__ == "DataLineage" for p in ctx.lifecycle)
