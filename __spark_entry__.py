@@ -2,7 +2,7 @@
 
 ``entry(spark)``   — flagship: CDC last-writer-wins replay over the
                      sf0.001 events table (normalize + Arrow sha256
-                     fingerprint + thin LWW kernel).
+                     fingerprint + window LWW kernel).
 ``queries()``      — one entry per implemented operator (SURVEY.md §2 and
                      the training-data operator family).
 ``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every SQL-expressible
@@ -51,8 +51,10 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]
 def entry(spark: SparkSession) -> DataFrame:
     """CDC LWW replay of the sf0.001 events table: binlog-style mapping
     (seq=event_id, key=user_id, delete on 'error'), Arrow-vectorized
-    normalize+sha256 on the payload, thin (late-materialization)
-    last-writer-wins kernel — the scale default (see cdc/apply.py)."""
+    normalize+sha256 on the payload, window last-writer-wins kernel —
+    WindowGroupLimit partial top-1 per key map-side, spillable sort
+    instead of fat hash-agg state; measured-best default (see
+    cdc/apply.py for the strategy A/B)."""
     return _cdc_lww(spark, "/root/testdata/sf0.001")
 
 
@@ -73,7 +75,7 @@ def _cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("content"),
     )
     changes = normalize_and_fingerprint(changes)
-    winners = last_writer_wins(changes, ["user_id"], "seq", strategy="thin")
+    winners = last_writer_wins(changes, ["user_id"], "seq", strategy="window")
     return winners.filter(F.col("op") != "delete").select(
         "user_id",
         F.col("seq").alias("last_seq"),

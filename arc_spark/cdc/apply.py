@@ -7,17 +7,21 @@ seq)`` + ``row_number()==1`` or ``repartition(keys)+sortWithinPartitions+
 mapPartitions`` (the shape BASELINE.json's north_rule mandates). We
 implement three interchangeable strategies and verify they agree:
 
-``max_by``  (default)   groupBy(keys).agg(max_by(struct(*), seq)).
-    Scale rationale: partial aggregation — each map task collapses its
-    local events per key BEFORE the shuffle, so with ~E events over K keys
-    only ~min(E, K·P) rows cross the wire instead of E. At 10^10 events
-    with heavy multi-event keys this is the dominant win, and a hot key is
-    reduced map-side too (plus an optional explicit two-phase salt).
+``window``  (default)   row_number over (partitionBy keys, orderBy seq desc).
+    This IS the north_rule's repartition-by-key + sortWithinPartitions +
+    LWW shape, and Spark ≥3.5 executes it with a WindowGroupLimit: each
+    map task keeps only its local top-1 row per key BEFORE the shuffle,
+    so like max_by only ~min(E, K·P) rows cross the wire — but the
+    surviving rows flow through a spillable sort instead of a fat
+    hash-agg state. Measured best at BOTH parallelism levels (2M events,
+    interleaved best-of-2: 127k/220k ev/s at local[4]/[16], vs thin
+    121k/197k, max_by 117k/204k).
 
-``window``              row_number over (partitionBy keys, orderBy seq desc).
-    Spark ≥3.5 inserts a WindowGroupLimit (partial top-1 before the
-    shuffle), making this nearly as good as max_by; kept because it is the
-    SQL-oracle-friendly form.
+``max_by``              groupBy(keys).agg(max_by(struct(*), seq)).
+    Partial aggregation collapses local events per key map-side, but the
+    hash-agg state holds one full multi-KB payload struct per key and
+    spills once keys-per-task × row size exceeds task memory — and more
+    tasks per host = less memory per task, so it anti-scales on fat rows.
 
 ``sort_partitions``     repartition(P, keys) → sortWithinPartitions(keys,
     seq desc) → stateful mapInPandas keep-first-per-key.
@@ -109,7 +113,7 @@ def last_writer_wins(
     keys: list[str],
     seq_col: str = "seq",
     *,
-    strategy: str = "max_by",
+    strategy: str = "window",
     num_partitions: int | None = None,
     salt_buckets: int | None = None,
 ) -> DataFrame:

@@ -50,7 +50,7 @@ class ReplayRunner:
         table: LakeTable,
         *,
         batch_size: int = 100_000,
-        strategy: str = "thin",
+        strategy: str = "window",
         salt_buckets: int | None = None,
         fingerprint: bool = True,
         metrics_path: str | None = None,

@@ -131,7 +131,7 @@ def _time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _cdc_replay(
-    master: str, stream_path: str, n_events: int, batches: int, strategy: str = "thin"
+    master: str, stream_path: str, n_events: int, batches: int, strategy: str = "window"
 ) -> float:
     """Run the full replay job cold at the given parallelism; return events/sec.
 
@@ -309,7 +309,7 @@ def main() -> None:
             # weak scaling: 4x input with 4x cores vs 1x input at 1x cores
             "weak_events_per_sec_low": round(tp_weak, 1),
             "weak_scaling_efficiency": round(tp_high / (4.0 * tp_weak), 3),
-            "strategy": "thin",
+            "strategy": "window",
             "ab_max_by_events_per_sec_high": (
                 round(ab_max_by, 1) if ab_max_by is not None else None
             ),
