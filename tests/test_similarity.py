@@ -84,3 +84,45 @@ def test_ivf_pruned_probe_matches_numpy_replication(emb, qvec):
     order = np.lexsort((ids[mask], -sims))
     expected = ids[mask][order[:10]].tolist()
     assert got == expected
+
+
+def test_lsh_indexed_scan_prunes_partitions(spark, emb, qvec, tmp_path):
+    """add_lsh_buckets + write partitioned by a band key: queries against
+    the stored index filter on precomputed columns instead of re-projecting
+    every row, and a per-band lookup prunes at the file-listing level (the
+    multi-table LSH layout: one partitioned table per band)."""
+    from arc_spark.operators.similarity import (
+        _hyperplanes,
+        _query_band_keys,
+        add_lsh_buckets,
+    )
+
+    indexed = add_lsh_buckets(emb, num_planes=16, bands=8)
+    path = str(tmp_path / "lsh_index")
+    indexed.write.partitionBy("_lsh0").parquet(path)
+    stored = spark.read.parquet(path)
+    # full multi-band query on stored keys equals the unindexed variant
+    got = lsh_topk(stored, qvec, k=10, bands=8, bucket_prefix="_lsh")
+    base = lsh_topk(emb, qvec, k=10, bands=8)
+    assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in base.collect()]
+    # a single-band lookup (the per-band-table layout) prunes the scan
+    planes = _hyperplanes(len(qvec), 16, 42)
+    k0 = _query_band_keys(qvec, planes, 8, 2)[0]
+    band0 = stored.filter(F.col("_lsh0") == k0)
+    plan = band0._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "_lsh0" in plan.split("PartitionFilters", 1)[1][:250]
+    assert 0 < band0.count() < stored.count()
+
+
+def test_ivf_write_index_prunes_partitions(spark, emb, qvec, tmp_path):
+    index = IVFIndex.build(emb, k=8)
+    path = str(tmp_path / "ivf_index")
+    index.write_index(path)
+    stored = spark.read.parquet(path)
+    probe = index.probe_clusters(qvec, nprobe=2)
+    pruned = stored.filter(F.col("_cluster").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "_cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    assert 0 < pruned.count() < stored.count()
