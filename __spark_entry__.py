@@ -326,14 +326,22 @@ def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard pair set whenever LSH recall is 1, which the 16-band
     config guarantees to ~1e-11 for the ≥0.8-Jaccard duplicates present
     in this corpus (planted dups have a clean gap: nothing in [0.4, 0.8))."""
-    from arc_spark.operators.dedup import minhash_near_dup, ngram_jaccard_pairs
+    from arc_spark.operators.dedup import (
+        minhash_near_dup,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
 
     docs = _load(spark, sf_dir, "documents")["documents"]
+    # ONE shingling pass shared by candidate generation and exact verify
+    sh = shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
     cand = minhash_near_dup(
-        docs, "text", "doc_id", num_hashes=16, bands=16, jaccard_threshold=0.0
+        docs, "text", "doc_id", num_hashes=16, bands=16, jaccard_threshold=0.0,
+        shingles_df=sh,
     )
     return ngram_jaccard_pairs(
-        docs, cand.select("id_a", "id_b"), "text", "doc_id", shingle_n=3, threshold=0.4
+        docs, cand.select("id_a", "id_b"), "text", "doc_id",
+        shingle_n=3, threshold=0.4, shingles_df=sh,
     )
 
 

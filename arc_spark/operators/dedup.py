@@ -135,6 +135,22 @@ def _shingles(c: Column, n: int, mode: str = "word") -> Column:
     )
 
 
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """(id, sh: array<string>) shingle table — compute (and persist) once,
+    share between candidate generation and the exact-verify stage."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), shingle_n, shingle_mode).alias("sh"),
+    )
+
+
 def shingle_hashes(c: Column, shingle_n: int = 3, mode: str = "word") -> Column:
     """xxhash64 of each distinct shingle — computed ONCE; minhash functions
     then rehash these longs (cheap) instead of re-hashing strings."""
@@ -172,8 +188,13 @@ def minhash_near_dup(
     shingle_mode: str = "word",
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
+
+    ``shingles_df``: optional precomputed (id, sh: array<string>) table
+    (from ``shingle_table``) — lets a pipeline share ONE shingling pass
+    between candidate generation and the exact-Jaccard verify stage.
 
     Pipeline: signature (map-only) → explode band buckets → groupBy bucket
     self-pairs → estimate Jaccard from full signatures → threshold.
@@ -186,10 +207,16 @@ def minhash_near_dup(
     # two selects so the shingle-hash array materializes once per row —
     # a single minhash_signature(text) expression would re-shingle the
     # text for every one of the num_hashes array_min branches
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
-    ).select(
+    if shingles_df is not None:
+        hashed = shingles_df.select(
+            "id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("_sh")
+        )
+    else:
+        hashed = df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
+        )
+    sig = hashed.select(
         "id",
         minhash_signature_from_hashes(F.col("_sh"), num_hashes).alias("sig"),
     )
@@ -354,13 +381,17 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     shingle_mode: str = "word",
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over character-shingle sets for (id_a, id_b) candidate
-    pairs (the verify stage after minhash/simhash candidate generation)."""
+    pairs (the verify stage after minhash/simhash candidate generation).
+
+    ``shingles_df``: optional precomputed (id, sh) table shared with the
+    candidate-generation stage (see ``shingle_table``)."""
     # both pair sides join against the shingle table — persist so the
     # shingling pipeline runs once
-    sh = df.select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n, shingle_mode).alias("sh")
+    sh = shingles_df if shingles_df is not None else shingle_table(
+        df, text_col, id_col, shingle_n=shingle_n, shingle_mode=shingle_mode
     ).persist()
     j = (
         candidate_pairs.join(sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id"))
