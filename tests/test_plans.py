@@ -76,3 +76,19 @@ def test_broadcast_join_for_small_dim(spark):
     customer = spark.read.parquet(f"{SF}/customer.parquet")
     joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
     assert "Broadcast" in explain_formatted(joined)
+
+
+def test_window_lww_plan_has_partial_group_limit(spark):
+    """The default window LWW strategy must plan a PARTIAL WindowGroupLimit
+    (local top-1 per key before the shuffle) — the property that makes it
+    shuffle ~one row per key per task like max_by, without max_by's fat
+    hash-agg state. If a Spark upgrade loses this, the strategy choice
+    needs re-measuring."""
+    from arc_spark.cdc.apply import last_writer_wins
+    from arc_spark.cdc.generator import change_stream
+
+    df = change_stream(spark, 5000, num_partitions=4)
+    w = last_writer_wins(df, ["repo", "path"], "seq", strategy="window")
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1][:200] or "Partial" in plan
