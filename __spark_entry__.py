@@ -578,6 +578,29 @@ def _rank_topk(topk: DataFrame) -> DataFrame:
     )
 
 
+def _doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrub pass (training-data hygiene): emails, URLs, IPv4s,
+    phone-like digit runs replaced with typed tokens — pure regex chain,
+    RE2-compatible so the oracle runs the same patterns."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.text import scrub_text
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", scrub_text(F.col("text")).alias("scrubbed"))
+
+
+def _doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gates (min tokens, punct/digit ratio caps), counted
+    per language."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.text import quality_filter
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return quality_filter(docs).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the deterministic sample-Lloyd quantizer. The test
     corpus has no cluster structure around the query (its neighbors sit at
@@ -670,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": _cdc_replay_mini,
         "language_id_documents": _language_id_documents,
         "doc_quality": _doc_quality,
+        "doc_scrub": _doc_scrub,
+        "doc_quality_filter": _doc_quality_filter,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
     }
@@ -781,6 +806,17 @@ def _lang_hits_sql(col: str, markers: list[str]) -> str:
             f"CAST((length({col}) - length(replace({col}, '{esc}', ''))) / {len(m)} AS INT)"
         )
     return " + ".join(terms)
+
+
+def _doc_scrub_oracle_sql() -> str:
+    """Same RE2-safe pattern chain, same order, global replacement."""
+    from arc_spark.operators.text import _SCRUB_PATTERNS
+
+    expr = "text"
+    for _kind, pattern, token in _SCRUB_PATTERNS:
+        esc = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed FROM documents"
 
 
 def _language_id_oracle_sql() -> str:
@@ -1074,6 +1110,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id_documents": _language_id_oracle_sql(),
         "doc_quality": _doc_quality_oracle_sql(),
+        "doc_scrub": _doc_scrub_oracle_sql(),
+        "doc_quality_filter": r"""
+            WITH m AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                       greatest(length(text), 1) AS n_chars,
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+                FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs FROM m
+            WHERE n_tokens >= 10
+              AND CAST(n_punct AS DOUBLE) / n_chars <= 0.2
+              AND CAST(n_digit AS DOUBLE) / n_chars <= 0.3
+            GROUP BY lang
+        """,
     }
 
 

@@ -121,6 +121,52 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
 
 
 # ---------------------------------------------------------------------------
+# scrubbing / filtering (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no backrefs/lookarounds) so the same regexes run
+# under Spark's Java engine and DuckDB's RE2 for oracle parity.
+_SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-. ]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_text(c: Column, kinds: list[str] | None = None) -> Column:
+    """Redact PII-ish spans (emails, URLs, IPv4s, phone-like digit runs)
+    with typed placeholder tokens — pure regexp_replace chain, stays in
+    codegen; the standard pre-training scrub pass."""
+    out = c
+    for kind, pattern, token in _SCRUB_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.3,
+) -> DataFrame:
+    """Keep documents passing the standard quality gates (C4-style
+    heuristics: long enough, not punctuation/digit noise)."""
+    c = F.col(text_col)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    return df.filter(
+        (token_count(c) >= min_tokens)
+        & (punct.cast("double") / n_chars <= max_punct_ratio)
+        & (digits.cast("double") / n_chars <= max_digit_ratio)
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,36 @@
+"""PII scrub + quality filter operators (training-data hygiene)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arc_spark.operators.text import quality_filter, scrub_text
+
+
+def test_scrub_text_redacts_typed_tokens(spark):
+    rows = [
+        ("contact bob@example.com or visit https://ex.org/a?b=1 now",),
+        ("server at 10.1.2.3 answered",),
+        ("call +1 555-123-4567 today",),
+        ("nothing to redact here",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r[0] for r in df.select(scrub_text(F.col("text"))).collect()]
+    assert got[0] == "contact <EMAIL> or visit <URL> now"
+    assert got[1] == "server at <IP> answered"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "nothing to redact here"
+    # selective kinds
+    only_email = df.select(scrub_text(F.col("text"), kinds=["email"])).collect()
+    assert only_email[1][0] == "server at 10.1.2.3 answered"
+
+
+def test_quality_filter_gates(spark):
+    rows = [
+        ("short text",),  # < 10 tokens
+        ("!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))",),  # punct noise
+        ("one two three four five six seven eight nine ten eleven",),  # ok
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    kept = [r[0] for r in quality_filter(df).collect()]
+    assert kept == ["one two three four five six seven eight nine ten eleven"]
