@@ -37,10 +37,11 @@ class StreamingReplay:
         table: LakeTable,
         *,
         checkpoint_dir: str,
-        strategy: str = "thin",
+        strategy: str = "window",
         fingerprint: bool = True,
         max_files_per_trigger: int | None = None,
         watermark: tuple[str, str] | None = None,  # (eventTime col, delay)
+        merge_mode: str = "auto",
     ):
         self.spark = spark
         self.events_path = events_path
@@ -50,6 +51,9 @@ class StreamingReplay:
         self.fingerprint = fingerprint
         self.max_files_per_trigger = max_files_per_trigger
         self.watermark = watermark
+        # micro-batches from a file tail are usually small vs the table —
+        # exactly the merge-on-read regime (see LakeTable.merge)
+        self.merge_mode = merge_mode
         self.batches: list[dict] = []
 
     def _stream(self) -> DataFrame:
@@ -78,6 +82,7 @@ class StreamingReplay:
             epoch=batch_id,
             start_seq=int(bounds["lo"]),
             end_seq=int(bounds["hi"]),
+            mode=self.merge_mode,
         )
         self.batches.append({"batch_id": batch_id, **result})
 
