@@ -119,12 +119,13 @@ def last_writer_wins(
 ) -> DataFrame:
     """Collapse ``df`` to one row per ``keys`` — the row with max ``seq_col``.
 
-    ``salt_buckets`` (max_by only): explicit two-phase aggregation for hot
+    ``salt_buckets`` (max_by/thin): explicit two-phase aggregation for hot
     keys — phase 1 groups by (keys, pmod(xxhash64(seq), S)) so a hot key's
-    events split across S reducers, phase 2 merges the S finalists. Partial
-    aggregation already defuses most skew map-side; the salt guards the
-    pathological single-key-dominates-a-reducer case the north_rule calls
-    out.
+    events split across S reducers, phase 2 merges the S finalists.
+    The ``window`` strategy needs no salt: its partial WindowGroupLimit
+    already collapses every key to ≤1 row per MAP task, so a hot key
+    reaches the reducer with at most P rows (P = upstream partitions) —
+    the pathological single-key-dominates-a-reducer case cannot occur.
     """
     if strategy == "max_by":
         return _lww_max_by(df, keys, seq_col, salt_buckets)

@@ -55,8 +55,12 @@ class ReplayRunner:
         fingerprint: bool = True,
         metrics_path: str | None = None,
         merge_mode: str = "auto",
+        keys: list[str] | None = None,
+        seq_col: str = "seq",
     ):
         self.spark = spark
+        self.keys = list(keys) if keys else list(KEYS)
+        self.seq_col = seq_col
         self.events_path = events_path
         self.table = table
         self.batch_size = batch_size
@@ -75,7 +79,7 @@ class ReplayRunner:
         return self.spark.read.parquet(self.events_path)
 
     def max_seq(self) -> int:
-        row = self._events().agg(F.max("seq")).first()
+        row = self._events().agg(F.max(self.seq_col)).first()
         return -1 if row[0] is None else int(row[0])
 
     def run(
@@ -124,7 +128,7 @@ class ReplayRunner:
 
         batch = (
             self._events()
-            .filter((F.col("seq") >= start_seq) & (F.col("seq") <= end_seq))
+            .filter((F.col(self.seq_col) >= start_seq) & (F.col(self.seq_col) <= end_seq))
             .observe(
                 obs_read,
                 F.count(F.lit(1)).alias("events_read"),
@@ -142,7 +146,7 @@ class ReplayRunner:
         if extra_cols:
             has_ddl = (
                 self._events()
-                .filter((F.col("seq") >= start_seq) & (F.col("seq") <= end_seq))
+                .filter((F.col(self.seq_col) >= start_seq) & (F.col(self.seq_col) <= end_seq))
                 .filter(F.col("op") == "schema-change")
                 .limit(1)
                 .count()
@@ -153,8 +157,8 @@ class ReplayRunner:
 
         deduped = last_writer_wins(
             row_ops,
-            KEYS,
-            "seq",
+            self.keys,
+            self.seq_col,
             strategy=self.strategy,
             salt_buckets=self.salt_buckets,
         )

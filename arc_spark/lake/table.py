@@ -276,6 +276,35 @@ class LakeTable:
     def bucket_expr(self, snap: Snapshot):
         return F.pmod(F.xxhash64(*[F.col(k) for k in snap.key_cols]), F.lit(snap.num_buckets))
 
+    def lookup(
+        self,
+        spark: SparkSession,
+        key_values: list[tuple],
+        *,
+        version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Point/key lookups that read ONLY the buckets the keys hash to —
+        at 100 TB a keyed read touches a handful of files instead of the
+        lake (Iceberg bucket-transform partition pruning). ``key_values``:
+        tuples in ``key_cols`` order."""
+        snap = self.snapshot(version)
+        kdf = spark.createDataFrame(
+            key_values,
+            StructType([snap.schema[k] for k in snap.key_cols]),
+        )
+        buckets = {
+            str(r[0])
+            for r in kdf.select(self.bucket_expr(snap).alias("_b")).distinct().collect()
+        }
+        df = self._resolve(spark, snap, buckets=buckets)
+        out = df.join(F.broadcast(kdf), snap.key_cols, "left_semi")
+        if include_tombstones:
+            return out
+        return out.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(
+            TOMBSTONE_COL
+        )
+
     # -- merge (copy-on-write upsert) --------------------------------------
 
     def merge(

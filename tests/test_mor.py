@@ -115,3 +115,42 @@ def test_auto_mode_policy(spark, stream, tmp_path):
     ref, _ = _replay(spark, stream, str(tmp_path / "aref"), "cow", batch_size=N)
     assert table.read(spark).exceptAll(ref.read(spark)).count() == 0
     assert ref.read(spark).exceptAll(table.read(spark)).count() == 0
+
+
+def test_schema_evolution_through_delta(spark, tmp_path):
+    """A delta commit carrying a NEW column widens the table schema; base
+    rows read back with nulls (additive evolution through the MOR path)."""
+    root = str(tmp_path / "se")
+    table = LakeTable(root)
+    base = spark.createDataFrame(
+        [("r", "a", 1, "v1", "upsert"), ("r", "b", 2, "v2", "upsert")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    table.create(base.drop("op").schema, ["repo", "path"], num_buckets=4)
+    table.merge(spark, base, epoch=0, start_seq=1, end_seq=2, mode="cow")
+    evolved = spark.createDataFrame(
+        [("r", "a", 5, "v1b", "py", "upsert")],
+        "repo string, path string, seq long, content string, lang string, op string",
+    )
+    table.merge(spark, evolved, epoch=1, start_seq=5, end_seq=5, mode="delta")
+    got = {(r["path"], r["content"], r["lang"]) for r in table.read(spark).collect()}
+    assert got == {("a", "v1b", "py"), ("b", "v2", None)}
+
+
+def test_lookup_prunes_buckets(spark, stream, tmp_path):
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "lk"), num_buckets=16)
+    ReplayRunner(spark, stream, table, batch_size=N).run()
+    full = table.read(spark)
+    sample = [(r["repo"], r["path"]) for r in full.limit(3).collect()]
+    got = table.lookup(spark, sample)
+    assert got.count() == len(sample)
+    back = {(r["repo"], r["path"]) for r in got.collect()}
+    assert back == set(sample)
+    # only the hashed buckets' files are read
+    snap = table.snapshot()
+    buckets = {
+        str(r[0])
+        for r in spark.createDataFrame(sample, "repo string, path string")
+        .select(table.bucket_expr(snap).alias("b")).distinct().collect()
+    }
+    assert len(buckets) < snap.num_buckets
