@@ -88,6 +88,15 @@ def add_internal_columns(df: DataFrame, *, contiguous_index: bool = True) -> Dat
     )
 
 
+
+def _missing_datasource(e: Exception) -> bool:
+    s = str(e)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in s
+        or "Failed to find data source" in s
+        or "Failed to find the data source" in s
+    )
+
 class _FileExtract(PipelineStage):
     """Shared skeleton for file-format extracts (extract/*Extract.scala):
     glob input, optional declared Arc schema, optional watermark, streaming
@@ -138,6 +147,8 @@ class _FileExtract(PipelineStage):
                 if len(df.schema.fields) == 0:
                     raise ValueError("zero-column input")
             except Exception as e:
+                if _missing_datasource(e):
+                    raise  # missing datasource jar, not missing data
                 # empty or not-yet-arrived glob → typed empty DataFrame if a
                 # schema is declared (scheduled jobs must not fail on gaps,
                 # extract/DelimitedExtract.scala:236-265)
@@ -314,17 +325,68 @@ class AvroExtract(_FileExtract):
     format = "avro"
     OPTIONAL = _FileExtract.OPTIONAL + ("avroSchema",)
 
-    def _from_view(self, ctx, opts, schema):
-        from pyspark.sql.avro.functions import from_avro
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        try:
+            return super().execute(ctx)
+        except Exception as e:
+            if not _missing_datasource(e):
+                raise
+            # spark-avro jar absent: from-scratch OCF codec fallback
+            # (arc_spark.formats.avro — spec cross-validated against the
+            # JVM org.apache.avro classes in tests/test_avro_format.py)
+            from arc_spark.formats.avro import read_avro_fallback
 
+            df = read_avro_fallback(ctx.spark, self.params["inputURI"])
+            if self.params.get("internalColumns", True):
+                df = add_internal_columns(
+                    df, contiguous_index=self.params.get("contiguousIndex", True)
+                )
+            return self.register_output(ctx, df, self.params["outputView"])
+
+    @staticmethod
+    def _spark_avro_available(ctx) -> bool:
+        try:
+            from pyspark.sql.avro.functions import to_avro
+
+            ctx.spark.range(1).select(to_avro(F.struct("id"))).collect()
+            return True
+        except Exception:
+            return False
+
+    def _from_view(self, ctx, opts, schema):
         field = self.params.get("inputField", "value")
         avro_schema = self.params["avroSchema"]
-        if not isinstance(avro_schema, str):
-            avro_schema = json.dumps(avro_schema)
+        avro_json = avro_schema if isinstance(avro_schema, str) else json.dumps(avro_schema)
         src = ctx.spark.table(self.params["inputView"])
-        return src.withColumn("value", from_avro(F.col(field), avro_schema)).select(
-            *[c for c in src.columns if c != field], "value.*"
+        if self._spark_avro_available(ctx):
+            from pyspark.sql.avro.functions import from_avro
+
+            return src.withColumn("value", from_avro(F.col(field), avro_json)).select(
+                *[c for c in src.columns if c != field], "value.*"
+            )
+        # fallback: raw-datum decode via the pure-python codec — the CDC
+        # binlog-decode primitive works without the spark-avro jar
+        import pandas as pd
+
+        from arc_spark.formats.avro import avro_to_spark_type, decode_datum
+
+        parsed = json.loads(avro_json)
+        rec_type = avro_to_spark_type(parsed)
+        other = [c for c in src.columns if c != field]
+        out_schema = T.StructType(
+            [src.schema[c] for c in other] + list(rec_type.fields)
         )
+        names = [f.name for f in rec_type.fields]
+
+        def decode(batches):
+            for pdf in batches:
+                recs = [decode_datum(parsed, bytes(b)) for b in pdf[field]]
+                out = pdf[other].copy()
+                for n in names:
+                    out[n] = [r.get(n) for r in recs]
+                yield out
+
+        return src.mapInPandas(decode, schema=out_schema)
 
 
 @register_stage
@@ -833,10 +895,28 @@ class DelimitedLoad(_FileLoad):
 
 @register_stage
 class AvroLoad(_FileLoad):
-    """load/AvroLoad.scala:140-152 (no streaming branch in the reference)."""
+    """load/AvroLoad.scala:140-152 (no streaming branch in the reference).
+    Falls back to the from-scratch OCF writer when spark-avro is absent."""
 
     stage_type = "AvroLoad"
     format = "avro"
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        try:
+            return super().execute(ctx)
+        except Exception as e:
+            if not _missing_datasource(e):
+                raise
+            import shutil
+
+            from arc_spark.formats.avro import write_avro_fallback
+
+            df = ctx.spark.table(self.params["inputView"])
+            uri = self.params["outputURI"]
+            if self.params.get("saveMode", "overwrite") == "overwrite" and os.path.isdir(uri):
+                shutil.rmtree(uri)
+            write_avro_fallback(df, uri)
+            return df
 
 
 @register_stage
