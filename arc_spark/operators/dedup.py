@@ -47,11 +47,40 @@ def _bucket_pairs(
     bucket_cols: list[str],
     elem,
     max_bucket_size: int | None,
+    *,
+    method: str = "expand",
 ) -> DataFrame:
     """Distinct candidate pairs (a, b with a < b) of ``elem`` values that
     share a bucket; buckets above ``max_bucket_size`` are dropped (the
     degenerate-bucket guard — one boilerplate bucket is otherwise
-    quadratic)."""
+    quadratic).
+
+    ``method``: "expand" groups each bucket into an array and expands
+    in-bucket pairs with expressions — one scan, best when buckets are
+    SMALL (near-dup text banding: a handful of ids per bucket). "join"
+    self-joins the thin banded rows — best when buckets are LARGE (e.g.
+    few-bit hyperplane buckets holding n/2^k rows: building 10^4+-struct
+    arrays per group is interpreted and slow, while the hash join streams;
+    only use when recomputing ``banded`` twice is cheap, i.e. it derives
+    from a persisted/materialized table)."""
+    if method == "join":
+        if max_bucket_size:
+            ok = (
+                banded.groupBy(*bucket_cols)
+                .agg(F.count(F.lit(1)).alias("_bs"))
+                .filter(F.col("_bs") <= max_bucket_size)
+                .drop("_bs")
+            )
+            banded = banded.join(ok, bucket_cols, "left_semi")
+        left = banded.select(*bucket_cols, elem.alias("a")).alias("L")
+        right = banded.select(*bucket_cols, elem.alias("b")).alias("R")
+        cond = None
+        for c in bucket_cols:
+            eq = F.col(f"L.{c}") == F.col(f"R.{c}")
+            cond = eq if cond is None else (cond & eq)
+        cond = cond & (F.col("L.a") < F.col("R.b"))
+        return left.join(right, cond).select("a", "b").dropDuplicates(["a", "b"])
+
     g = banded.groupBy(*bucket_cols).agg(F.sort_array(F.collect_set(elem)).alias("ids"))
     g = g.filter(F.size("ids") >= 2)
     if max_bucket_size:

@@ -402,9 +402,12 @@ def embedding_near_dup(
     banded = base.select(
         "id", F.posexplode(_band_keys(F.col("v"))).alias("band", "bucket")
     )
-    pairs = _bucket_pairs(banded, ["band", "bucket"], F.col("id"), max_bucket_size).select(
-        F.col("a").alias("id_a"), F.col("b").alias("id_b")
-    )
+    # join method: few-bit hyperplane buckets hold ~n/2^rpb rows each —
+    # far too large for array expansion; banded derives from the persisted
+    # base so the self-join's double evaluation is one cheap matmul
+    pairs = _bucket_pairs(
+        banded, ["band", "bucket"], F.col("id"), max_bucket_size, method="join"
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
 
     @pandas_udf(DoubleType())
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
