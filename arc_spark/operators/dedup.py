@@ -230,7 +230,7 @@ def minhash_near_dup(
     Returns (id_a, id_b, jaccard_est) with id_a < id_b.
 
     ``max_bucket_size`` drops degenerate buckets (boilerplate text) whose
-    self-join would be quadratic — see similarity._cap_buckets.
+    self-join would be quadratic — see _bucket_pairs.
     """
     rows_per_band = num_hashes // bands
     # two selects so the shingle-hash array materializes once per row —

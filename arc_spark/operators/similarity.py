@@ -79,27 +79,6 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
-def _cap_buckets(banded: DataFrame, bucket_cols: list[str], max_bucket_size: int | None) -> DataFrame:
-    """Drop degenerate LSH buckets larger than ``max_bucket_size``.
-
-    A single boilerplate-heavy bucket makes the banded self-join quadratic
-    in that bucket's size — at 10^10 rows one bad bucket is a job-killer.
-    The guard costs one thin aggregation over (band, bucket) counts; the
-    dropped buckets are by construction low-signal (a near-dup pair
-    colliding in a degenerate bucket almost surely collides in another
-    band too).
-    """
-    if not max_bucket_size:
-        return banded
-    ok = (
-        banded.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("_bs"))
-        .filter(F.col("_bs") <= max_bucket_size)
-        .drop("_bs")
-    )
-    return banded.join(ok, bucket_cols, "left_semi")
-
-
 def lsh_bucket_expr(vec: Column, planes: list[list[float]], band: int, rows_per_band: int) -> Column:
     bits = []
     for r in range(rows_per_band):
