@@ -752,10 +752,102 @@ class DedupTransform(PipelineStage):
             ctx.spark.table(self.params["inputView"]),
             list(self.params["keys"]),
             self.params.get("seqColumn", "seq"),
-            strategy=self.params.get("strategy", "thin"),
+            strategy=self.params.get("strategy", "window"),
             salt_buckets=self.params.get("saltBuckets"),
         )
         return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class TextScrubTransform(PipelineStage):
+    """Engine-specific training-data hygiene: redact PII-ish spans
+    (emails/URLs/IPv4s/phone runs) with typed tokens — declarative wrapper
+    over operators.text.scrub_text (pure regex chain, codegen)."""
+
+    stage_type = "TextScrubTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("inputField", "outputField", "kinds")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.text import scrub_text
+
+        field = self.params.get("inputField", "text")
+        out_field = self.params.get("outputField", field)
+        df = ctx.spark.table(self.params["inputView"]).withColumn(
+            out_field, scrub_text(F.col(field), self.params.get("kinds"))
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class QualityFilterTransform(PipelineStage):
+    """Engine-specific: C4-style document quality gates as a stage
+    (operators.text.quality_filter)."""
+
+    stage_type = "QualityFilterTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("inputField", "minTokens", "maxPunctRatio", "maxDigitRatio")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.text import quality_filter
+
+        df = quality_filter(
+            ctx.spark.table(self.params["inputView"]),
+            self.params.get("inputField", "text"),
+            min_tokens=int(self.params.get("minTokens", 10)),
+            max_punct_ratio=float(self.params.get("maxPunctRatio", 0.2)),
+            max_digit_ratio=float(self.params.get("maxDigitRatio", 0.3)),
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class NearDupTransform(PipelineStage):
+    """Engine-specific: near-duplicate pair detection as a stage — MinHash
+    or SimHash LSH candidates with an exact n-gram-Jaccard verify
+    (operators.dedup); outputs (id_a, id_b, jaccard)."""
+
+    stage_type = "NearDupTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("method", "idField", "textField", "threshold", "numHashes",
+                "bands", "shingleN", "maxHamming", "maxBucketSize")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.dedup import (
+            minhash_near_dup,
+            ngram_jaccard_pairs,
+            simhash_near_dup,
+        )
+
+        df = ctx.spark.table(self.params["inputView"])
+        id_f = self.params.get("idField", "doc_id")
+        text_f = self.params.get("textField", "text")
+        threshold = float(self.params.get("threshold", 0.7))
+        shingle_n = int(self.params.get("shingleN", 3))
+        cap = self.params.get("maxBucketSize")
+        method = self.params.get("method", "minhash")
+        if method == "minhash":
+            cand = minhash_near_dup(
+                df, text_f, id_f,
+                num_hashes=int(self.params.get("numHashes", 16)),
+                bands=int(self.params.get("bands", 16)),
+                jaccard_threshold=0.0,
+                max_bucket_size=int(cap) if cap else None,
+            )
+        elif method == "simhash":
+            cand = simhash_near_dup(
+                df, text_f, id_f,
+                max_hamming=int(self.params.get("maxHamming", 16)),
+                bands=int(self.params.get("bands", 16)),
+                max_bucket_size=int(cap) if cap else None,
+            )
+        else:
+            raise ValueError(f"{self.name}: unknown method {method!r}")
+        out = ngram_jaccard_pairs(
+            df, cand.select("id_a", "id_b"), text_f, id_f,
+            shingle_n=shingle_n, threshold=threshold,
+        )
+        return self.register_output(ctx, out, self.params["outputView"])
 
 
 @register_stage

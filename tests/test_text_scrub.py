@@ -34,3 +34,34 @@ def test_quality_filter_gates(spark):
     df = spark.createDataFrame(rows, "text string")
     kept = [r[0] for r in quality_filter(df).collect()]
     assert kept == ["one two three four five six seven eight nine ten eleven"]
+
+
+def test_training_hygiene_pipeline_stages(spark):
+    """Declarative training-data hygiene: scrub -> quality filter ->
+    near-dup pairs, end-to-end through a job config."""
+    import json
+
+    from arc_spark.pipeline import run_config
+
+    base = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, f"{base} contact a@b.co"),
+        (2, f"{base} contact x@y.org"),   # near-dup of 1 after scrub
+        (3, "short"),                      # quality-filtered out
+        (4, "totally different words appear in this document here now ok"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView("hyg_src")
+    cfg = {
+        "stages": [
+            {"type": "TextScrubTransform", "name": "scrub", "inputView": "hyg_src",
+             "outputView": "scrubbed"},
+            {"type": "QualityFilterTransform", "name": "qf", "inputView": "scrubbed",
+             "outputView": "clean", "minTokens": 10},
+            {"type": "NearDupTransform", "name": "nd", "inputView": "clean",
+             "outputView": "pairs", "method": "minhash", "threshold": 0.5},
+        ]
+    }
+    df, _ = run_config(spark, json.dumps(cfg))
+    got = [(r["id_a"], r["id_b"]) for r in df.collect()]
+    assert got == [(1, 2)]  # scrub made 1 and 2 near-identical; 3 was gated
+    assert spark.table("clean").count() == 3
