@@ -327,33 +327,38 @@ def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     config guarantees to ~1e-11 for the ≥0.8-Jaccard duplicates present
     in this corpus (planted dups have a clean gap: nothing in [0.4, 0.8))."""
     from arc_spark.operators.dedup import (
+        hashed_shingle_table,
         minhash_near_dup,
         ngram_jaccard_pairs,
-        shingle_table,
     )
 
     docs = _load(spark, sf_dir, "documents")["documents"]
-    # ONE shingling pass shared by candidate generation and exact verify
-    sh = shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
+    # ONE shingle+hash pass shared by candidate generation and exact
+    # verify; Jaccard runs over hashed (long) shingles, never strings
+    ht = hashed_shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
     cand = minhash_near_dup(
         docs, "text", "doc_id", num_hashes=16, bands=16, jaccard_threshold=0.0,
-        shingles_df=sh,
+        hashes_df=ht, max_bucket_size=None,  # provable-recall oracle config
     )
     return ngram_jaccard_pairs(
         docs, cand.select("id_a", "id_b"), "text", "doc_id",
-        shingle_n=3, threshold=0.4, shingles_df=sh,
+        shingle_n=3, threshold=0.4, hashes_df=ht,
     )
 
 
 def _simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash candidates + exact verify. bands=16 > max_hamming means the
-    banded join provably contains EVERY pair within Hamming 16 (pigeonhole)
-    — and all exact-Jaccard-≥0.7 pairs in this corpus sit at Hamming ≤ 13,
-    so the verified output equals the brute-force pair set."""
+    """SimHash candidates + exact verify. bands=16 > max_hamming=15 means
+    the banded join provably contains EVERY pair within Hamming 15
+    (pigeonhole: 15 differing bits cannot touch all 16 4-bit chunks) — and
+    all exact-Jaccard-≥0.7 pairs in this corpus sit at Hamming ≤ 13, so
+    the verified output equals the brute-force pair set."""
     from arc_spark.operators.dedup import ngram_jaccard_pairs, simhash_near_dup
 
     docs = _load(spark, sf_dir, "documents")["documents"]
-    cand = simhash_near_dup(docs, "text", "doc_id", max_hamming=16, bands=16)
+    cand = simhash_near_dup(
+        docs, "text", "doc_id", max_hamming=15, bands=16,
+        max_bucket_size=None,  # provable-recall oracle config
+    )
     return ngram_jaccard_pairs(
         docs, cand.select("id_a", "id_b"), "text", "doc_id", shingle_n=3, threshold=0.7
     )

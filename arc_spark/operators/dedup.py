@@ -10,10 +10,10 @@ Scale design: every operator is expressed as DataFrame ops whose only
 shuffles are the groupBys/joins listed; candidate generation always goes
 through LSH-style bucketing (explode by band → groupBy bucket) so the
 cross-product is confined to same-bucket collisions, never a full O(n²)
-join. MinHash signatures are computed with JVM-side hash/aggregate
-expressions (no Python UDF): h_i(shingle) = xxhash64(shingle, i) and the
-signature is the per-row min over the shingle array via F.transform +
-F.array_min.
+join. Shingling + per-shingle xxhash64 stay JVM-side; the wide numeric
+kernels (minhash minima over all lanes, simhash bit voting) run as single
+Arrow-batched numpy UDFs — higher-order expressions are interpreted per
+element by Catalyst and measured ~10x slower for both.
 
 Reference parity: the reference's fuzzy-match operator is
 SimilarityJoinTransform (``transform/SimilarityJoinTransform.scala:140-255``)
@@ -26,10 +26,22 @@ bottleneck at 100 TB).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("arc_spark.dedup")
+
+#: default degenerate-bucket guard: buckets above this size are dropped
+#: (with a logged count — never silently). A boilerplate bucket of b rows
+#: expands b²/2 candidate pairs; at 10^10 docs one 10M-row bucket of
+#: license headers would emit 5·10^13 pairs and dominate the whole job.
+#: Callers needing provable recall (oracle configs) pass
+#: ``max_bucket_size=None`` explicitly.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 # In-bucket candidate-pair expansion: ids arrive SORTED, so slice-after-i
 # yields each (x, y) with x < y exactly once. groupBy+expand replaces a
@@ -40,6 +52,21 @@ _PAIR_EXPAND = (
     "flatten(transform({ids}, (x, i) -> "
     "transform(slice({ids}, i + 2, size({ids})), y -> struct(x AS a, y AS b))))"
 )
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer partitions — file bin-packing sizes scan partitions by BYTES,
+    so a small-but-CPU-dense input (shingling, hash kernels over short
+    docs) can land on 1-2 tasks and serialize the whole stage. A no-op
+    when the input already has enough partitions (the 100 TB case: scans
+    arrive with thousands), so the one-time shuffle of raw rows only
+    happens when it is amortized by per-row compute that dwarfs it."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _bucket_pairs(
@@ -62,15 +89,24 @@ def _bucket_pairs(
     few-bit hyperplane buckets holding n/2^k rows: building 10^4+-struct
     arrays per group is interpreted and slow, while the hash join streams;
     only use when recomputing ``banded`` twice is cheap, i.e. it derives
-    from a persisted/materialized table)."""
+    from a persisted/materialized table).
+
+    Dropped buckets are COUNTED and logged (one extra thin action over the
+    already-aggregated bucket sizes) — a cap must never silently truncate."""
     if method == "join":
         if max_bucket_size:
-            ok = (
+            sizes = (
                 banded.groupBy(*bucket_cols)
                 .agg(F.count(F.lit(1)).alias("_bs"))
-                .filter(F.col("_bs") <= max_bucket_size)
-                .drop("_bs")
+                .persist()
             )
+            dropped = sizes.filter(F.col("_bs") > max_bucket_size).count()
+            if dropped:
+                _log.warning(
+                    "near-dup bucketing: dropped %d degenerate bucket(s) larger "
+                    "than max_bucket_size=%d", dropped, max_bucket_size
+                )
+            ok = sizes.filter(F.col("_bs") <= max_bucket_size).drop("_bs")
             banded = banded.join(ok, bucket_cols, "left_semi")
         left = banded.select(*bucket_cols, elem.alias("a")).alias("L")
         right = banded.select(*bucket_cols, elem.alias("b")).alias("R")
@@ -84,6 +120,13 @@ def _bucket_pairs(
     g = banded.groupBy(*bucket_cols).agg(F.sort_array(F.collect_set(elem)).alias("ids"))
     g = g.filter(F.size("ids") >= 2)
     if max_bucket_size:
+        g = g.persist()
+        dropped = g.filter(F.size("ids") > max_bucket_size).count()
+        if dropped:
+            _log.warning(
+                "near-dup bucketing: dropped %d degenerate bucket(s) larger "
+                "than max_bucket_size=%d", dropped, max_bucket_size
+            )
         g = g.filter(F.size("ids") <= max_bucket_size)
     return (
         g.select(F.explode(F.expr(_PAIR_EXPAND.format(ids="ids"))).alias("p"))
@@ -107,10 +150,17 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     non-duplicates); two independent xxhash64 values push the collision
     odds to ~1e-19 while keeping the shuffled key a thin 16 bytes
     (vs 32+ for an md5/sha hex string).
+
+    Independence requires the salt to come FIRST: Spark chains
+    multi-argument xxhash64 left-to-right with each result seeding the
+    next, so ``xxhash64(norm, salt)`` is a pure function of
+    ``xxhash64(norm)`` (any _fp1 collision would imply an _fp2 collision,
+    collapsing the key back to 64 bits). ``xxhash64(salt, norm)`` instead
+    hashes the text under a different effective seed.
     """
     norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     keyed = df.withColumn("_fp1", F.xxhash64(norm)).withColumn(
-        "_fp2", F.xxhash64(norm, F.lit(0x5F3C))
+        "_fp2", F.xxhash64(F.lit(0x5F3C), norm)
     )
     keep = keyed.groupBy("_fp1", "_fp2").agg(F.min(id_col).alias(id_col))
     return keyed.join(keep, [id_col, "_fp1", "_fp2"], "left_semi").drop("_fp1", "_fp2")
@@ -174,10 +224,34 @@ def shingle_table(
 ) -> DataFrame:
     """(id, sh: array<string>) shingle table — compute (and persist) once,
     share between candidate generation and the exact-verify stage."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), shingle_n, shingle_mode).alias("sh"),
     )
+
+
+def hashed_shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """(id, sh: array<long>) HASHED shingle table (xxhash64 per distinct
+    shingle), spread across the cluster and lineage-truncated so Arrow
+    kernels can consume ``sh`` as a plain column. The preferred shared
+    table for candidate generation + exact-verify: Jaccard over 8-byte
+    longs avoids shuffling/intersecting the string shingles entirely
+    (intersection sizes are exact up to a ~|set|²/2^64 collision
+    probability). Persist the result when sharing across stages."""
+    # spread the RAW rows first: placed after the projection, the
+    # repartition would leave the shingling itself in the (possibly
+    # 1-task) scan stage and only spread downstream work
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("sh"),
+    ).localCheckpoint(eager=False)
 
 
 def shingle_hashes(c: Column, shingle_n: int = 3, mode: str = "word") -> Column:
@@ -188,15 +262,61 @@ def shingle_hashes(c: Column, shingle_n: int = 3, mode: str = "word") -> Column:
 
 def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     """Array of ``num_hashes`` minhash values over a pre-computed shingle
-    hash array: sig[i] = min over h of xxhash64(h, i) (a 64-bit universal
-    rehash of a long — no string re-hashing, no shingle re-computation)."""
+    hash array: sig[i] = min over h of xxhash64(i, h) (a 64-bit universal
+    rehash of a long — no string re-hashing, no shingle re-computation;
+    salt FIRST so each lane runs under a distinct effective seed).
+
+    Pure-expression variant — prefer ``minhash_from_hashes_udf`` in hot
+    paths: higher-order functions are interpreted per element by Catalyst,
+    so the ``num_hashes`` array_min passes here cost ~10x the single numpy
+    kernel (same measured tradeoff as simhash bit voting)."""
 
     def _h(i: int):
         # closure factory — a defaulted `i=i` lambda parameter would make
         # pyspark pass the array index instead (2-arg transform lambda)
-        return lambda h: F.xxhash64(h, F.lit(i))
+        return lambda h: F.xxhash64(F.lit(i), h)
 
     return F.array(*[F.array_min(F.transform(hashes, _h(i))) for i in range(num_hashes)])
+
+
+def minhash_from_hashes_udf(num_hashes: int, seed: int = 0x2545F491):
+    """Arrow-batched numpy minhash kernel: ONE pass computes all
+    ``num_hashes`` minima per row via a (shingles × num_hashes)
+    multiply-add rehash matrix — ``g_i(h) = (a_i·h + b_i) mod 2^64`` with
+    seeded odd multipliers (a standard universal family over the 64-bit
+    ring). Replaces ``num_hashes`` interpreted array_min(transform(...))
+    expression passes (~10x, same tradeoff measured for simhash).
+
+    The returned UDF's argument must be a PLAIN column over a materialized
+    relation (localCheckpoint below the UDF) — see simhash_near_dup for
+    the CollapseProject extraction trap this avoids.
+
+    The (A, B) constants are drawn on the driver at closure creation and
+    serialized with the UDF, so signatures are identical on any cluster
+    size / partitioning.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.RandomState(seed)
+    A = (rng.randint(0, 2**62, size=num_hashes).astype(np.uint64) * np.uint64(2)
+         + np.uint64(1))
+    B = rng.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+    _empty = np.full(num_hashes, 2**63 - 1, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in hash_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(_empty)
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            m = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
+            out.append(m.view(np.int64))
+        return pd.Series(out)
+
+    return _minhash
 
 
 def minhash_signature(
@@ -216,14 +336,21 @@ def minhash_near_dup(
     shingle_n: int = 3,
     shingle_mode: str = "word",
     jaccard_threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     shingles_df: DataFrame | None = None,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    ``shingles_df``: optional precomputed (id, sh: array<string>) table
-    (from ``shingle_table``) — lets a pipeline share ONE shingling pass
-    between candidate generation and the exact-Jaccard verify stage.
+    ``hashes_df``: optional precomputed (id, sh: array<long>) table (from
+    ``hashed_shingle_table``, persisted) — ONE shingle+hash pass shared
+    between candidate generation and the exact-verify stage, with no
+    string arrays ever persisted. ``shingles_df`` is the older string
+    variant (from ``shingle_table``).
+
+    ``jaccard_threshold <= 0`` skips the signature join-back entirely
+    (callers that exact-verify every candidate anyway don't pay for the
+    estimate) — jaccard_est is null in that case.
 
     Pipeline: signature (map-only) → explode band buckets → groupBy bucket
     self-pairs → estimate Jaccard from full signatures → threshold.
@@ -234,20 +361,23 @@ def minhash_near_dup(
     """
     rows_per_band = num_hashes // bands
     # two selects so the shingle-hash array materializes once per row —
-    # a single minhash_signature(text) expression would re-shingle the
-    # text for every one of the num_hashes array_min branches
-    if shingles_df is not None:
-        hashed = shingles_df.select(
+    # and localCheckpoint keeps the Arrow kernel's argument a plain column
+    # over a materialized relation (see simhash_near_dup for the
+    # CollapseProject extraction trap)
+    if hashes_df is not None:
+        hashed = hashes_df.select("id", F.col("sh").alias("_sh"))
+    elif shingles_df is not None:
+        hashed = spread(shingles_df).select(
             "id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("_sh")
-        )
+        ).localCheckpoint(eager=False)
     else:
-        hashed = df.select(
+        hashed = spread(df).select(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
-        )
+        ).localCheckpoint(eager=False)
     sig = hashed.select(
         "id",
-        minhash_signature_from_hashes(F.col("_sh"), num_hashes).alias("sig"),
+        minhash_from_hashes_udf(num_hashes)(F.col("_sh")).alias("sig"),
     )
     # the signature table is referenced by the banding pass AND both sides
     # of the estimate join-back — persist it (thin: id + 16 longs) so the
@@ -272,6 +402,8 @@ def minhash_near_dup(
     pairs = _bucket_pairs(banded, ["band", "bucket"], F.col("id"), max_bucket_size).select(
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
+    if jaccard_threshold <= 0:
+        return pairs.withColumn("jaccard_est", F.lit(None).cast("double"))
     # late materialization: the signature joins back onto the (small)
     # deduped pair set for the estimate, instead of riding every banded row
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -345,7 +477,7 @@ def simhash_near_dup(
     bands: int = 4,
     shingle_n: int = 2,
     shingle_mode: str = "word",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs whose simhash Hamming distance ≤ ``max_hamming``.
 
@@ -364,13 +496,18 @@ def simhash_near_dup(
     # generate code for expression: _simhash. localCheckpoint truncates
     # the lineage at the shingle-hash level so the UDF always sits in a
     # plain projection over a materialized relation.
-    hashes = df.select(
+    hashes = spread(df).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
     ).localCheckpoint(eager=False)
-    sig = hashes.select("id", _simhash_from_hashes_udf()(F.col("_sh")).alias("sh"))
+    # persist the thin (id, sh) signature: banding references it on BOTH
+    # join sides, so the shingle+kernel pipeline runs exactly once
+    sig = hashes.select(
+        "id", _simhash_from_hashes_udf()(F.col("_sh")).alias("sh")
+    ).persist()
     banded = sig.select(
-        F.struct("id", "sh").alias("e"),
+        "id",
+        "sh",
         F.explode(
             F.array(
                 *[
@@ -382,17 +519,43 @@ def simhash_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select("e", "bb.band", "bb.chunk")
-    # the signature is one long, so it rides the bucket rows; pairs carry
-    # both signatures out of the groupBy for the exact Hamming verify
-    pairs = _bucket_pairs(banded, ["band", "chunk"], F.col("e"), max_bucket_size)
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+    ).select("id", "sh", "bb.band", "bb.chunk")
+    if max_bucket_size:
+        sizes = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .persist()
         )
-        .filter(F.col("hamming") <= max_hamming)
+        dropped = sizes.filter(F.col("_bs") > max_bucket_size).count()
+        if dropped:
+            _log.warning(
+                "simhash banding: dropped %d degenerate bucket(s) larger "
+                "than max_bucket_size=%d", dropped, max_bucket_size
+            )
+        ok = sizes.filter(F.col("_bs") <= max_bucket_size).drop("_bs")
+        banded = banded.join(ok, ["band", "chunk"], "left_semi")
+    # pair via a thin self-JOIN, not array expansion: few-bit chunks give
+    # LARGE buckets (e.g. 16 bands over 64 bits → 4-bit chunks → n/16 rows
+    # per bucket), and building O(bucket²) struct arrays per group is
+    # interpreted; here the Hamming verify sits IN the join condition so
+    # the quadratic in-bucket comparisons stream through codegen and only
+    # true near-dups reach the dropDuplicates shuffle
+    left = banded.alias("L")
+    right = banded.alias("R")
+    cond = (
+        (F.col("L.band") == F.col("R.band"))
+        & (F.col("L.chunk") == F.col("R.chunk"))
+        & (F.col("L.id") < F.col("R.id"))
+        & (F.bit_count(F.col("L.sh").bitwiseXOR(F.col("R.sh"))) <= max_hamming)
+    )
+    return (
+        left.join(right, cond)
+        .select(
+            F.col("L.id").alias("id_a"),
+            F.col("R.id").alias("id_b"),
+            F.bit_count(F.col("L.sh").bitwiseXOR(F.col("R.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -411,17 +574,26 @@ def ngram_jaccard_pairs(
     shingle_mode: str = "word",
     threshold: float = 0.5,
     shingles_df: DataFrame | None = None,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over character-shingle sets for (id_a, id_b) candidate
+    """Exact Jaccard over n-gram shingle sets for (id_a, id_b) candidate
     pairs (the verify stage after minhash/simhash candidate generation).
 
-    ``shingles_df``: optional precomputed (id, sh) table shared with the
-    candidate-generation stage (see ``shingle_table``)."""
+    ``hashes_df``: precomputed (id, sh: array<long>) hashed-shingle table
+    (``hashed_shingle_table``, persisted) — the intersect/union then runs
+    over 8-byte longs instead of strings (exact up to a negligible
+    in-pair hash-collision probability, and several times cheaper).
+    ``shingles_df``: the older string variant (``shingle_table``)."""
     # both pair sides join against the shingle table — persist so the
     # shingling pipeline runs once
-    sh = shingles_df if shingles_df is not None else shingle_table(
-        df, text_col, id_col, shingle_n=shingle_n, shingle_mode=shingle_mode
-    ).persist()
+    if hashes_df is not None:
+        sh = hashes_df
+    elif shingles_df is not None:
+        sh = shingles_df
+    else:
+        sh = hashed_shingle_table(
+            df, text_col, id_col, shingle_n=shingle_n, shingle_mode=shingle_mode
+        ).persist()
     j = (
         candidate_pairs.join(sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id"))
         .drop("id")

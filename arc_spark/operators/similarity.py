@@ -246,7 +246,8 @@ class IVFIndex:
         seed: int = 42,
         max_iter: int = 25,
         method: str = "sample",
-        sample_mod: int = 1,
+        sample_mod: int | None = None,
+        max_sample_rows: int = 100_000,
     ) -> "IVFIndex":
 
         if method == "mllib":
@@ -261,8 +262,15 @@ class IVFIndex:
         else:
             # deterministic hash-sample: row included iff
             # xxhash64(id) % sample_mod == 0 — stable under any
-            # partitioning, unlike df.sample()
+            # partitioning, unlike df.sample(). sample_mod is sized from a
+            # count(*) (parquet answers it from row-group metadata) so the
+            # driver ingests at most ~max_sample_rows vectors no matter how
+            # large the table is — the quantizer fits on a slice, never the
+            # full table.
             sample = df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            if sample_mod is None:
+                n = df.count()
+                sample_mod = max(1, -(-n // max_sample_rows))  # ceil div
             if sample_mod > 1:
                 sample = sample.filter(
                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
@@ -287,7 +295,11 @@ class IVFIndex:
         assigned = df.withColumn(
             "_cluster", _assign(F.col(vec_col).cast("array<double>"))
         )
-        return cls(centers, assigned, vec_col, id_col)
+        index = cls(centers, assigned, vec_col, id_col)
+        # observability: how many vectors actually reached the driver
+        index.sample_size = len(rows) if method != "mllib" else 0
+        index.sample_mod = sample_mod if method != "mllib" else None
+        return index
 
     def write_index(self, path: str) -> None:
         """Persist the assigned table partitioned by cluster id so queries
@@ -325,11 +337,14 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     method: str = "sample",
+    sample_mod: int | None = None,
+    max_sample_rows: int = 100_000,
 ) -> DataFrame:
     """One-shot IVF query (build + probe). For repeated queries build an
     IVFIndex once, ``write_index`` it, and call ``topk``."""
     index = IVFIndex.build(
-        df, k=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed, method=method
+        df, k=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed, method=method,
+        sample_mod=sample_mod, max_sample_rows=max_sample_rows,
     )
     return index.topk(query_vec, k, nprobe=nprobe)
 
@@ -340,7 +355,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 32,
+    num_planes: int = 128,
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
@@ -375,7 +390,9 @@ def embedding_near_dup(
         keys = bits.reshape(len(V), n_bands, rpb) @ weights  # (n, bands)
         return pd.Series(list(keys))
 
-    base = df.select(
+    from arc_spark.operators.dedup import spread
+
+    base = spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()  # referenced by banding + both verify join sides
     banded = base.select(

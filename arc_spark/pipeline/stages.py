@@ -97,6 +97,22 @@ def _missing_datasource(e: Exception) -> bool:
         or "Failed to find the data source" in s
     )
 
+
+def _empty_input(e: Exception) -> bool:
+    """True only for 'no data arrived yet' conditions (missing path, empty
+    glob, nothing to infer a schema from). Genuine failures — permission
+    denied, malformed options, corrupt files — must NOT match: a scheduled
+    job may proceed on a gap, never on an error."""
+    s = str(e)
+    return (
+        "PATH_NOT_FOUND" in s
+        or "UNABLE_TO_INFER_SCHEMA" in s
+        or "Unable to infer schema" in s
+        or "Path does not exist" in s
+        or "zero-column input" in s
+        or "empty collection" in s
+    )
+
 class _FileExtract(PipelineStage):
     """Shared skeleton for file-format extracts (extract/*Extract.scala):
     glob input, optional declared Arc schema, optional watermark, streaming
@@ -147,8 +163,10 @@ class _FileExtract(PipelineStage):
                 if len(df.schema.fields) == 0:
                     raise ValueError("zero-column input")
             except Exception as e:
-                if _missing_datasource(e):
-                    raise  # missing datasource jar, not missing data
+                if _missing_datasource(e) or not _empty_input(e):
+                    raise  # real failure (missing jar, permissions, corrupt
+                    # input, bad options) — only no-data-yet conditions fall
+                    # through to the typed-empty path
                 # empty or not-yet-arrived glob → typed empty DataFrame if a
                 # schema is declared (scheduled jobs must not fail on gaps,
                 # extract/DelimitedExtract.scala:236-265)
@@ -220,17 +238,32 @@ class DelimitedExtract(_FileExtract):
         works on STREAMING views, unlike the reference's textContent
         collect, DelimitedExtract.scala:226-235)."""
         field = self.params.get("inputField", "value")
-        src = ctx.spark.table(self.params["inputView"]).select(
-            F.col(field).cast("string").alias("value")
-        )
+        view = ctx.spark.table(self.params["inputView"])
+        src = view.select(F.col(field).cast("string").alias("value"))
         header = str(opts.get("header", "false")).lower() == "true"
         header_line = None
         if header:
             if src.isStreaming:
                 raise ValueError(f"{self.name}: header=true unsupported on a streaming view")
-            first = src.limit(1).collect()
-            header_line = first[0]["value"] if first else None
-            src = src.filter(F.col("value") != F.lit(header_line))
+            # identify the header ROW deterministically (min provenance
+            # index — the extract's _index if present, else a pinned
+            # monotonic id) and drop only that row: a data row whose text
+            # equals the header line, or a null row, must survive
+            if "_index" in view.columns:
+                src = view.select(
+                    F.col(field).cast("string").alias("value"),
+                    F.col("_index").alias("_hidx"),
+                )
+            else:
+                src = view.select(
+                    F.col(field).cast("string").alias("value"),
+                    F.monotonically_increasing_id().alias("_hidx"),
+                ).localCheckpoint(eager=False)  # pin nondeterministic ids
+            first = src.orderBy("_hidx").limit(1).collect()
+            if first:
+                header_line = first[0]["value"]
+                src = src.filter(F.col("_hidx") != F.lit(first[0]["_hidx"]))
+            src = src.select("value")
         parse_opts = {k: v for k, v in opts.items() if k != "header"}
         if schema is None:
             if src.isStreaming:
@@ -673,24 +706,31 @@ class SimilarityJoinTransform(PipelineStage):
     OPTIONAL = ("threshold", "shingleLength", "numHashes", "caseSensitive")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
-        from arc_spark.operators.dedup import minhash_signature_from_hashes, shingle_hashes
+        from arc_spark.operators.dedup import minhash_from_hashes_udf, shingle_hashes
 
         threshold = float(self.params.get("threshold", 0.75))
         shingle_n = int(self.params.get("shingleLength", 3))
         num_hashes = int(self.params.get("numHashes", 16))
         bands = 4
+        mh = minhash_from_hashes_udf(num_hashes)
 
         def prep(view: str, fields: list[str], side: str) -> DataFrame:
             src = ctx.spark.table(view)
             text = F.concat_ws(" ", *[F.col(f).cast("string") for f in fields])
             if not self.params.get("caseSensitive", False):
                 text = F.lower(text)
-            return src.select(
+            # localCheckpoint keeps the Arrow kernel's argument a plain
+            # column over a materialized relation (CollapseProject trap —
+            # see operators/dedup.simhash_near_dup); spread first so the
+            # shingling isn't pinned to a small scan's task count
+            from arc_spark.operators.dedup import spread
+
+            hashed = spread(src).select(
                 F.struct(*src.columns).alias(f"{side}_row"),
                 shingle_hashes(text, shingle_n, "char").alias("_sh"),
-            ).select(
-                f"{side}_row",
-                minhash_signature_from_hashes(F.col("_sh"), num_hashes).alias(f"{side}_sig"),
+            ).localCheckpoint(eager=False)
+            return hashed.select(
+                f"{side}_row", mh(F.col("_sh")).alias(f"{side}_sig")
             )
 
         left = prep(self.params["leftView"], self.params["leftFields"], "l")
@@ -822,24 +862,34 @@ class NearDupTransform(PipelineStage):
         df = ctx.spark.table(self.params["inputView"])
         id_f = self.params.get("idField", "doc_id")
         text_f = self.params.get("textField", "text")
+        from arc_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
         threshold = float(self.params.get("threshold", 0.7))
         shingle_n = int(self.params.get("shingleN", 3))
-        cap = self.params.get("maxBucketSize")
+        # cap defaults ON (degenerate-bucket guard, drops are logged);
+        # maxBucketSize: 0 disables it for provable-recall configs
+        cap = int(self.params.get("maxBucketSize", DEFAULT_MAX_BUCKET_SIZE)) or None
         method = self.params.get("method", "minhash")
         if method == "minhash":
+            # default 32 hashes / 8 bands = 4 rows per band: 1-row bands
+            # put every doc pair sharing ANY single minhash value in the
+            # same bucket — near-quadratic candidates on a real corpus
             cand = minhash_near_dup(
                 df, text_f, id_f,
-                num_hashes=int(self.params.get("numHashes", 16)),
-                bands=int(self.params.get("bands", 16)),
+                num_hashes=int(self.params.get("numHashes", 32)),
+                bands=int(self.params.get("bands", 8)),
                 jaccard_threshold=0.0,
-                max_bucket_size=int(cap) if cap else None,
+                max_bucket_size=cap,
             )
         elif method == "simhash":
+            bands = int(self.params.get("bands", 16))
+            # pigeonhole recall guarantee needs bands > maxHamming: default
+            # to bands-1 so the shipped config is provably recall-1
             cand = simhash_near_dup(
                 df, text_f, id_f,
-                max_hamming=int(self.params.get("maxHamming", 16)),
-                bands=int(self.params.get("bands", 16)),
-                max_bucket_size=int(cap) if cap else None,
+                max_hamming=int(self.params.get("maxHamming", bands - 1)),
+                bands=bands,
+                max_bucket_size=cap,
             )
         else:
             raise ValueError(f"{self.name}: unknown method {method!r}")

@@ -126,3 +126,30 @@ def test_ivf_write_index_prunes_partitions(spark, emb, qvec, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "_cluster" in plan.split("PartitionFilters", 1)[1][:200]
     assert 0 < pruned.count() < stored.count()
+
+
+def test_ivf_quantizer_sample_is_bounded(spark):
+    """The default quantizer fit must never collect the full table: with
+    max_sample_rows below the table size, the driver-side sample is capped
+    (and the index still answers queries)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    idx = IVFIndex.build(df, k=4, max_sample_rows=500)
+    assert idx.sample_mod >= 10
+    # hash-sampling is Bernoulli per row: allow slack around the target
+    assert 0 < idx.sample_size <= 1000
+    assert idx.topk(rows[0][1], k=5).count() == 5
+
+
+def test_ivf_explicit_sample_mod_still_honored(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(8)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    idx = IVFIndex.build(df, k=2, sample_mod=1)
+    assert idx.sample_size == 200

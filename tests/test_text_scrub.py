@@ -65,3 +65,30 @@ def test_training_hygiene_pipeline_stages(spark):
     got = [(r["id_a"], r["id_b"]) for r in df.collect()]
     assert got == [(1, 2)]  # scrub made 1 and 2 near-identical; 3 was gated
     assert spark.table("clean").count() == 3
+
+
+def test_degenerate_bucket_cap_completes_and_logs(spark, caplog):
+    """A planted degenerate bucket (2k identical docs) must complete under
+    the default cap with the dropped-bucket count logged — never a silent
+    quadratic blowup, never silent truncation."""
+    import logging
+
+    from arc_spark.operators.dedup import minhash_near_dup, simhash_near_dup
+
+    rows = [(i, "the same boilerplate license header text repeated verbatim")
+            for i in range(2000)]
+    rows += [(10_000 + i, " ".join(f"w{(i * 31 + j) * 2654435761 % 99991}"
+                                   for j in range(12)))
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    with caplog.at_level(logging.WARNING, logger="arc_spark.dedup"):
+        out = minhash_near_dup(df, "text", "doc_id", num_hashes=16, bands=4,
+                               max_bucket_size=100)
+        assert out.count() == 0  # the only dups live in dropped buckets
+    assert any("degenerate bucket" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="arc_spark.dedup"):
+        out = simhash_near_dup(df, "text", "doc_id", max_hamming=3, bands=4,
+                               max_bucket_size=100)
+        assert out.count() == 0
+    assert any("degenerate bucket" in r.message for r in caplog.records)
