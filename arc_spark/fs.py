@@ -1,0 +1,454 @@
+"""Filesystem abstraction for driver-side metadata and small-object IO.
+
+Spark executors read/write DATA files (parquet, text parts) through
+Hadoop's FileSystem connectors for whatever scheme the path carries —
+that side needs no abstraction. What does need one is the DRIVER-side
+metadata work the lake table and single-file loads do: listing manifests,
+reading/writing small JSON objects, the atomic commit CAS, orphan-file
+cleanup, and streaming single-file assembly. The reference routes all of
+it through Hadoop ``FileSystem`` (e.g. ``load/TextLoad.scala:173-248``
+opens ``FileSystem.create`` streams; ``util/CloudUtils.scala`` wires
+per-stage credentials into the Hadoop configuration); this module is the
+same idea with three backends:
+
+- ``LocalFS``      — plain POSIX, the default for bare paths.
+- ``HadoopFS``     — py4j bridge to ``org.apache.hadoop.fs.FileSystem``;
+  handles every scheme the cluster has a connector for (``hdfs://``,
+  ``s3a://``, ``abfss://``, ``gs://``, and ``file:/``, which is how tests
+  exercise this code path without cloud credentials).
+- ``MemoryFS``     — in-process dict with object-store-like conditional
+  PUT; unit-tests the commit CAS and concurrency without any disk.
+
+Commit CAS semantics by backend: LocalFS/MemoryFS use create-exclusive
+(atomic). HadoopFS writes a temp object then ``rename`` with
+no-overwrite, which is atomic on HDFS; on S3A rename is copy+delete and
+the no-overwrite check races — production S3 deployments should layer a
+DynamoDB/conditional-PUT lock exactly as Iceberg's S3 committers do (the
+manifest naming here is compatible with that: one immutable object per
+version, winner-takes-name).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+import shutil
+import threading
+from urllib.parse import urlparse
+
+
+def scheme_of(path: str) -> str:
+    """URI scheme of ``path`` ('' for bare POSIX paths). Windows drive
+    letters are not a concern on cluster deployments."""
+    p = urlparse(path)
+    return p.scheme if len(p.scheme) > 1 else ""
+
+
+def join(base: str, *parts: str) -> str:
+    """Scheme-preserving path join (always '/')."""
+    return posixpath.join(base, *parts)
+
+
+class ArcFileSystem:
+    """Driver-side filesystem operations for metadata and small objects."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        """Child NAMES (not paths) of a directory; [] if missing."""
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Create or overwrite; parents created as needed."""
+        raise NotImplementedError
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        """Atomically create ``path`` with ``data`` iff absent — the
+        manifest-commit CAS. Raises FileExistsError on conflict."""
+        raise NotImplementedError
+
+    def open_output(self, path: str):
+        """Binary write stream (overwrite) — for streaming single-file
+        assembly; parents created as needed."""
+        raise NotImplementedError
+
+    def open_append(self, path: str):
+        """Binary append stream. Backends without native append fall back
+        to read-existing + rewrite (O(existing bytes) — documented cost of
+        append-mode single files on object storage)."""
+        raise NotImplementedError
+
+    def open_input(self, path: str):
+        """Binary read stream."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Remove a file (no error if already gone)."""
+        raise NotImplementedError
+
+    def rmdir_if_empty(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def walk_files(self, path: str):
+        """Yield (file_path, name) for every file under ``path``."""
+        stack = [path]
+        while stack:
+            d = stack.pop()
+            for name in self.listdir(d):
+                p = join(d, name)
+                if self.isdir(p):
+                    stack.append(p)
+                else:
+                    yield p, name
+
+    def seekable_input(self, path: str):
+        """Seekable binary file-like (for parquet footer reads)."""
+        return io.BytesIO(self.read_bytes(path))
+
+
+class LocalFS(ArcFileSystem):
+    def _p(self, path: str) -> str:
+        return path[len("file://"):] if path.startswith("file://") else (
+            path[len("file:"):] if path.startswith("file:") else path
+        )
+
+    def exists(self, path):
+        return os.path.exists(self._p(path))
+
+    def isdir(self, path):
+        return os.path.isdir(self._p(path))
+
+    def listdir(self, path):
+        p = self._p(path)
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def read_bytes(self, path):
+        with open(self._p(path), "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path, data):
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    def create_exclusive(self, path, data):
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "xb") as f:
+            f.write(data)
+
+    def open_output(self, path):
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return open(p, "wb")
+
+    def open_input(self, path):
+        return open(self._p(path), "rb")
+
+    def open_append(self, path):
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return open(p, "ab")
+
+    def delete(self, path):
+        try:
+            os.remove(self._p(path))
+        except FileNotFoundError:
+            pass
+
+    def rmdir_if_empty(self, path):
+        p = self._p(path)
+        if os.path.isdir(p) and not os.listdir(p):
+            os.rmdir(p)
+
+    def rmtree(self, path):
+        shutil.rmtree(self._p(path), ignore_errors=True)
+
+    def mkdirs(self, path):
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def seekable_input(self, path):
+        return open(self._p(path), "rb")
+
+
+class MemoryFS(ArcFileSystem):
+    """In-process object store: flat {path: bytes} with directories
+    implied by prefixes (like S3). ``create_exclusive`` is a true
+    conditional PUT under a lock."""
+
+    def __init__(self):
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def _norm(self, path: str) -> str:
+        return path.rstrip("/")
+
+    def exists(self, path):
+        p = self._norm(path)
+        with self._lock:
+            return p in self._objects or any(
+                k.startswith(p + "/") for k in self._objects
+            )
+
+    def isdir(self, path):
+        p = self._norm(path)
+        with self._lock:
+            return p not in self._objects and any(
+                k.startswith(p + "/") for k in self._objects
+            )
+
+    def listdir(self, path):
+        p = self._norm(path)
+        names = set()
+        with self._lock:
+            for k in self._objects:
+                if k.startswith(p + "/"):
+                    names.add(k[len(p) + 1:].split("/", 1)[0])
+        return sorted(names)
+
+    def read_bytes(self, path):
+        with self._lock:
+            try:
+                return self._objects[self._norm(path)]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def write_bytes(self, path, data):
+        with self._lock:
+            self._objects[self._norm(path)] = bytes(data)
+
+    def create_exclusive(self, path, data):
+        p = self._norm(path)
+        with self._lock:
+            if p in self._objects:
+                raise FileExistsError(path)
+            self._objects[p] = bytes(data)
+
+    def open_output(self, path):
+        fs, p = self, self._norm(path)
+
+        class _Out(io.BytesIO):
+            def close(self_inner):
+                fs.write_bytes(p, self_inner.getvalue())
+                super().close()
+
+            def __exit__(self_inner, *a):
+                self_inner.close()
+
+        return _Out()
+
+    def open_input(self, path):
+        return io.BytesIO(self.read_bytes(path))
+
+    def open_append(self, path):
+        try:
+            existing = self.read_bytes(path)
+        except FileNotFoundError:
+            existing = b""
+        out = self.open_output(path)
+        out.write(existing)
+        return out
+
+    def delete(self, path):
+        with self._lock:
+            self._objects.pop(self._norm(path), None)
+
+    def rmdir_if_empty(self, path):
+        pass  # directories are implicit
+
+    def rmtree(self, path):
+        p = self._norm(path)
+        with self._lock:
+            for k in [k for k in self._objects if k == p or k.startswith(p + "/")]:
+                del self._objects[k]
+
+    def mkdirs(self, path):
+        pass  # directories are implicit
+
+
+class HadoopFS(ArcFileSystem):
+    """Hadoop FileSystem bridge (py4j): any scheme the cluster's
+    connectors support. Used driver-side only — executors never touch
+    this class (data goes through Spark's own readers/writers)."""
+
+    def __init__(self, spark, base_uri: str):
+        self._jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        uri = self._jvm.java.net.URI.create(base_uri)
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path):
+        return self._fs.exists(self._path(path))
+
+    def isdir(self, path):
+        p = self._path(path)
+        return self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory()
+
+    def listdir(self, path):
+        p = self._path(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def read_bytes(self, path):
+        stream = self._fs.open(self._path(path))
+        try:
+            out = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+            return bytes(out.toByteArray())
+        finally:
+            stream.close()
+
+    def write_bytes(self, path, data):
+        stream = self._fs.create(self._path(path), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def create_exclusive(self, path, data):
+        # write-temp + rename-if-absent: atomic on HDFS (rename fails when
+        # the destination exists); see module docstring for the S3 caveat
+        tmp = path + ".tmp-" + os.urandom(4).hex()
+        self.write_bytes(tmp, data)
+        ok = self._fs.rename(self._path(tmp), self._path(path))
+        if not ok:
+            self.delete(tmp)
+            raise FileExistsError(path)
+
+    class _JStreamWriter:
+        def __init__(self, stream):
+            self._s = stream
+
+        def write(self, data):
+            self._s.write(bytearray(data))
+            return len(data)
+
+        def close(self):
+            self._s.close()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self.close()
+
+    def open_output(self, path):
+        return self._JStreamWriter(self._fs.create(self._path(path), True))
+
+    def open_append(self, path):
+        if not self.exists(path):
+            return self.open_output(path)
+        try:
+            return self._JStreamWriter(self._fs.append(self._path(path)))
+        except Exception:
+            # connector without append (e.g. local checksum FS, s3a):
+            # re-stage the existing bytes into a fresh stream
+            existing = self.read_bytes(path)
+            out = self.open_output(path)
+            out.write(existing)
+            return out
+
+    class _JStreamReader(io.RawIOBase):
+        def __init__(self, fs, path):
+            self._s = fs._fs.open(fs._path(path))
+            self._len = fs._fs.getFileStatus(fs._path(path)).getLen()
+
+        def readable(self):
+            return True
+
+        def seekable(self):
+            return True
+
+        def seek(self, pos, whence=io.SEEK_SET):
+            if whence == io.SEEK_SET:
+                self._s.seek(pos)
+            elif whence == io.SEEK_CUR:
+                self._s.seek(self._s.getPos() + pos)
+            else:
+                self._s.seek(self._len + pos)
+            return self._s.getPos()
+
+        def tell(self):
+            return self._s.getPos()
+
+        def read(self, n=-1):
+            if n is None or n < 0:
+                n = self._len - self._s.getPos()
+            if n <= 0:
+                return b""
+            # readNBytes RETURNS the array — py4j does not copy back
+            # mutations made to a byte[] argument, so read(buf, off, len)
+            # silently yields zeros
+            return bytes(self._s.readNBytes(int(n)))
+
+        def readinto(self, b):
+            data = self.read(len(b))
+            b[: len(data)] = data
+            return len(data)
+
+        def close(self):
+            self._s.close()
+            super().close()
+
+    def open_input(self, path):
+        return io.BufferedReader(self._JStreamReader(self, path))
+
+    def seekable_input(self, path):
+        return io.BufferedReader(self._JStreamReader(self, path))
+
+    def delete(self, path):
+        self._fs.delete(self._path(path), False)
+
+    def rmdir_if_empty(self, path):
+        p = self._path(path)
+        if self._fs.exists(p) and len(self._fs.listStatus(p)) == 0:
+            self._fs.delete(p, False)
+
+    def rmtree(self, path):
+        self._fs.delete(self._path(path), True)
+
+    def mkdirs(self, path):
+        self._fs.mkdirs(self._path(path))
+
+
+_memory_fs = MemoryFS()
+_local_fs = LocalFS()
+
+
+def get_fs(path: str, spark=None) -> ArcFileSystem:
+    """Resolve the filesystem for ``path`` by scheme. ``memory://`` is the
+    in-process test store; bare paths are POSIX; anything else goes
+    through Hadoop (requires an active SparkSession for the JVM)."""
+    s = scheme_of(path)
+    if s in ("", "file") and os.environ.get("ARC_FORCE_HADOOP_FS") != "1":
+        return _local_fs
+    if s == "memory":
+        return _memory_fs
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"a SparkSession is required to access {path!r} via Hadoop FS"
+            )
+    return HadoopFS(spark, path)

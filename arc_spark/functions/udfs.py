@@ -115,6 +115,18 @@ def _fetch_uri(uri: str) -> bytes | None:
 
     if uri is None:
         return None
+    scheme = uri.split("://", 1)[0] if "://" in uri else ("file" if uri.startswith(("/", "file:")) else "")
+    if scheme not in ("http", "https", "file"):
+        # executors have no JVM access, so Hadoop-scheme fetches can't run
+        # inside a Python UDF; object-storage bytes are a Spark reader's
+        # job — same data, pushdown + parallel scan included
+        raise ValueError(
+            f"get_uri supports http(s)/file URIs; for {scheme!r} object "
+            f"storage read the bytes with BytesExtract (Spark binaryFile "
+            f"source handles any cluster-configured scheme)"
+        )
+    if not uri.startswith(("http://", "https://", "file:")):
+        uri = "file://" + uri
     with urllib.request.urlopen(uri) as resp:
         data = resp.read()
         enc = (resp.headers.get("Content-Encoding") or "").lower()

@@ -36,8 +36,6 @@ row-count bookkeeping mirrors JDBCLoad's count parity check
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -45,6 +43,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from arc_spark.fs import get_fs, join as fs_join
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -98,22 +98,32 @@ class LakeTable:
 
     def __init__(self, root: str):
         self.root = root
+        self._fs = None
+
+    @property
+    def fs(self):
+        """Driver-side filesystem for manifests/listings/CAS, resolved by
+        the root's URI scheme (POSIX, memory://, or Hadoop FS for
+        hdfs/s3a/abfss/gs — see arc_spark.fs). Data files always go
+        through Spark's own readers/writers for the same scheme."""
+        if self._fs is None:
+            self._fs = get_fs(self.root)
+        return self._fs
 
     # -- metadata ----------------------------------------------------------
 
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.root, MANIFEST_DIR, f"v{version:012d}.json")
+        return fs_join(self.root, MANIFEST_DIR, f"v{version:012d}.json")
 
     def exists(self) -> bool:
-        d = os.path.join(self.root, MANIFEST_DIR)
-        return os.path.isdir(d) and any(n.endswith(".json") for n in os.listdir(d))
+        d = fs_join(self.root, MANIFEST_DIR)
+        return any(n.endswith(".json") for n in self.fs.listdir(d))
 
     def current_version(self) -> int:
-        d = os.path.join(self.root, MANIFEST_DIR)
-        if not os.path.isdir(d):
-            return -1
+        d = fs_join(self.root, MANIFEST_DIR)
         versions = [
-            int(n[1:-5]) for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+            int(n[1:-5]) for n in self.fs.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
         ]
         return max(versions, default=-1)
 
@@ -121,8 +131,7 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"lake table {self.root} does not exist")
-        with open(self._manifest_path(v)) as f:
-            m = json.load(f)
+        m = json.loads(self.fs.read_bytes(self._manifest_path(v)))
         return Snapshot(
             version=m["version"],
             epoch=m["epoch"],
@@ -142,10 +151,10 @@ class LakeTable:
         """Atomically publish a manifest as the next version (CAS)."""
         version = manifest["version"]
         path = self._manifest_path(version)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
-            with open(path, "x") as f:
-                json.dump(manifest, f)
+            # create-exclusive / rename-if-absent CAS (backend-dependent
+            # atomicity documented in arc_spark.fs)
+            self.fs.create_exclusive(path, json.dumps(manifest).encode())
         except FileExistsError:
             raise CommitConflict(f"version {version} already committed") from None
         return version
@@ -164,8 +173,8 @@ class LakeTable:
         if self.exists():
             if not overwrite:
                 raise FileExistsError(f"table exists: {self.root}")
-            shutil.rmtree(self.root)
-        os.makedirs(os.path.join(self.root, DATA_DIR), exist_ok=True)
+            self.fs.rmtree(self.root)
+        self.fs.mkdirs(fs_join(self.root, DATA_DIR))
         manifest = {
             "version": 0,
             "epoch": -1,
@@ -215,35 +224,35 @@ class LakeTable:
         buckets: set[str] | None = None,
     ) -> DataFrame:
         """Tombstone-carrying rows for the given buckets (default all),
-        with any MOR deltas LWW-resolved against the base."""
-        base_files = [
-            p
-            for b, fs in snap.files.items()
-            if buckets is None or b in buckets
-            for p in fs
-        ]
-        delta_files = [
-            p
-            for b, fs in snap.delta_files.items()
-            if buckets is None or b in buckets
-            for p in fs
-        ]
-        base = self._read_files(spark, snap, base_files, with_tombstone=True)
-        if not delta_files:
-            return base
-        delta = self._read_files(spark, snap, delta_files, with_tombstone=True)
-        merged = base.unionByName(delta)
+        with any MOR deltas LWW-resolved against the base.
+
+        Only DELTA-BEARING buckets pay the window shuffle: buckets with no
+        delta files stream through untouched (a key never crosses buckets,
+        so per-bucket resolution is exact). With 1 dirty bucket out of B,
+        the read shuffles 1/B of the table instead of all of it."""
+        sel = set(snap.files) | set(snap.delta_files) if buckets is None else buckets
+        dirty = {b for b in sel if snap.delta_files.get(b)}
+        clean_files = [p for b in sel - dirty for p in snap.files.get(b, [])]
+        clean = self._read_files(spark, snap, clean_files, with_tombstone=True)
+        if not dirty:
+            return clean
+        dirty_base = [p for b in dirty for p in snap.files.get(b, [])]
+        dirty_delta = [p for b in dirty for p in snap.delta_files.get(b, [])]
+        merged = self._read_files(
+            spark, snap, dirty_base, with_tombstone=True
+        ).unionByName(self._read_files(spark, snap, dirty_delta, with_tombstone=True))
         # one row per key: max seq wins (seq is globally unique, so no tie
         # rule is needed; NULL keys group together, matching the COW
         # merge's eqNullSafe join)
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(*snap.key_cols).orderBy(F.col(snap.seq_col).desc())
-        return (
+        resolved = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        return clean.unionByName(resolved)
 
     def _read_files(
         self,
@@ -262,7 +271,7 @@ class LakeTable:
             )
         if not rel_paths:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, p) for p in rel_paths]
+        paths = [fs_join(self.root, p) for p in rel_paths]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         # align to snapshot schema (old files lack evolved columns)
         cols = []
@@ -524,7 +533,7 @@ class LakeTable:
 
         # write new files for touched buckets under a unique epoch attempt dir
         attempt_id = f"epoch={epoch}-{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.root, DATA_DIR, attempt_id)
+        out_dir = fs_join(self.root, DATA_DIR, attempt_id)
         t0 = time.time()
         (
             merged.repartition(max(1, min(len(touched), snap.num_buckets)), "_bucket")
@@ -540,18 +549,18 @@ class LakeTable:
         new_files: dict[str, list[str]] = {}
         rows_written = 0
         rows_per_bucket: dict[str, int] = {}
-        for entry in os.listdir(out_dir):
+        for entry in self.fs.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             bucket = entry.split("=", 1)[1]
-            bdir = os.path.join(out_dir, entry)
+            bdir = fs_join(out_dir, entry)
             rel = [
-                os.path.join(DATA_DIR, attempt_id, entry, fn)
-                for fn in os.listdir(bdir)
+                fs_join(DATA_DIR, attempt_id, entry, fn)
+                for fn in self.fs.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
             new_files[bucket] = rel
-            n = _parquet_rows([os.path.join(self.root, p) for p in rel])
+            n = _parquet_rows(self.fs, [fs_join(self.root, p) for p in rel])
             rows_per_bucket[bucket] = n
             rows_written += n
 
@@ -622,7 +631,7 @@ class LakeTable:
             F.col("_bucket"),
         )
         attempt_id = f"epoch={epoch}-delta-{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.root, DATA_DIR, attempt_id)
+        out_dir = fs_join(self.root, DATA_DIR, attempt_id)
         t0 = time.time()
         (
             rows.repartition(min(spark.sparkContext.defaultParallelism, snap.num_buckets), "_bucket")
@@ -637,18 +646,18 @@ class LakeTable:
         bucket_rows = dict(snap.bucket_rows)
         rows_written = 0
         rows_per_bucket: dict[str, int] = {}
-        for entry in os.listdir(out_dir):
+        for entry in self.fs.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             bucket = entry.split("=", 1)[1]
-            bdir = os.path.join(out_dir, entry)
+            bdir = fs_join(out_dir, entry)
             rel = [
-                os.path.join(DATA_DIR, attempt_id, entry, fn)
-                for fn in os.listdir(bdir)
+                fs_join(DATA_DIR, attempt_id, entry, fn)
+                for fn in self.fs.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
             delta_files.setdefault(bucket, []).extend(rel)
-            n = _parquet_rows([os.path.join(self.root, p) for p in rel])
+            n = _parquet_rows(self.fs, [fs_join(self.root, p) for p in rel])
             rows_per_bucket[bucket] = n
             bucket_rows[bucket] = bucket_rows.get(bucket, 0) + n
             rows_written += n
@@ -711,7 +720,7 @@ class LakeTable:
                 )
             )
         attempt_id = f"compact-{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.root, DATA_DIR, attempt_id)
+        out_dir = fs_join(self.root, DATA_DIR, attempt_id)
         (
             df.withColumn("_bucket", self.bucket_expr(snap))
             .repartition(snap.num_buckets, "_bucket")
@@ -720,17 +729,17 @@ class LakeTable:
             .parquet(out_dir)
         )
         files: dict[str, list[str]] = {}
-        for entry in os.listdir(out_dir):
+        for entry in self.fs.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             bucket = entry.split("=", 1)[1]
             files[bucket] = [
-                os.path.join(DATA_DIR, attempt_id, entry, fn)
-                for fn in os.listdir(os.path.join(out_dir, entry))
+                fs_join(DATA_DIR, attempt_id, entry, fn)
+                for fn in self.fs.listdir(fs_join(out_dir, entry))
                 if fn.endswith(".parquet")
             ]
         bucket_rows = {
-            b: _parquet_rows([os.path.join(self.root, p) for p in fs])
+            b: _parquet_rows(self.fs, [fs_join(self.root, p) for p in fs])
             for b, fs in files.items()
         }
         manifest = {
@@ -758,9 +767,10 @@ class LakeTable:
         files referenced by no surviving manifest (Iceberg
         expire_snapshots + remove_orphan_files). Readers of surviving
         snapshots are unaffected — files they reference are kept."""
-        d = os.path.join(self.root, MANIFEST_DIR)
+        d = fs_join(self.root, MANIFEST_DIR)
         versions = sorted(
-            int(n[1:-5]) for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+            int(n[1:-5]) for n in self.fs.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
         )
         to_drop = versions[:-keep_last] if keep_last else versions
         keep = versions[-keep_last:] if keep_last else []
@@ -768,20 +778,22 @@ class LakeTable:
         for v in keep:
             live |= set(self.snapshot(v).file_list())
         removed_files = 0
-        data_root = os.path.join(self.root, DATA_DIR)
-        for dirpath, _dirnames, filenames in os.walk(data_root):
-            for fn in filenames:
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in live:
-                    os.remove(full)
-                    removed_files += 1
+        data_root = fs_join(self.root, DATA_DIR)
+        seen_dirs: list[str] = []
+        for full, fn in self.fs.walk_files(data_root):
+            rel = full[len(self.root):].lstrip("/")
+            if fn.endswith(".parquet") and rel not in live:
+                self.fs.delete(full)
+                removed_files += 1
+            d_ = full.rsplit("/", 1)[0]
+            if d_ not in seen_dirs:
+                seen_dirs.append(d_)
         for v in to_drop:
-            os.remove(self._manifest_path(v))
-        # prune now-empty attempt directories
-        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
-            if not dirnames and not filenames and dirpath != data_root:
-                os.rmdir(dirpath)
+            self.fs.delete(self._manifest_path(v))
+        # prune now-empty attempt directories (deepest first)
+        for d_ in sorted(seen_dirs, key=len, reverse=True):
+            if d_ != data_root:
+                self.fs.rmdir_if_empty(d_)
         return {
             "status": "expired",
             "manifests_removed": len(to_drop),
@@ -790,7 +802,18 @@ class LakeTable:
         }
 
 
-def _parquet_rows(paths: list[str]) -> int:
+def _parquet_rows(fs, paths: list[str]) -> int:
+    """Row counts from parquet footers — no Spark job. Local paths go
+    straight to pyarrow; other schemes read through a seekable driver-side
+    stream (footer-sized IO, not whole files)."""
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    from arc_spark.fs import LocalFS
+
+    if isinstance(fs, LocalFS):
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    total = 0
+    for p in paths:
+        with fs.seekable_input(p) as f:
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total

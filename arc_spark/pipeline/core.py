@@ -146,6 +146,19 @@ class ETLPipeline:
                 p.before(stage, ctx)
             t0 = time.time()
             try:
+                # per-stage cloud credentials reach the Hadoop conf before
+                # the stage touches its URI (util/CloudUtils.scala:30-150,
+                # applied by every reference extract/load)
+                if stage.params.get("authentication"):
+                    from arc_spark.auth import apply_authentication
+
+                    applied = apply_authentication(
+                        ctx.spark, stage.params["authentication"]
+                    )
+                    _log_event(
+                        ctx, stage, i, "stage.authentication", 0.0,
+                        keys=sorted(applied),  # keys only — never the secrets
+                    )
                 df = stage.execute(ctx)
             except Exception:
                 _log_event(ctx, stage, i, "stage.failed", time.time() - t0)

@@ -1099,38 +1099,102 @@ class TextLoad(PipelineStage):
             suffix = self.params.get("suffix", "")
             save_mode = self.params.get("saveMode", "overwrite").lower()
             n_part = int(self.params.get("singleFileNumPartitions", 32))
-
-            def write_group(pdf):
-                import pandas as pd
-
-                path = pdf["filename"].iloc[0]
-                if has_index:
-                    pdf = pdf.sort_values("index")
-                body = prefix + sep.join(str(v) for v in pdf["value"]) + suffix
-                exists = os.path.exists(path)
-                if exists and save_mode == "errorifexists":
-                    raise FileExistsError(path)
-                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-                with open(path, "a" if (exists and save_mode == "append") else "w") as f:
-                    f.write(body)
-                return pd.DataFrame({"filename": [path], "rows": [len(pdf)]})
-
-            written = (
-                df.repartition(n_part, "filename")
-                .groupBy("filename")
-                .applyInPandas(write_group, "filename string, rows long")
-                .collect()
+            written = self._write_single_files(
+                ctx, df, uri, has_index=has_index, prefix=prefix, sep=sep,
+                suffix=suffix, save_mode=save_mode, n_part=n_part,
             )
             ctx.events.append(
                 {
                     "event": "stage.outputFiles",
                     "stage": self.name,
-                    "outputFiles": sorted(r["filename"] for r in written),
+                    "outputFiles": written,
                 }
             )
             return df
         df.write.mode(self.params.get("saveMode", "overwrite")).text(uri)
         return df
+
+    def _write_single_files(
+        self, ctx, df, uri, *, has_index, prefix, sep, suffix, save_mode, n_part
+    ) -> list[str]:
+        """Two-phase single-file assembly, streaming at every step (the
+        reference streams row-by-row through Hadoop FS output streams,
+        load/TextLoad.scala:173-248 — the earlier applyInPandas version
+        buffered a whole file body per group, an OOM at large files):
+
+        1. EXECUTORS spill rows as parquet parts, hash-partitioned and
+           sorted by (filename, index) and directory-partitioned by
+           filename — Spark's writer streams rows, so no file body is ever
+           held in memory, and values survive byte-exact (newlines in
+           values would corrupt a text-format spill).
+        2. The DRIVER streams each file's part batches through an
+           ArcFileSystem output stream (any scheme: POSIX, hdfs://,
+           s3a://), injecting prefix/separator/suffix. A single output
+           file is inherently a single sequential byte stream — doing it
+           driver-side costs nothing in parallelism and bounds memory at
+           one Arrow batch."""
+        import uuid as _uuid
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        from arc_spark.fs import LocalFS, get_fs, join as fs_join
+
+        if uri:
+            spill_base = uri.rstrip("/") + "-spill"
+        else:
+            first = df.select("filename").limit(1).collect()
+            if not first:
+                return []
+            spill_base = first[0][0].rsplit("/", 1)[0] + "/_textload-spill"
+        spill = f"{spill_base}-{_uuid.uuid4().hex[:8]}"
+        fs = get_fs(spill, ctx.spark)
+        sort_cols = ["filename"] + (["index"] if has_index else [])
+        (
+            df.repartition(n_part, "filename")
+            .sortWithinPartitions(*sort_cols)
+            .write.partitionBy("filename")
+            .mode("overwrite")
+            .parquet(spill)
+        )
+        written: list[str] = []
+        try:
+            for entry in sorted(fs.listdir(spill)):
+                if not entry.startswith("filename="):
+                    continue
+                path = unquote(entry.split("=", 1)[1])
+                parts = [
+                    fs_join(spill, entry, n)
+                    for n in sorted(fs.listdir(fs_join(spill, entry)))
+                    if n.endswith(".parquet")
+                ]
+                tfs = get_fs(path, ctx.spark)
+                exists = tfs.exists(path)
+                if exists and save_mode == "errorifexists":
+                    raise FileExistsError(path)
+                out = (
+                    tfs.open_append(path)
+                    if exists and save_mode == "append"
+                    else tfs.open_output(path)
+                )
+                with out:
+                    out.write(prefix.encode())
+                    first_row = True
+                    for part in parts:
+                        src = (
+                            part if isinstance(fs, LocalFS) else fs.seekable_input(part)
+                        )
+                        for batch in pq.ParquetFile(src).iter_batches(columns=["value"]):
+                            for v in batch.column(0):
+                                if not first_row:
+                                    out.write(sep.encode())
+                                out.write(str(v).encode())
+                                first_row = False
+                    out.write(suffix.encode())
+                written.append(path)
+        finally:
+            fs.rmtree(spill)
+        return sorted(written)
 
 
 @register_stage

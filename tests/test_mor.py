@@ -154,3 +154,46 @@ def test_lookup_prunes_buckets(spark, stream, tmp_path):
         .select(table.bucket_expr(snap).alias("b")).distinct().collect()
     }
     assert len(buckets) < snap.num_buckets
+
+
+def test_mor_read_windows_only_delta_bearing_buckets(spark, tmp_path, monkeypatch):
+    """A read of a table with deltas on one bucket must shuffle/window
+    ONLY that bucket's rows; the other buckets' base files stream through
+    without LWW resolution."""
+    from arc_spark.lake.table import LakeTable
+
+    t = LakeTable(str(tmp_path / "mor_prune"))
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}", i, "upsert") for i in range(200)],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=8)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=199)
+    # one-key delta epoch -> exactly one dirty bucket
+    d = spark.createDataFrame([(0, "NEW", 1000, "upsert")],
+                              "k: long, v: string, seq: long, op: string")
+    t.merge(spark, d, epoch=1, start_seq=1000, end_seq=1000, mode="delta")
+    snap = t.snapshot()
+    dirty = [b for b, fs in snap.delta_files.items() if fs]
+    assert len(dirty) == 1
+
+    calls = []
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, snap_, rel_paths, **kw):
+        calls.append(list(rel_paths))
+        return orig(self, spark_, snap_, rel_paths, **kw)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[0] == "NEW" and len(rows) == 200
+    # windowed branch reads = dirty bucket's base + delta files only
+    windowed = [c for c in calls if any(p in snap.delta_files[dirty[0]] for p in c)]
+    dirty_base_calls = [c for c in calls if c == snap.files[dirty[0]]]
+    assert windowed and dirty_base_calls
+    clean_calls = [c for c in calls if c and snap.files[dirty[0]][0] not in c
+                   and not any(p in snap.delta_files[dirty[0]] for p in c)]
+    expected_clean = sorted(
+        p for b, fs in snap.files.items() if b != dirty[0] for p in fs
+    )
+    assert any(sorted(c) == expected_clean for c in clean_calls)
