@@ -133,9 +133,25 @@ def last_writer_wins(
         return _lww_thin(df, keys, seq_col, salt_buckets)
     if strategy == "window":
         return _lww_window(df, keys, seq_col)
+    if strategy == "thin_window":
+        return _lww_thin_window(df, keys, seq_col)
     if strategy == "sort_partitions":
         return _lww_sort_partitions(df, keys, seq_col, num_partitions)
     raise ValueError(f"unknown LWW strategy: {strategy!r}")
+
+
+def _lww_semi_join_back(df: DataFrame, winners: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+    """Null-safe LEFT SEMI join of the full rows onto the winning
+    (keys, seq) set. A null-unsafe join would silently drop NULL-keyed
+    rows, while max_by/window keep them as a group — every strategy must
+    produce identical output. AQE broadcasts the winner set when small,
+    so the fat side never shuffles."""
+    d, w = df.alias("_d"), winners.alias("_w")
+    cond = None
+    for k in [*keys, seq_col]:
+        c = F.col(f"_d.{k}").eqNullSafe(F.col(f"_w.{k}"))
+        cond = c if cond is None else (cond & c)
+    return d.join(w, cond, "left_semi")
 
 
 def _lww_thin(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:
@@ -164,16 +180,7 @@ def _lww_thin(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | 
         )
     else:
         winners = thin.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
-    # eqNullSafe join: a null-unsafe semi join would silently drop rows
-    # whose key columns are NULL, while max_by/window keep NULL keys as a
-    # group (and LakeTable.merge joins null-safely) — all strategies must
-    # produce identical output.
-    d, w = df.alias("_d"), winners.alias("_w")
-    cond = None
-    for k in [*keys, seq_col]:
-        c = F.col(f"_d.{k}").eqNullSafe(F.col(f"_w.{k}"))
-        cond = c if cond is None else (cond & c)
-    return d.join(w, cond, "left_semi")
+    return _lww_semi_join_back(df, winners, keys, seq_col)
 
 
 def _lww_max_by(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:
@@ -200,6 +207,27 @@ def _lww_window(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _lww_thin_window(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+    """Window LWW over ONLY (keys, seq), then null-safe semi join back.
+
+    ``window`` shuffles the surviving FULL rows (≤1 per key per map task,
+    but each multi-KB); here the window's exchange carries thin
+    (keys, seq) rows — a fraction of the bytes — and the fat rows never
+    shuffle at all (AQE broadcast semi join). The tradeoff is a second
+    pass over the source batch for the join-back; callers that persist
+    the batch (ReplayRunner does) pay ~nothing for it."""
+    from pyspark.sql.window import Window
+
+    thin = df.select(*keys, seq_col)
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    winners = (
+        thin.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return _lww_semi_join_back(df, winners, keys, seq_col)
 
 
 def _lww_sort_partitions(

@@ -128,22 +128,35 @@ class _FileExtract(PipelineStage):
 
     REQUIRED = ("outputView",)
     OPTIONAL = ("inputURI", "inputView", "inputField", "schema", "schemaURI",
-                "options", "watermark", "basePath", "contiguousIndex",
-                "internalColumns")
+                "schemaView", "options", "watermark", "basePath",
+                "contiguousIndex", "internalColumns")
 
-    def _schema(self) -> T.StructType | None:
+    def _schema(self, ctx: "PipelineContext | None" = None) -> T.StructType | None:
         if "schema" in self.params:
             return to_struct_type(parse_arc_schema(self.params["schema"]))
+        if "schemaView" in self.params:
+            # schema-as-data from an earlier stage (the reference's
+            # schemaView on every extract, extract/DelimitedExtract.scala:57)
+            from arc_spark.schema import parse_arc_schema_dataframe
+
+            if ctx is None:
+                raise ValueError(f"{self.name}: schemaView requires a pipeline context")
+            return to_struct_type(
+                parse_arc_schema_dataframe(ctx.spark.table(self.params["schemaView"]))
+            )
         if "schemaURI" in self.params:
-            with open(self.params["schemaURI"]) as f:
-                return to_struct_type(parse_arc_schema(f.read()))
+            from arc_spark.fs import get_fs
+
+            uri = self.params["schemaURI"]
+            doc = get_fs(uri, ctx.spark if ctx else None).read_bytes(uri).decode()
+            return to_struct_type(parse_arc_schema(doc))
         return None
 
     def _options(self) -> dict[str, str]:
         return {**self.default_options, **(self.params.get("options") or {})}
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
-        schema = self._schema()
+        schema = self._schema(ctx)
         opts = self._options()
         if self.params.get("basePath"):
             opts["basePath"] = self.params["basePath"]
@@ -426,20 +439,49 @@ class AvroExtract(_FileExtract):
 class BytesExtract(_FileExtract):
     """extract/BytesExtract.scala:121-195 — whole-file binary; schema
     [value binary, _filename string] (datasource/BinaryDataSource.scala);
-    maps to Spark's built-in binaryFile source."""
+    maps to Spark's built-in binaryFile source.
+
+    ``inputView`` mode reads the paths from a [value: string] view
+    (:131-151); ``failMode`` permissive turns a no-files result into a
+    typed empty frame, failfast raises (:160-170)."""
 
     stage_type = "BytesExtract"
     format = "binaryFile"
+    OPTIONAL = _FileExtract.OPTIONAL + ("failMode",)
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
-        df = (
-            ctx.spark.read.format("binaryFile")
-            .load(self.params["inputURI"])
-            .select(
+        from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+        fail_mode = self.params.get("failMode", "failfast")
+        if "inputView" in self.params:
+            view = ctx.spark.table(self.params["inputView"])
+            if "value" not in view.columns or not isinstance(
+                view.schema["value"].dataType, StringType
+            ):
+                raise ValueError(
+                    f"{self.name}: inputView must have a [value: string] column "
+                    f"of paths, got {view.schema.simpleString()}"
+                )
+            paths = [r[0] for r in view.select("value").collect() if r[0]]
+        else:
+            paths = [self.params["inputURI"]]
+        try:
+            df = ctx.spark.read.format("binaryFile").load(paths)
+            df.take(1)  # force evaluation so missing paths surface here
+            df = df.select(
                 F.col("content").alias("value"),
                 F.col("path").alias("_filename", metadata={"internal": True}),
             )
-        )
+        except Exception as e:
+            if fail_mode == "failfast" or not _empty_input(e):
+                raise
+            df = ctx.spark.createDataFrame(
+                [],
+                StructType([
+                    StructField("value", BinaryType()),
+                    StructField("_filename", StringType()),
+                ]),
+            )
         return self.register_output(ctx, df, self.params["outputView"])
 
 
@@ -1486,19 +1528,43 @@ class DataLineage(LifecyclePlugin):
 
 @register_stage
 class ImageExtract(PipelineStage):
-    """extract/ImageExtract.scala:133-144 — image directory read via
-    Spark's built-in image source."""
+    """extract/ImageExtract.scala:126-160 — image directory read via
+    Spark's built-in image source: batch honors basePath (partition
+    discovery root), streaming uses the fixed image schema + optional
+    watermark; a missing path yields a typed empty frame (:143-145)."""
 
     stage_type = "ImageExtract"
     REQUIRED = ("inputURI", "outputView")
     OPTIONAL = ("dropInvalid", "basePath", "watermark")
 
+    _IMAGE_SCHEMA = (
+        "image STRUCT<origin: STRING, height: INT, width: INT, "
+        "nChannels: INT, mode: INT, data: BINARY>"
+    )
+
     def execute(self, ctx: PipelineContext) -> DataFrame:
-        df = (
-            ctx.spark.read.format("image")
-            .option("dropInvalid", str(self.params.get("dropInvalid", False)).lower())
-            .load(self.params["inputURI"])
-        )
+        drop_invalid = str(self.params.get("dropInvalid", False)).lower()
+        uri = self.params["inputURI"]
+        if ctx.streaming:
+            reader = (
+                ctx.spark.readStream.format("image")
+                .option("dropInvalid", drop_invalid)
+                .schema(self._IMAGE_SCHEMA)
+            )
+            df = reader.load(uri)
+            wm = self.params.get("watermark")
+            if wm:
+                df = df.withWatermark(wm["eventTime"], wm["delayThreshold"])
+        else:
+            reader = ctx.spark.read.format("image").option("dropInvalid", drop_invalid)
+            if self.params.get("basePath"):
+                reader = reader.option("basePath", self.params["basePath"])
+            try:
+                df = reader.load(uri)
+            except Exception as e:
+                if not _empty_input(e):
+                    raise
+                df = ctx.spark.createDataFrame([], self._IMAGE_SCHEMA)
         return self.register_output(ctx, df, self.params["outputView"])
 
 

@@ -142,6 +142,12 @@ def parse_arc_schema_dataframe(df) -> list[ColumnSpec]:
     name matches an Arc schema key is applied; a ``metadata`` column may
     hold a JSON object string.
     """
+    # Spark simpleString -> Arc type names, so MetadataExtract output (a
+    # reified Spark schema) round-trips directly into an extract schemaView
+    simple_to_arc = {
+        "int": "integer", "smallint": "integer", "tinyint": "integer",
+        "bigint": "long", "float": "double",
+    }
     rows = [r.asDict() for r in df.collect()]
     fields = []
     for r in rows:
@@ -151,6 +157,13 @@ def parse_arc_schema_dataframe(df) -> list[ColumnSpec]:
                 continue
             if k == "metadata" and isinstance(v, str):
                 v = json.loads(v)
+            if k == "type" and isinstance(v, str):
+                if v.startswith("decimal("):
+                    p, s = v[8:-1].split(",")
+                    f_["precision"], f_["scale"] = int(p), int(s)
+                    v = "decimal"
+                else:
+                    v = simple_to_arc.get(v, v)
             f_[k] = v
         fields.append(f_)
     return parse_arc_schema(fields)

@@ -140,10 +140,39 @@ def _time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _stage_metrics(spark) -> dict | None:
+    """Totals of per-stage executor metrics from the driver's REST API
+    (completed stages only): shuffle read/write, spill, input bytes. Used
+    to evidence WHY strong scaling plateaus — if bytes are identical at
+    both parallelism levels and throughput tracks the membw
+    microbenchmark, the residual is the host's one memory bus, not a
+    skew/plan regression."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10) as r:
+            stages = json.loads(r.read())
+        keys = {
+            "shuffle_write_bytes": "shuffleWriteBytes",
+            "shuffle_read_bytes": "shuffleReadBytes",
+            "memory_spill_bytes": "memoryBytesSpilled",
+            "disk_spill_bytes": "diskBytesSpilled",
+            "input_bytes": "inputBytes",
+            "output_bytes": "outputBytes",
+        }
+        return {k: sum(int(st.get(v, 0)) for st in stages) for k, v in keys.items()}
+    except Exception:
+        return None
+
+
 def _cdc_replay(
-    master: str, stream_path: str, n_events: int, batches: int, strategy: str = "window"
-) -> float:
-    """Run the full replay job cold at the given parallelism; return events/sec.
+    master: str, stream_path: str, n_events: int, batches: int, strategy: str = "window",
+    want_metrics: bool = False,
+):
+    """Run the full replay job cold at the given parallelism; return
+    events/sec (plus a stage-metrics byte breakdown when requested).
 
     Fairness: the JOB is identical at both levels — same shuffle partition
     count, same bucket count, same batch plan; only the executor thread
@@ -158,11 +187,14 @@ def _cdc_replay(
 
     cpus = master[len("local[") : -1]
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    conf = {"spark.local.dir": f"{shm}/sparktmp"} if shm else {}
+    if want_metrics:
+        conf["spark.ui.enabled"] = "true"  # REST stage metrics source
     spark = get_spark(
         f"cdc-bench-{cpus}",
         master=master,
         shuffle_partitions=64,
-        extra_conf={"spark.local.dir": f"{shm}/sparktmp"} if shm else None,
+        extra_conf=conf or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     lake_dir = tempfile.mkdtemp(prefix=f"lake_{cpus}_", dir=shm)
@@ -180,9 +212,16 @@ def _cdc_replay(
         runner = ReplayRunner(
             spark, stream_path, table, batch_size=batch, strategy=strategy
         )
+        before = _stage_metrics(spark) if want_metrics else None
         t0 = time.time()
         runner.run()
         wall = time.time() - t0
+        if want_metrics:
+            after = _stage_metrics(spark)
+            metrics = (
+                {k: after[k] - before[k] for k in after} if before and after else None
+            )
+            return n_events / wall, metrics
         return n_events / wall
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
@@ -283,22 +322,37 @@ def main() -> None:
 
         samples: dict[int, list[float]] = {low: [], high: []}
         weak_low: list[float] = []
-        ab_max_by = None
+        ab: dict[str, float] = {}
+        bytes_by_level: dict[str, dict] = {}
         try:
-            for _ in range(reps):
+            for rep in range(reps):
                 for cpus in (low, high):  # interleaved vs host drift
-                    samples[cpus].append(
-                        _cdc_replay(f"local[{cpus}]", stream_path, n_events, batches)
-                    )
+                    if rep == 0:
+                        tp, m = _cdc_replay(
+                            f"local[{cpus}]", stream_path, n_events, batches,
+                            want_metrics=True,
+                        )
+                        if m:
+                            bytes_by_level[str(cpus)] = m
+                    else:
+                        tp = _cdc_replay(f"local[{cpus}]", stream_path, n_events, batches)
+                    samples[cpus].append(tp)
                 weak_low.append(
                     _cdc_replay(f"local[{low}]", weak_path, n_events // 4, batches)
                 )
-            # one-run strategy A/B: the documented-slower max_by kernel at
-            # the high parallelism level, vs the thin default measured above
+            # strategy A/B at the high parallelism level vs the window
+            # default measured above: max_by (documented anti-scaler) and
+            # thin_window (thin-shuffle variant — the byte-cutting
+            # candidate; see cdc/apply._lww_thin_window)
             if os.environ.get("ARC_BENCH_SKIP_AB") != "1":
-                ab_max_by = _cdc_replay(
-                    f"local[{high}]", stream_path, n_events, batches, strategy="max_by"
-                )
+                for strat in ("max_by", "thin_window"):
+                    tp, m = _cdc_replay(
+                        f"local[{high}]", stream_path, n_events, batches,
+                        strategy=strat, want_metrics=True,
+                    )
+                    ab[strat] = tp
+                    if m:
+                        bytes_by_level[f"{high}_{strat}"] = m
         finally:
             shutil.rmtree(stream_dir, ignore_errors=True)
 
@@ -321,8 +375,15 @@ def main() -> None:
             "weak_scaling_efficiency": round(tp_high / (4.0 * tp_weak), 3),
             "strategy": "window",
             "ab_max_by_events_per_sec_high": (
-                round(ab_max_by, 1) if ab_max_by is not None else None
+                round(ab["max_by"], 1) if "max_by" in ab else None
             ),
+            "ab_thin_window_events_per_sec_high": (
+                round(ab["thin_window"], 1) if "thin_window" in ab else None
+            ),
+            # executor byte totals per level (rep 0) + per A/B strategy:
+            # equal bytes across levels + membw-tracking throughput = the
+            # host bus is the strong-scaling ceiling, not the plan
+            "stage_bytes": bytes_by_level or None,
         }
         if os.environ.get("ARC_BENCH_SKIP_EVIDENCE") != "1":
             result["cdc"]["host_scaling_evidence"] = _host_scaling_evidence(low, high)

@@ -34,7 +34,7 @@ def _final_state(spark, table):
     return {(r["repo"], r["path"]): r for r in rows}
 
 
-@pytest.mark.parametrize("strategy", ["max_by", "thin", "window", "sort_partitions"])
+@pytest.mark.parametrize("strategy", ["max_by", "thin", "window", "thin_window", "sort_partitions"])
 def test_replay_matches_reference(spark, stream_path, expected_state, tmp_path, strategy):
     table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / f"lake_{strategy}"))
     runner = ReplayRunner(

@@ -213,3 +213,93 @@ def test_avro_stage_fallback_roundtrip(spark, tmp_path):
         jvm.java.io.File(f), jvm.org.apache.avro.generic.GenericDatumReader()
     )
     assert rdr.hasNext()
+
+
+def test_extract_schema_view_roundtrip(spark, tmp_path):
+    """MetadataExtract of a typed view -> schemaView on a DelimitedExtract
+    applies the produced schema to the raw CSV (the reference's schemaView
+    on every extract, extract/DelimitedExtract.scala:57)."""
+    from arc_spark.pipeline import run_config
+
+    csv = tmp_path / "sv.csv"
+    csv.write_text("7,x\n8,y\n")
+    typed = tmp_path / "typed.parquet"
+    spark.createDataFrame([(1, "a")], "n: int, s: string").write.parquet(str(typed))
+    cfg = {"stages": [
+        {"type": "ParquetExtract", "name": "t", "inputURI": str(typed),
+         "outputView": "sv_typed", "internalColumns": False},
+        {"type": "MetadataExtract", "name": "m", "inputView": "sv_typed",
+         "outputView": "sv_schema"},
+        {"type": "DelimitedExtract", "name": "d", "inputURI": str(csv),
+         "outputView": "sv_out", "schemaView": "sv_schema",
+         "internalColumns": False},
+    ]}
+    df, _ = run_config(spark, cfg)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == \
+        [("n", "int"), ("s", "string")]
+    assert {(r["n"], r["s"]) for r in df.collect()} == {(7, "x"), (8, "y")}
+
+
+def test_bytes_extract_input_view_and_fail_mode(spark, tmp_path):
+    from arc_spark.pipeline import run_config
+
+    p1 = tmp_path / "b1.bin"
+    p1.write_bytes(b"\x01\x02")
+    p2 = tmp_path / "b2.bin"
+    p2.write_bytes(b"\x03")
+    spark.createDataFrame([(str(p1),), (str(p2),)], "value: string") \
+        .createOrReplaceTempView("bytes_paths")
+    cfg = {"stages": [
+        {"type": "BytesExtract", "name": "b", "inputView": "bytes_paths",
+         "outputView": "bytes_out"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    got = {bytes(r["value"]) for r in df.collect()}
+    assert got == {b"\x01\x02", b"\x03"}
+    # permissive missing path -> typed empty; failfast -> raises
+    spark.createDataFrame([(str(tmp_path / "nope.bin"),)], "value: string") \
+        .createOrReplaceTempView("bytes_missing")
+    cfg_p = {"stages": [
+        {"type": "BytesExtract", "name": "b", "inputView": "bytes_missing",
+         "outputView": "bytes_empty", "failMode": "permissive"},
+    ]}
+    df, _ = run_config(spark, cfg_p)
+    assert df.count() == 0 and set(df.columns) == {"value", "_filename"}
+    cfg_f = {"stages": [
+        {"type": "BytesExtract", "name": "b", "inputView": "bytes_missing",
+         "outputView": "bytes_err"},
+    ]}
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        run_config(spark, cfg_f)
+
+
+def test_image_extract_base_path_and_missing(spark, tmp_path):
+    from arc_spark.pipeline import run_config
+
+    # missing path -> typed empty image frame (ImageExtract.scala:143-145)
+    cfg = {"stages": [
+        {"type": "ImageExtract", "name": "i",
+         "inputURI": str(tmp_path / "none"), "outputView": "img_empty",
+         "basePath": str(tmp_path)},
+    ]}
+    df, _ = run_config(spark, cfg)
+    assert df.count() == 0
+    assert df.schema["image"].dataType.simpleString().startswith("struct<origin:string")
+
+
+def test_image_extract_streaming_lint(spark, tmp_path):
+    """Streaming branch builds a readStream plan with the fixed image
+    schema + watermark (lint only: no sink started)."""
+    from arc_spark.pipeline.config import parse_pipeline
+    from arc_spark.pipeline.core import PipelineContext
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    ctx = PipelineContext(spark=spark, streaming=True)
+    pipeline = parse_pipeline({"stages": [
+        {"type": "ImageExtract", "name": "i", "inputURI": str(d),
+         "outputView": "img_stream"},
+    ]}, ctx)
+    df = pipeline.stages[0].execute(ctx)
+    assert df.isStreaming
