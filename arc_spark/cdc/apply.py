@@ -17,6 +17,13 @@ implement three interchangeable strategies and verify they agree:
     interleaved best-of-2: 127k/220k ev/s at local[4]/[16], vs thin
     121k/197k, max_by 117k/204k).
 
+``thin_window``         window over (keys, seq) only + null-safe semi join back.
+    Cuts the window exchange to thin rows; measured (4M events,
+    interleaved best-of-3) 175k vs window's 171k ev/s at local[4] but
+    309k vs 375k at local[16] — the second pass over the batch costs
+    more than the thin shuffle saves once WindowGroupLimit has already
+    collapsed the fat rows map-side, so ``window`` stays the default.
+
 ``max_by``              groupBy(keys).agg(max_by(struct(*), seq)).
     Partial aggregation collapses local events per key map-side, but the
     hash-agg state holds one full multi-KB payload struct per key and

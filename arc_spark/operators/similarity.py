@@ -179,6 +179,103 @@ def lsh_topk(
     )
 
 
+class LshIndex:
+    """Persisted random-hyperplane LSH index in the multi-table layout:
+    one parquet table PER BAND, each partitioned by that band's bucket
+    key. A top-k query reads exactly ``bands`` bucket directories
+    (partition pruning at the file-listing level) instead of scanning the
+    corpus — the productionized form of ``lsh_topk``'s ``bucket_prefix``
+    path, which still required the caller to wire the layout by hand.
+
+    Write amplification is ``bands``× (each band stores id+vector); the
+    standard LSH-forest tradeoff — queries touch O(bands · bucket) rows
+    no matter how large the table grows. Metadata (planes seed, dims)
+    rides a JSON object next to the data via arc_spark.fs, so the index
+    opens from any scheme the cluster can read."""
+
+    META = "_lsh_index.json"
+
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def build_and_write(
+        cls,
+        df: DataFrame,
+        path: str,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        num_planes: int = 16,
+        bands: int = 4,
+        seed: int = 42,
+    ) -> "LshIndex":
+        import json
+
+        from arc_spark.fs import get_fs, join as fs_join
+
+        sample = df.select(vec_col).first()
+        dim = len(sample[0])
+        planes = _hyperplanes(dim, num_planes, seed)
+        rpb = num_planes // bands
+        v = F.col(vec_col).cast("array<double>")
+        for band in range(bands):
+            (
+                df.withColumn("_bucket", lsh_bucket_expr(v, planes, band, rpb))
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(fs_join(path, f"band={band}"))
+            )
+        meta = {
+            "num_planes": num_planes, "bands": bands, "seed": seed,
+            "dim": dim, "vec_col": vec_col, "id_col": id_col,
+        }
+        get_fs(path, df.sparkSession).write_bytes(
+            fs_join(path, cls.META), json.dumps(meta).encode()
+        )
+        return cls(path, meta)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LshIndex":
+        import json
+
+        from arc_spark.fs import get_fs, join as fs_join
+
+        meta = json.loads(get_fs(path, spark).read_bytes(fs_join(path, cls.META)))
+        return cls(path, meta)
+
+    def topk(self, spark, query_vec: list[float], k: int = 10) -> DataFrame:
+        """Union of the query's bucket in every band (each a pruned scan
+        of one partition directory) → dedup ids → exact cosine top-k."""
+        from functools import reduce
+
+        from arc_spark.fs import join as fs_join
+
+        m = self.meta
+        planes = _hyperplanes(m["dim"], m["num_planes"], m["seed"])
+        rpb = m["num_planes"] // m["bands"]
+        q_keys = _query_band_keys(query_vec, planes, m["bands"], rpb)
+        parts = [
+            spark.read.parquet(fs_join(self.path, f"band={b}")).filter(
+                F.col("_bucket") == F.lit(q_keys[b])
+            )
+            for b in range(m["bands"])
+        ]
+        cand = reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates(
+            [m["id_col"]]
+        )
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            cand.select(
+                F.col(m["id_col"]),
+                cosine(F.col(m["vec_col"]).cast("array<double>"), q).alias("cosine_sim"),
+            )
+            .orderBy(F.col("cosine_sim").desc(), F.col(m["id_col"]))
+            .limit(k)
+        )
+
+
 def _lloyd_kmeans(X, k: int, seed: int, max_iter: int = 25):
     """Deterministic k-means (k-means++ init, Lloyd iterations) in numpy.
 

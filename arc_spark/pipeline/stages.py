@@ -1618,16 +1618,38 @@ class JDBCLoad(PipelineStage):
 
     stage_type = "JDBCLoad"
     REQUIRED = ("inputView", "jdbcURL", "tableName")
-    OPTIONAL = ("saveMode", "isolationLevel", "batchsize", "params", "driver",
-                "verify", "checkpointLocation")
+    OPTIONAL = ("saveMode", "isolationLevel", "batchsize", "truncate",
+                "dropUnsupported", "params", "driver", "verify",
+                "checkpointLocation")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         df = ctx.spark.table(self.params["inputView"])
+        # JDBC cannot write array/null-typed columns — drop when allowed,
+        # else fail with the offending names (JDBCLoad.scala:219-235)
+        bad = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "void", "null")
+        ]
+        if bad:
+            if self.params.get("dropUnsupported", False):
+                df = df.drop(*bad)
+            else:
+                raise ValueError(
+                    f"{self.name}: columns {bad} have types unsupported by JDBC "
+                    f"and dropUnsupported is false"
+                )
         props = {k: str(v) for k, v in (self.params.get("params") or {}).items()}
         if self.params.get("driver"):
             props["driver"] = self.params["driver"]
         if self.params.get("batchsize"):
             props["batchsize"] = str(self.params["batchsize"])
+        # truncate-on-Overwrite keeps the table (indexes/grants) instead of
+        # dropping it; isolationLevel passes through to the JDBC writer
+        # (JDBCLoad.scala:255-258)
+        if self.params.get("truncate") is not None:
+            props["truncate"] = str(self.params["truncate"]).lower()
+        if self.params.get("isolationLevel"):
+            props["isolationLevel"] = self.params["isolationLevel"]
         if df.isStreaming:
             # streaming sink: per-micro-batch JDBC append (the reference's
             # JDBCSink ForeachWriter role, util/JDBCSink.scala:17-80 /

@@ -329,3 +329,29 @@ def test_jdbc_load_streaming_foreach_batch(spark, tmp_path):
         q.stop()
     back = spark.read.jdbc(url, "stream_t", properties=DERBY)
     assert back.count() == 10
+
+
+def test_jdbc_load_truncate_and_unsupported_columns(spark, tmp_path):
+    """truncate-on-Overwrite reaches the JDBC writer options; array/null
+    columns fail unless dropUnsupported (JDBCLoad.scala:219-258)."""
+    import pytest as _pytest
+
+    from arc_spark.pipeline import run_config
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_trunc;create=true"
+    spark.createDataFrame([(1, ["x"]), (2, ["y"])], "id: long, tags: array<string>") \
+        .createOrReplaceTempView("jdbc_bad_src")
+    cfg = {"stages": [
+        {"type": "JDBCLoad", "name": "j", "inputView": "jdbc_bad_src",
+         "jdbcURL": url, "tableName": "T1", "saveMode": "overwrite"},
+    ]}
+    with _pytest.raises(Exception, match="unsupported"):
+        run_config(spark, cfg)
+    cfg["stages"][0]["dropUnsupported"] = True
+    cfg["stages"][0]["truncate"] = True
+    run_config(spark, cfg)
+    got = spark.read.jdbc(url, "T1").collect()
+    assert {r["id"] for r in got} == {1, 2} and got[0].asDict().keys() == {"id"}
+    # overwrite again with truncate=true: table survives, rows replaced
+    run_config(spark, cfg)
+    assert spark.read.jdbc(url, "T1").count() == 2

@@ -153,3 +153,21 @@ def test_ivf_explicit_sample_mod_still_honored(spark):
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
     idx = IVFIndex.build(df, k=2, sample_mod=1)
     assert idx.sample_size == 200
+
+
+def test_lsh_index_class_matches_unindexed_and_prunes(spark, emb, qvec, tmp_path):
+    """LshIndex (multi-table layout) returns the same top-k as the
+    scan-based lsh_topk at the same config, and each band read is a
+    partition-pruned scan."""
+    from arc_spark.operators.similarity import LshIndex
+
+    path = str(tmp_path / "lsh_idx")
+    LshIndex.build_and_write(emb, path, num_planes=16, bands=8)
+    idx = LshIndex.load(spark, path)
+    got = idx.topk(spark, qvec, k=10)
+    base = lsh_topk(emb, qvec, k=10, num_planes=16, bands=8)
+    assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in base.collect()]
+    from pyspark.sql import functions as F2
+    band0 = spark.read.parquet(f"{path}/band=0").filter(F2.col("_bucket") == 1)
+    plan = band0._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_bucket" in plan.split("PartitionFilters", 1)[1][:250]
