@@ -698,20 +698,44 @@ class LakeTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    @staticmethod
+    def buckets_needing_compaction(snap: Snapshot, *, max_files: int = 4) -> list[str]:
+        """Buckets whose base-file count exceeds ``max_files`` or that carry
+        any MOR delta files — the targets incremental compaction should
+        rewrite. At 100 TB a full-table rewrite is a non-starter; steady
+        state is 'compact the few buckets recent epochs touched'."""
+        return sorted(
+            b
+            for b in set(snap.files) | set(snap.delta_files)
+            if snap.delta_files.get(b) or len(snap.files.get(b, [])) > max_files
+        )
+
     def compact(
         self,
         spark: SparkSession,
         *,
+        buckets: list[str] | str | None = None,
+        max_files: int = 4,
         vacuum_tombstones_below_seq: int | None = None,
     ) -> dict:
-        """Rewrite every bucket into one file, folding any MOR delta files
+        """Rewrite buckets into one file each, folding any MOR delta files
         into the base; optionally vacuum tombstones whose seq is below the
         low-watermark (no event with a smaller seq can still arrive). The
         epoch-chain COW merge leaves one file per epoch per touched bucket
         and delta merges chain delta files; compaction bounds read
-        amplification — the Iceberg rewrite_data_files analogue."""
+        amplification — the Iceberg rewrite_data_files analogue.
+
+        ``buckets``: ``None`` rewrites the whole table; ``"auto"`` rewrites
+        only ``buckets_needing_compaction`` (fragmented or delta-bearing) —
+        the incremental form a steady-state 100 TB deployment runs after
+        each batch of epochs; or an explicit bucket-id list."""
         snap = self.snapshot()
-        df = self._resolve(spark, snap)
+        if buckets == "auto":
+            buckets = self.buckets_needing_compaction(snap, max_files=max_files)
+        target = None if buckets is None else {str(b) for b in buckets}
+        if target is not None and not target:
+            return {"status": "noop", "version": snap.version, "files": 0}
+        df = self._resolve(spark, snap, buckets=target)
         if vacuum_tombstones_below_seq is not None:
             df = df.filter(
                 ~(
@@ -721,14 +745,30 @@ class LakeTable:
             )
         attempt_id = f"compact-{uuid.uuid4().hex[:8]}"
         out_dir = fs_join(self.root, DATA_DIR, attempt_id)
+        n_out = snap.num_buckets if target is None else max(1, len(target))
         (
             df.withColumn("_bucket", self.bucket_expr(snap))
-            .repartition(snap.num_buckets, "_bucket")
+            .repartition(n_out, "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
-        files: dict[str, list[str]] = {}
+        files = (
+            {}
+            if target is None
+            else {b: fs for b, fs in snap.files.items() if b not in target}
+        )
+        delta_files = (
+            {}
+            if target is None
+            else {b: fs for b, fs in snap.delta_files.items() if b not in target and fs}
+        )
+        bucket_rows = (
+            {}
+            if target is None
+            else {b: n for b, n in snap.bucket_rows.items() if b not in target}
+        )
+        rewritten = 0
         for entry in self.fs.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
@@ -738,10 +778,10 @@ class LakeTable:
                 for fn in self.fs.listdir(fs_join(out_dir, entry))
                 if fn.endswith(".parquet")
             ]
-        bucket_rows = {
-            b: _parquet_rows(self.fs, [fs_join(self.root, p) for p in fs])
-            for b, fs in files.items()
-        }
+            bucket_rows[bucket] = _parquet_rows(
+                self.fs, [fs_join(self.root, p) for p in files[bucket]]
+            )
+            rewritten += 1
         manifest = {
             "version": snap.version + 1,
             "epoch": snap.epoch,
@@ -750,16 +790,21 @@ class LakeTable:
             "key_cols": snap.key_cols,
             "seq_col": snap.seq_col,
             "files": files,
-            "delta_files": {},
+            "delta_files": delta_files,
             "bucket_rows": bucket_rows,
             "committed_epochs": snap.committed_epochs,
-            "counters": {"compacted": True},
+            "counters": {"compacted": True, "buckets_rewritten": rewritten},
             "parent_version": snap.version,
             "committed_at": time.time(),
         }
         self._commit(manifest)
         n_files = sum(len(v) for v in files.values())
-        return {"status": "compacted", "version": manifest["version"], "files": n_files}
+        return {
+            "status": "compacted",
+            "version": manifest["version"],
+            "files": n_files,
+            "buckets_rewritten": rewritten,
+        }
 
 
     def expire_snapshots(self, *, keep_last: int = 2) -> dict:

@@ -197,3 +197,35 @@ def test_mor_read_windows_only_delta_bearing_buckets(spark, tmp_path, monkeypatc
         p for b, fs in snap.files.items() if b != dirty[0] for p in fs
     )
     assert any(sorted(c) == expected_clean for c in clean_calls)
+
+
+def test_incremental_compaction_targets_dirty_buckets_only(spark, tmp_path):
+    """compact(buckets='auto') rewrites only fragmented / delta-bearing
+    buckets; clean buckets keep their exact manifest file entries, and the
+    table reads identically afterward."""
+    from arc_spark.lake.table import LakeTable
+
+    t = LakeTable(str(tmp_path / "inc_compact"))
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}", i, "upsert") for i in range(200)],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=8)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=199)
+    d = spark.createDataFrame([(0, "NEW", 1000, "upsert")],
+                              "k: long, v: string, seq: long, op: string")
+    t.merge(spark, d, epoch=1, start_seq=1000, end_seq=1000, mode="delta")
+    snap = t.snapshot()
+    dirty = LakeTable.buckets_needing_compaction(snap)
+    assert len(dirty) == 1
+    before = {b: fs for b, fs in snap.files.items() if b not in dirty}
+    out = t.compact(spark, buckets="auto")
+    assert out["status"] == "compacted" and out["buckets_rewritten"] == 1
+    snap2 = t.snapshot()
+    assert not any(snap2.delta_files.values())
+    for b, fs in before.items():
+        assert snap2.files[b] == fs  # untouched buckets keep their files
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[0] == "NEW" and len(rows) == 200
+    # nothing left to compact -> noop
+    assert t.compact(spark, buckets="auto")["status"] == "noop"
