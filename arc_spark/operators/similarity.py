@@ -219,14 +219,32 @@ class LshIndex:
         dim = len(sample[0])
         planes = _hyperplanes(dim, num_planes, seed)
         rpb = num_planes // bands
-        v = F.col(vec_col).cast("array<double>")
-        for band in range(bands):
-            (
-                df.withColumn("_bucket", lsh_bucket_expr(v, planes, band, rpb))
-                .write.partitionBy("_bucket")
-                .mode("overwrite")
-                .parquet(fs_join(path, f"band={band}"))
+        # ONE scan + ONE write job: every band key comes out of a single
+        # numpy matmul Arrow pass and lands via partitionBy(band, bucket)
+        # — a per-band write loop would scan the corpus `bands` times
+        P = np.array(planes, dtype=np.float64)
+        weights = np.array([1 << r for r in range(rpb)], dtype=np.int64)
+        n_bands = bands
+
+        @pandas_udf(ArrayType(LongType()))
+        def _band_keys(vecs: pd.Series) -> pd.Series:
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            bits = (V @ P.T >= 0).astype(np.int64)
+            keys = bits.reshape(len(V), n_bands, rpb) @ weights
+            return pd.Series(list(keys))
+
+        staged = df.withColumn(
+            "_bk", _band_keys(F.col(vec_col).cast("array<double>"))
+        ).localCheckpoint(eager=False)
+        (
+            staged.select(
+                "*", F.posexplode(F.col("_bk")).alias("band", "_bucket")
             )
+            .drop("_bk")
+            .write.partitionBy("band", "_bucket")
+            .mode("overwrite")
+            .parquet(path)
+        )
         meta = {
             "num_planes": num_planes, "bands": bands, "seed": seed,
             "dim": dim, "vec_col": vec_col, "id_col": id_col,

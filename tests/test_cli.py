@@ -70,3 +70,31 @@ def test_cli_lint_only_catches_bad_config(tmp_path):
 def test_cli_requires_uri_and_environment():
     r = _run("--etl.config.environment=production")
     assert r.returncode == 1 and "etl.config.uri" in r.stderr
+
+
+def test_pyfiles_zip_is_importable_and_deterministic(tmp_path):
+    """The --py-files archive imports as the arc_spark package from a
+    clean sys.path (what executors do) and rebuilds byte-identical."""
+    import hashlib
+    import subprocess
+    import sys as _sys
+    import zipfile
+
+    from arc_spark.submit import build_pyfiles_zip
+
+    z1 = build_pyfiles_zip(str(tmp_path / "a.zip"))
+    z2 = build_pyfiles_zip(str(tmp_path / "b.zip"))
+    h = lambda p: hashlib.sha256(open(p, "rb").read()).hexdigest()  # noqa: E731
+    assert h(z1) == h(z2)
+    names = zipfile.ZipFile(z1).namelist()
+    assert "arc_spark/__init__.py" in names and "arc_spark/cdc/apply.py" in names
+    assert not any("test" in n.split("/")[0] for n in names)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import arc_spark.fs, arc_spark.schema; print('import-ok')"
+    ) % z1
+    out = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(tmp_path), env={"PATH": "/usr/bin:/bin"},
+    )
+    assert "import-ok" in out.stdout, out.stderr
