@@ -486,6 +486,13 @@ def simhash_near_dup(
     agree on ≥1 chunk → join on (band, chunk), then verify exact Hamming
     distance via bit_count(xor). With bands > max_hamming the candidate
     set provably contains EVERY pair within max_hamming (recall 1).
+
+    Scale note: chunk width is 64/bands bits, so each band has only
+    2^(64/bands) buckets — at bands=16 that is 16 buckets/band and
+    in-bucket comparisons grow QUADRATICALLY with corpus size (measured:
+    10x docs → 100x comparisons → 8.4x wall, BASELINE.md round-3 probe).
+    The defaults (bands=4 → 16-bit chunks) are the production shape;
+    wide-band recall-1 configs are for small-corpus verification.
     """
     width = 64 // bands
     mask = (1 << width) - 1

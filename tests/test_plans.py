@@ -92,3 +92,57 @@ def test_window_lww_plan_has_partial_group_limit(spark):
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("WindowGroupLimit", 2)[-1][:200] or "Partial" in plan
+
+
+def test_minhash_signature_is_one_arrow_pass(spark):
+    """The minhash signature must run as ONE ArrowEvalPython pass over the
+    hashed-shingle array — if this regresses to per-lane expression
+    evaluation (num_hashes interpreted array_min passes) the measured
+    ~10x kernel win disappears."""
+    from arc_spark.operators.dedup import minhash_near_dup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = minhash_near_dup(docs, "text", "doc_id", num_hashes=16, bands=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the numpy kernel, not 16 interpreted array_min(transform) lanes
+    assert "ArrowEvalPython" in plan and "array_min" not in plan
+    # the signature table is persisted: every plan reference reads the
+    # same InMemoryRelation, so the kernel itself runs exactly once
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_simhash_pairing_joins_with_inline_hamming(spark):
+    """SimHash candidate pairing must be a shuffle JOIN (streamed,
+    codegen) with the Hamming verify inside the join condition — not an
+    O(bucket^2) struct-array expansion, and never a cartesian product."""
+    from arc_spark.operators.dedup import simhash_near_dup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = simhash_near_dup(docs, "text", "doc_id", max_hamming=7, bands=8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    join_seg = plan[plan.find("Join"):][:600]
+    assert "bit_count" in join_seg, join_seg
+    assert "collect_set" not in plan  # the expansion path would aggregate arrays
+
+
+def test_mor_clean_read_has_no_window(spark, tmp_path):
+    """Reading a MOR table whose selected buckets carry no deltas must not
+    plan a Window at all (delta-free buckets stream through)."""
+    from arc_spark.lake.table import LakeTable
+
+    t = LakeTable(str(tmp_path / "plan_mor"))
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}", i, "upsert") for i in range(50)],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=4)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=49)
+    clean = t.read(spark)
+    assert "Window" not in clean._jdf.queryExecution().executedPlan().toString()
+    # after a delta epoch, the window appears but only over a union branch
+    d = spark.createDataFrame([(0, "NEW", 99, "upsert")],
+                              "k: long, v: string, seq: long, op: string")
+    t.merge(spark, d, epoch=1, start_seq=99, end_seq=99, mode="delta")
+    dirty_plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in dirty_plan and "Union" in dirty_plan
