@@ -21,7 +21,6 @@ avoids the O(n·q) blowup.
 
 from __future__ import annotations
 
-import math
 import random
 
 import numpy as np

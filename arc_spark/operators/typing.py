@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from arc_spark.schema import ColumnSpec, errors_field
+from arc_spark.schema import ColumnSpec
 
 _ERR_MSG = {
     "integer": "unable to convert to integer",

@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import random as _random
-from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
