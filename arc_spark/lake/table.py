@@ -5,10 +5,12 @@ own minimal table format with the same semantics the north_rule needs:
 
 - **Snapshot isolation**: a table is a chain of immutable JSON manifests
   ``_manifests/v{n}.json``; readers resolve the highest committed version.
-- **Atomic commit with optimistic concurrency**: a commit is an exclusive
-  ``open(path, "x")`` of the next manifest file — exactly Iceberg's
-  version-file CAS (on HDFS/S3 this maps to rename-if-absent /
-  conditional PUT). A losing writer reloads and retries.
+- **Atomic commit with optimistic concurrency**: a commit is a
+  create-exclusive of the next manifest object through
+  ``arc_spark.fs`` — exactly Iceberg's version-file CAS (POSIX ``O_EXCL``
+  locally, temp+rename-if-absent on Hadoop filesystems, conditional PUT
+  on the in-memory store; see arc_spark/fs.py for the S3 caveat). A
+  losing writer reloads and retries.
 - **Epoch fencing / exactly-once**: source offsets (epoch id + seq range)
   are recorded INSIDE the manifest, so "data visible" and "offsets
   advanced" are one atomic event. A retried epoch sees itself already in

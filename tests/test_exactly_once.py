@@ -128,3 +128,47 @@ def test_schema_evolution_adds_column(spark, tmp_path):
             assert r["lang"] is not None, k
         else:
             assert r["lang"] is None, k
+
+
+def test_concurrent_merge_conflict_retries_and_preserves_both(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: a competing commit lands between a merge's
+    snapshot read and its manifest CAS. The losing writer must retry from
+    the NEW snapshot and both epochs' rows must survive."""
+    import json
+
+    from arc_spark.lake.table import LakeTable
+
+    t = LakeTable(str(tmp_path / "races"))
+    df0 = spark.createDataFrame(
+        [(1, "a", 0, "upsert"), (2, "b", 1, "upsert")],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=4)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=1)
+
+    competitor = spark.createDataFrame(
+        [(3, "c", 2, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    orig_commit = LakeTable._commit
+    state = {"raced": False}
+
+    def racing_commit(self, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # competing writer (epoch 1) wins the version first
+            t2 = LakeTable(t.root)
+            t2.merge(spark, competitor, epoch=1, start_seq=2, end_seq=2)
+            # the in-flight manifest now targets a taken version -> CAS loss
+        return orig_commit(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_commit", racing_commit)
+    ours = spark.createDataFrame(
+        [(4, "d", 3, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    r = t.merge(spark, ours, epoch=2, start_seq=3, end_seq=3)
+    monkeypatch.setattr(LakeTable, "_commit", orig_commit)
+    assert r["status"] == "committed"
+    snap = t.snapshot()
+    assert set(snap.committed_epochs) == {"0", "1", "2"}
+    rows = {row["k"]: row["v"] for row in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c", 4: "d"}
