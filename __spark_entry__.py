@@ -629,6 +629,43 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact retrieval: 3 query vectors against the corpus in ONE
+    scan (mapInPandas matmul local top-k → window global top-k). Integer
+    output only (query_id, rank, vec_id) — exact vs the DuckDB
+    cross-join+window oracle."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.similarity import cosine_topk_batch
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    out = cosine_topk_batch(emb.filter(F.col("vec_id") >= 3), queries, k=10)
+    return out.select("query_id", "rank", "vec_id")
+
+
+_KNN_BATCH_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= 3
+    ), ranked AS (
+        SELECT query_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank,
+               vec_id
+        FROM scored
+    )
+    SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+"""
+
+
 def _ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-index ANN path (LshIndex multi-table layout): build
     once, then the query reads only its bucket directory per band via
@@ -723,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": _doc_quality_filter,
         "ann_lsh": _ann_lsh,
         "ann_lsh_indexed": _ann_lsh_indexed,
+        "knn_batch": _knn_batch,
         "ann_ivf": _ann_ivf,
     }
 
@@ -1115,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _BRUTE_TOPK_SQL,
         "ann_lsh_indexed": _BRUTE_TOPK_SQL,
+        "knn_batch": _KNN_BATCH_SQL,
         "ann_ivf": _BRUTE_TOPK_SQL,
         "statistics_lineitem": _statistics_oracle_sql(),
         "cdc_replay_mini": r"""

@@ -71,6 +71,77 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact top-k per query for a BATCH of queries — the retrieval shape
+    training pipelines actually run (q queries against n vectors in one
+    scan, not q scans).
+
+    ``queries``: [(query_id, vector), ...], driver-side and broadcast with
+    the kernel closure (bounded by ``max_queries`` — a query set is index
+    metadata, not data). Two-phase top-k: ONE ``mapInPandas`` scan scores
+    each Arrow batch against all queries with a single numpy matmul and
+    emits only its local top-k per query (k·q rows per batch), then a
+    window over the (batches·k·q)-row finalist set picks the global
+    top-k. The corpus is never shuffled and never scored in Python
+    per-row. Returns (query_id, vec_id, cosine_sim, rank), ties broken by
+    id — deterministic on any partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"{len(queries)} queries > max_queries={max_queries}; shard the "
+            f"query set or raise the bound (driver memory holds q x dim)"
+        )
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.array([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    kk = k
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            sims = (V @ Q.T) / (vn[:, None] * qn[None, :])  # (n, q)
+            ids = pdf[id_col].to_numpy()
+            top = min(kk, len(ids))
+            # per-query local top-k: argpartition then exact order
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, q)
+            out_q, out_id, out_sim = [], [], []
+            for j in range(sims.shape[1]):
+                sel = part[:, j]
+                order = np.lexsort((ids[sel], -sims[sel, j]))
+                out_q.extend([qids[j]] * len(sel))
+                out_id.extend(ids[sel][order])
+                out_sim.extend(sims[sel, j][order])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "cosine_sim": out_sim}
+            )
+
+    finalists = df.select(id_col, vec_col).mapInPandas(
+        score_batches,
+        schema=f"query_id long, {id_col} long, cosine_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        finalists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine_sim")
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     rnd = random.Random(seed)
     return [

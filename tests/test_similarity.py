@@ -171,3 +171,18 @@ def test_lsh_index_class_matches_unindexed_and_prunes(spark, emb, qvec, tmp_path
     band0 = spark.read.parquet(f"{path}/band=0").filter(F2.col("_bucket") == 1)
     plan = band0._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "_bucket" in plan.split("PartitionFilters", 1)[1][:250]
+
+
+def test_cosine_topk_batch_agrees_with_single_query(spark, emb, qvec, brute_ids):
+    from arc_spark.operators.similarity import cosine_topk_batch
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    corpus = emb.filter(F2.col("vec_id") != 0)
+    out = cosine_topk_batch(corpus, [(0, qvec)], k=10)
+    rows = out.orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == brute_ids
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    with _pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_batch(corpus, [(i, qvec) for i in range(11)], k=2, max_queries=10)
