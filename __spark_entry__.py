@@ -629,6 +629,36 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: exact-verified minhash pairs (same
+    recall-1 config as minhash_near_dup) → iterative min-label connected
+    components → (doc_id, cluster-representative). The keep/drop decision
+    a training pipeline actually consumes — checked against a DuckDB
+    recursive transitive-closure oracle."""
+    from arc_spark.operators.dedup import (
+        dedup_clusters,
+        hashed_shingle_table,
+        minhash_near_dup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    ht = hashed_shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
+    cand = minhash_near_dup(
+        docs, "text", "doc_id", num_hashes=16, bands=16, jaccard_threshold=0.0,
+        hashes_df=ht, max_bucket_size=None,
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, cand.select("id_a", "id_b"), "text", "doc_id",
+        shingle_n=3, threshold=0.4, hashes_df=ht,
+    )
+    from pyspark.sql import functions as F
+
+    return dedup_clusters(pairs).select(
+        F.col("id").alias("id"), F.col("cluster").alias("cluster")
+    )
+
+
 def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact retrieval: 3 query vectors against the corpus in ONE
     scan (mapInPandas matmul local top-k → window global top-k). Integer
@@ -761,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _ann_lsh,
         "ann_lsh_indexed": _ann_lsh_indexed,
         "knn_batch": _knn_batch,
+        "dedup_clusters_minhash": _dedup_clusters_minhash,
         "ann_ivf": _ann_ivf,
     }
 
@@ -801,6 +832,27 @@ def _jaccard_pairs_sql(threshold: float) -> str:
         JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = c.id_a
         JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = c.id_b
         WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
+    """
+
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    """Connected components over the exact-Jaccard pair graph via a
+    recursive transitive-closure CTE; cluster = min reachable doc_id."""
+    pairs = _jaccard_pairs_sql(threshold)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src
     """
 
 
@@ -1154,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _BRUTE_TOPK_SQL,
         "ann_lsh_indexed": _BRUTE_TOPK_SQL,
         "knn_batch": _KNN_BATCH_SQL,
+        "dedup_clusters_minhash": _dedup_clusters_sql(0.4),
         "ann_ivf": _BRUTE_TOPK_SQL,
         "statistics_lineitem": _statistics_oracle_sql(),
         "cdc_replay_mini": r"""

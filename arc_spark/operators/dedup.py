@@ -567,6 +567,81 @@ def simhash_near_dup(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: returns
+    (id, cluster) where ``cluster`` is the MINIMUM id reachable from
+    ``id`` — the canonical representative. The keep-set of a dedup
+    pipeline is then ``docs semi-join (id == cluster)`` (keep reps) or
+    ``docs anti-join (id != cluster)`` (drop the rest).
+
+    Algorithm: iterative min-label propagation (the alternating
+    small-star/large-star MapReduce CC reduces to this on undirected
+    edges): every node starts labeled with itself; each round joins
+    labels across edges and keeps the per-node minimum; converges in
+    O(diameter) rounds — near-dup graphs are unions of small cliques, so
+    diameter is tiny and each round is one shuffle join + one groupBy
+    over the (thin) edge list. The label frontier is localCheckpointed
+    per round to keep the plan linear instead of 2^rounds.
+
+    Driver work per round is ONE count (convergence check); no vertex
+    data ever collects.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: for each dst, the smallest label among its
+        # neighbors' current labels
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("cluster").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neigh, labels.id == neigh.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("_nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "cluster")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verification pass for candidate pairs)
 # ---------------------------------------------------------------------------
 

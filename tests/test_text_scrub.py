@@ -92,3 +92,15 @@ def test_degenerate_bucket_cap_completes_and_logs(spark, caplog):
                                max_bucket_size=100)
         assert out.count() == 0
     assert any("degenerate bucket" in r.message for r in caplog.records)
+
+
+def test_dedup_clusters_transitive(spark):
+    """A-B, B-C chain collapses to one cluster labeled min(id); disjoint
+    pairs keep their own clusters; convergence handles diameter > 1."""
+    from arc_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 9), (20, 30)], "id_a: long, id_b: long"
+    )
+    got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 30: 20}
