@@ -942,6 +942,30 @@ class NearDupTransform(PipelineStage):
 
 
 @register_stage
+class DedupClusterTransform(PipelineStage):
+    """Engine-specific: collapse a near-dup PAIR view (id_a, id_b — e.g.
+    NearDupTransform output) into duplicate clusters via distributed
+    connected components; output (id, cluster) where cluster is the
+    canonical (minimum) member. Chain after NearDupTransform to turn
+    pair detection into the keep/drop decision."""
+
+    stage_type = "DedupClusterTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("idA", "idB", "maxIter")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.dedup import dedup_clusters
+
+        out = dedup_clusters(
+            ctx.spark.table(self.params["inputView"]),
+            id_a=self.params.get("idA", "id_a"),
+            id_b=self.params.get("idB", "id_b"),
+            max_iter=int(self.params.get("maxIter", 20)),
+        )
+        return self.register_output(ctx, out, self.params["outputView"])
+
+
+@register_stage
 class HTTPTransform(PipelineStage):
     """transform/HTTPTransform.scala:149-325 — batched POST of a column to
     an external service via mapInPandas with a per-partition pooled client.

@@ -59,12 +59,16 @@ def test_training_hygiene_pipeline_stages(spark):
              "outputView": "clean", "minTokens": 10},
             {"type": "NearDupTransform", "name": "nd", "inputView": "clean",
              "outputView": "pairs", "method": "minhash", "threshold": 0.5},
+            {"type": "DedupClusterTransform", "name": "cc", "inputView": "pairs",
+             "outputView": "clusters"},
         ]
     }
     df, _ = run_config(spark, json.dumps(cfg))
-    got = [(r["id_a"], r["id_b"]) for r in df.collect()]
+    got = [(r["id_a"], r["id_b"]) for r in spark.table("pairs").collect()]
     assert got == [(1, 2)]  # scrub made 1 and 2 near-identical; 3 was gated
     assert spark.table("clean").count() == 3
+    clusters = {r["id"]: r["cluster"] for r in df.collect()}
+    assert clusters == {1: 1, 2: 1}  # doc 2 collapses onto canonical doc 1
 
 
 def test_degenerate_bucket_cap_completes_and_logs(spark, caplog):
