@@ -316,6 +316,61 @@ class LakeTable:
             TOMBSTONE_COL
         )
 
+    def changes_since(
+        self,
+        spark: SparkSession,
+        since_seq: int,
+        *,
+        version: int | None = None,
+        op_col: str = "op",
+    ) -> DataFrame:
+        """Incremental read: the current state of every key changed AFTER
+        ``since_seq`` (the Iceberg incremental-scan analogue for a
+        downstream CDC consumer). Deletes surface as rows with
+        ``op='delete'`` (payload from the tombstone), upserts as
+        ``op='upsert'``.
+
+        Scan scope: only buckets whose current files were written by an
+        epoch with ``end_seq > since_seq`` (the epoch id is embedded in
+        every data-file path; compaction files have no epoch and are
+        conservatively included). A bucket untouched since ``since_seq``
+        cannot hold a newer row, so at steady state the read touches
+        O(changed buckets), not the lake — and the seq filter itself
+        pushes down to parquet row-group stats within those files."""
+        snap = self.snapshot(version)
+        recent = {
+            e for e, v in snap.committed_epochs.items()
+            if int(v["end_seq"]) > since_seq
+        }
+
+        def _epoch_of(rel_path: str) -> str | None:
+            # data/epoch={n}-{attempt}/... or data/compact-{attempt}/...
+            parts = rel_path.split("/")
+            if len(parts) >= 2 and parts[1].startswith("epoch="):
+                return parts[1][len("epoch="):].split("-", 1)[0]
+            return None  # compaction/unknown — include conservatively
+
+        def _bucket_recent(files: list[str]) -> bool:
+            return any((e := _epoch_of(p)) is None or e in recent for p in files)
+
+        buckets = {
+            b
+            for b in set(snap.files) | set(snap.delta_files)
+            if _bucket_recent(snap.files.get(b, []))
+            or _bucket_recent(snap.delta_files.get(b, []))
+        }
+        df = self._resolve(spark, snap, buckets=buckets)
+        return (
+            df.filter(F.col(snap.seq_col) > since_seq)
+            .withColumn(
+                op_col,
+                F.when(
+                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("delete")
+                ).otherwise(F.lit("upsert")),
+            )
+            .drop(TOMBSTONE_COL)
+        )
+
     # -- merge (copy-on-write upsert) --------------------------------------
 
     def merge(

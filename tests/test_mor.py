@@ -229,3 +229,41 @@ def test_incremental_compaction_targets_dirty_buckets_only(spark, tmp_path):
     assert rows[0] == "NEW" and len(rows) == 200
     # nothing left to compact -> noop
     assert t.compact(spark, buckets="auto")["status"] == "noop"
+
+
+def test_changes_since_incremental_read(spark, tmp_path, monkeypatch):
+    """changes_since(S) returns exactly the keys changed after S (deletes
+    as op='delete'), reading only buckets touched by post-S epochs."""
+    from arc_spark.lake.table import LakeTable
+
+    t = LakeTable(str(tmp_path / "inc_read"))
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}", i, "upsert") for i in range(100)],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=8)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=99)
+    d1 = spark.createDataFrame(
+        [(5, "NEW5", 100, "upsert"), (7, None, 101, "delete")],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.merge(spark, d1, epoch=1, start_seq=100, end_seq=101, mode="delta")
+
+    calls = []
+    orig = LakeTable._read_files
+
+    def spy(self, spark_, snap_, rel_paths, **kw):
+        calls.append(list(rel_paths))
+        return orig(self, spark_, snap_, rel_paths, **kw)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy)
+    got = {(r["k"], r["op"], r["v"]) for r in t.changes_since(spark, 99).collect()}
+    assert got == {(5, "upsert", "NEW5"), (7, "delete", None)}
+    snap = t.snapshot()
+    touched = {b for b, fs in snap.delta_files.items() if fs}
+    # every file read belongs to a touched bucket (epoch-1 pruning)
+    all_read = {p for c in calls for p in c}
+    allowed = {p for b in touched for p in snap.files.get(b, []) + snap.delta_files.get(b, [])}
+    assert all_read <= allowed and all_read
+    # nothing changed after the last seq
+    assert t.changes_since(spark, 101).count() == 0
