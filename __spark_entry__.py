@@ -629,6 +629,38 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample of documents + leakage-free train/test
+    split label — membership a pure integer function of doc_id (MINSTD
+    multiplicative hash), bit-identical in any engine / on any cluster
+    size; the oracle runs the same three-line formula in DuckDB."""
+    from arc_spark.operators.sampling import deterministic_sample, split_train_test
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sampled = deterministic_sample(docs, 0.25, "doc_id", seed=11)
+    return split_train_test(sampled, "doc_id", test_fraction=0.1, seed=99).select(
+        "doc_id", "split"
+    )
+
+
+_DOC_SAMPLE_SPLIT_SQL = f"""
+    WITH h1 AS (
+        SELECT doc_id,
+               (((doc_id + 11) % 2147483647) * 48271) % 2147483647 AS s1,
+               (((doc_id + 99) % 2147483647) * 48271) % 2147483647 AS t1
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               (s1 * 48271) % 2147483647 AS hs,
+               (t1 * 48271) % 2147483647 AS ht
+        FROM h1
+    )
+    SELECT doc_id,
+           CASE WHEN ht < {int(0.1 * (2**31 - 1))} THEN 'test' ELSE 'train' END AS split
+    FROM h WHERE hs < {int(0.25 * (2**31 - 1))}
+"""
+
+
 def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: exact-verified minhash pairs (same
     recall-1 config as minhash_near_dup) → iterative min-label connected
@@ -792,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_indexed": _ann_lsh_indexed,
         "knn_batch": _knn_batch,
         "dedup_clusters_minhash": _dedup_clusters_minhash,
+        "doc_sample_split": _doc_sample_split,
         "ann_ivf": _ann_ivf,
     }
 
@@ -1207,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_indexed": _BRUTE_TOPK_SQL,
         "knn_batch": _KNN_BATCH_SQL,
         "dedup_clusters_minhash": _dedup_clusters_sql(0.4),
+        "doc_sample_split": _DOC_SAMPLE_SPLIT_SQL,
         "ann_ivf": _BRUTE_TOPK_SQL,
         "statistics_lineitem": _statistics_oracle_sql(),
         "cdc_replay_mini": r"""

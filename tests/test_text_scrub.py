@@ -108,3 +108,29 @@ def test_dedup_clusters_transitive(spark):
     )
     got = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 30: 20}
+
+
+def test_deterministic_sampling_and_mixing(spark):
+    """Membership is a pure function of the key: stable under
+    repartitioning and row additions; mix tags provenance; splits are
+    leakage-free by construction (same key -> same label)."""
+    from arc_spark.operators.sampling import (
+        deterministic_sample,
+        mix_datasets,
+        split_train_test,
+    )
+
+    df = spark.range(0, 10_000).toDF("k")
+    s1 = {r["k"] for r in deterministic_sample(df, 0.3, "k", seed=5).collect()}
+    s2 = {r["k"] for r in deterministic_sample(df.repartition(13), 0.3, "k", seed=5).collect()}
+    assert s1 == s2 and 0.25 < len(s1) / 10_000 < 0.35
+    # appending rows never flips membership of existing keys
+    s3 = {r["k"] for r in deterministic_sample(
+        spark.range(0, 20_000).toDF("k"), 0.3, "k", seed=5).collect()}
+    assert s1 == {k for k in s3 if k < 10_000}
+    sp = split_train_test(df, "k", test_fraction=0.2, seed=1)
+    frac = sp.filter("split = 'test'").count() / 10_000
+    assert 0.17 < frac < 0.23
+    mixed = mix_datasets([(df, 1.0), (df, 0.1)], "k")
+    counts = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert counts[0] == 10_000 and 500 < counts[1] < 1500
