@@ -651,8 +651,8 @@ _DOC_SAMPLE_SPLIT_SQL = f"""
         FROM documents
     ), h AS (
         SELECT doc_id,
-               (s1 * 48271) % 2147483647 AS hs,
-               (t1 * 48271) % 2147483647 AS ht
+               (xor(s1, 1281505947) % 2147483647 * 48271) % 2147483647 AS hs,
+               (xor(t1, 796135283) % 2147483647 * 48271) % 2147483647 AS ht
         FROM h1
     )
     SELECT doc_id,

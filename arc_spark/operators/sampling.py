@@ -7,15 +7,22 @@ rows of a key land on the same side). ``df.sample()`` satisfies none of
 these — it is seeded per-partition. Everything here derives membership
 from a pure-integer hash of the KEY:
 
-    h(k) = minstd(minstd(k + seed)),  minstd(x) = (x mod M)·A mod M,
-    M = 2^31 - 1, A = 48271
+    h(k) = minstd( minstd(k + seed) XOR mix(seed) ),
+    minstd(x) = (x mod M)·A mod M,  M = 2^31-1, A = 48271,
+    mix(seed) = seed·2654435761 mod 2^31
 
-Two MINSTD rounds, not one: a single multiply never wraps the modulus
-for keys below M/A (~44k), leaving the "hash" linear-in-key and every
-small key under any threshold. Each step stays exactly representable in
-64-bit integer arithmetic (M·A < 2^47 — no overflow under ANSI mode)
-and is therefore replicable verbatim in any engine for oracle checks
-(the DuckDB oracles in __spark_entry__ run the same formula).
+Two MINSTD rounds with a seed-derived XOR between them. Each piece is
+load-bearing: one multiply never wraps the modulus for keys below M/A
+(~44k), leaving the "hash" linear-in-key; and WITHOUT the XOR,
+h(k, seed) = (k+seed)·A² mod M is affine in k, so two seeds differ by a
+constant shift — "independent" streams would be fully correlated (a
+test split of a sample could be 0% or 100% instead of testFraction;
+caught by test_sample_transform_stage). The XOR breaks the affinity;
+measured deciles over 100k keys are uniform and cross-stream
+conditional rates match the marginals. Every step stays exactly
+representable in 64-bit integer arithmetic (no overflow under ANSI
+mode) and is replicable verbatim in any engine for oracle checks (the
+DuckDB oracles in __spark_entry__ run the same formula).
 
 Scale: every operator is a stateless per-row projection + filter — no
 shuffle, no driver state; membership pushes down to scans as an ordinary
@@ -32,10 +39,13 @@ MINSTD_A = 48271
 
 
 def minstd_hash(key: Column, seed: int = 0) -> Column:
-    """minstd(minstd(key + seed)) — uniform on [0, M)."""
+    """minstd(minstd(key+seed) XOR mix(seed)) — uniform on [0, M), with
+    genuinely decorrelated streams across seeds (see module docstring)."""
+    mix = (int(seed) * 2654435761) % (2**31)
     k = F.pmod(key.cast("long") + F.lit(int(seed)), F.lit(MINSTD_M))
     h1 = F.pmod(k * F.lit(MINSTD_A), F.lit(MINSTD_M))
-    return F.pmod(h1 * F.lit(MINSTD_A), F.lit(MINSTD_M))
+    h1x = h1.bitwiseXOR(F.lit(mix))
+    return F.pmod(F.pmod(h1x, F.lit(MINSTD_M)) * F.lit(MINSTD_A), F.lit(MINSTD_M))
 
 
 def deterministic_sample(

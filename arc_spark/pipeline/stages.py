@@ -942,6 +942,37 @@ class NearDupTransform(PipelineStage):
 
 
 @register_stage
+class SampleTransform(PipelineStage):
+    """Engine-specific: deterministic key-hash sampling / train-test
+    split (operators/sampling.py) — membership reproducible on any
+    cluster size, append-stable, leakage-free per key."""
+
+    stage_type = "SampleTransform"
+    REQUIRED = ("inputView", "outputView", "keyField")
+    OPTIONAL = ("fraction", "testFraction", "seed", "splitColumn")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.sampling import deterministic_sample, split_train_test
+
+        df = ctx.spark.table(self.params["inputView"])
+        key = self.params["keyField"]
+        seed = int(self.params.get("seed", 0))
+        if "fraction" in self.params:
+            df = deterministic_sample(df, float(self.params["fraction"]), key, seed=seed)
+        if "testFraction" in self.params:
+            # distinct hash stream from the sample's: with a shared seed,
+            # "test" would be a deterministic SUBSET of the sample
+            # (P(test|sampled) = testFraction/fraction, not testFraction)
+            df = split_train_test(
+                df, key,
+                test_fraction=float(self.params["testFraction"]),
+                seed=seed + 7919,
+                split_col=self.params.get("splitColumn", "split"),
+            )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
 class DedupClusterTransform(PipelineStage):
     """Engine-specific: collapse a near-dup PAIR view (id_a, id_b — e.g.
     NearDupTransform output) into duplicate clusters via distributed

@@ -134,3 +134,18 @@ def test_deterministic_sampling_and_mixing(spark):
     mixed = mix_datasets([(df, 1.0), (df, 0.1)], "k")
     counts = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
     assert counts[0] == 10_000 and 500 < counts[1] < 1500
+
+
+def test_sample_transform_stage(spark):
+    from arc_spark.pipeline import run_config
+
+    spark.range(0, 5000).toDF("k").createOrReplaceTempView("sample_src")
+    cfg = {"stages": [
+        {"type": "SampleTransform", "name": "s", "inputView": "sample_src",
+         "outputView": "sampled", "keyField": "k", "fraction": 0.5,
+         "testFraction": 0.2, "seed": 3},
+    ]}
+    df, _ = run_config(spark, cfg)
+    n = df.count()
+    assert 2200 < n < 2800 and set(df.columns) == {"k", "split"}
+    assert 0.15 < df.filter("split = 'test'").count() / n < 0.25
