@@ -942,6 +942,61 @@ class NearDupTransform(PipelineStage):
 
 
 @register_stage
+class ANNIndexLoad(PipelineStage):
+    """Engine-specific: build + persist an LshIndex (per-band partitioned
+    parquet, one scan) from an embedding view — the index half of the
+    ANN serving path."""
+
+    stage_type = "ANNIndexLoad"
+    REQUIRED = ("inputView", "outputURI")
+    OPTIONAL = ("vectorField", "idField", "numPlanes", "bands", "seed")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.similarity import LshIndex
+
+        df = ctx.spark.table(self.params["inputView"])
+        LshIndex.build_and_write(
+            df,
+            self.params["outputURI"],
+            vec_col=self.params.get("vectorField", "embedding"),
+            id_col=self.params.get("idField", "vec_id"),
+            num_planes=int(self.params.get("numPlanes", 16)),
+            bands=int(self.params.get("bands", 4)),
+            seed=int(self.params.get("seed", 42)),
+        )
+        return df
+
+
+@register_stage
+class ANNQueryExtract(PipelineStage):
+    """Engine-specific: top-k neighbors of a query vector from a
+    persisted LshIndex — reads exactly ``bands`` bucket directories via
+    partition pruning. The query vector comes from a one-row view
+    (``queryView``.``vectorField``) or an inline ``queryVector`` list."""
+
+    stage_type = "ANNQueryExtract"
+    REQUIRED = ("inputURI", "outputView")
+    OPTIONAL = ("queryView", "queryVector", "vectorField", "k")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.operators.similarity import LshIndex
+
+        if "queryVector" in self.params:
+            qvec = [float(x) for x in self.params["queryVector"]]
+        elif "queryView" in self.params:
+            field = self.params.get("vectorField", "embedding")
+            row = ctx.spark.table(self.params["queryView"]).select(field).first()
+            if row is None:
+                raise ValueError(f"{self.name}: queryView is empty")
+            qvec = [float(x) for x in row[0]]
+        else:
+            raise ValueError(f"{self.name}: queryVector or queryView required")
+        idx = LshIndex.load(ctx.spark, self.params["inputURI"])
+        out = idx.topk(ctx.spark, qvec, k=int(self.params.get("k", 10)))
+        return self.register_output(ctx, out, self.params["outputView"])
+
+
+@register_stage
 class SampleTransform(PipelineStage):
     """Engine-specific: deterministic key-hash sampling / train-test
     split (operators/sampling.py) — membership reproducible on any

@@ -186,3 +186,23 @@ def test_cosine_topk_batch_agrees_with_single_query(spark, emb, qvec, brute_ids)
     assert [r["rank"] for r in rows] == list(range(1, 11))
     with _pytest.raises(ValueError, match="max_queries"):
         cosine_topk_batch(corpus, [(i, qvec) for i in range(11)], k=2, max_queries=10)
+
+
+def test_ann_index_stages_end_to_end(spark, emb, qvec, brute_ids, tmp_path):
+    """Declarative ANN: ANNIndexLoad builds the per-band index,
+    ANNQueryExtract serves top-k from it; recall-1 config matches brute."""
+    from arc_spark.pipeline import run_config
+
+    emb.createOrReplaceTempView("ann_emb")
+    emb.filter(F.col("vec_id") == 0).createOrReplaceTempView("ann_query")
+    path = str(tmp_path / "ann_stage_idx")
+    cfg = {"stages": [
+        {"type": "SQLTransform", "name": "corpus", "outputView": "ann_corpus",
+         "sql": "SELECT * FROM ann_emb WHERE vec_id <> 0"},
+        {"type": "ANNIndexLoad", "name": "build", "inputView": "ann_corpus",
+         "outputURI": path, "numPlanes": 16, "bands": 8},
+        {"type": "ANNQueryExtract", "name": "q", "inputURI": path,
+         "outputView": "ann_hits", "queryView": "ann_query", "k": 10},
+    ]}
+    df, _ = run_config(spark, cfg)
+    assert [r["vec_id"] for r in df.orderBy(F.col("cosine_sim").desc(), "vec_id").collect()] == brute_ids
