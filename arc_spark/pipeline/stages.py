@@ -1406,6 +1406,57 @@ class LakeMergeLoad(PipelineStage):
         return df
 
 
+@register_stage
+class CDCReplayExecute(PipelineStage):
+    """Engine-specific: the FULL north-star workload as one declarative
+    stage — tail a binlog/WAL change-event directory and replay it into a
+    lake table via the checkpoint-resumable micro-batch runner
+    (normalize + Arrow sha256 fingerprint → key-partitioned LWW dedup →
+    epoch-fenced MERGE, per-epoch lineage metrics into ctx.events).
+    ``LakeMergeLoad`` is the single-epoch primitive; this drives the
+    whole resumable replay from a job config."""
+
+    stage_type = "CDCReplayExecute"
+    REQUIRED = ("eventsURI", "tableURI")
+    OPTIONAL = ("batchSize", "strategy", "saltBuckets", "mergeMode",
+                "numBuckets", "maxEpochs", "outputView")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from arc_spark.cdc.bootstrap import create_table_for_stream
+        from arc_spark.cdc.runner import ReplayRunner
+        from arc_spark.lake.table import LakeTable
+
+        table = LakeTable(self.params["tableURI"])
+        if not table.exists():
+            table, _ = create_table_for_stream(
+                ctx.spark,
+                self.params["eventsURI"],
+                self.params["tableURI"],
+                num_buckets=int(self.params.get("numBuckets", 32)),
+            )
+        runner = ReplayRunner(
+            ctx.spark,
+            self.params["eventsURI"],
+            table,
+            batch_size=int(self.params.get("batchSize", 100_000)),
+            strategy=self.params.get("strategy", "window"),
+            salt_buckets=(
+                int(self.params["saltBuckets"])
+                if self.params.get("saltBuckets")
+                else None
+            ),
+            merge_mode=self.params.get("mergeMode", "auto"),
+        )
+        max_epochs = self.params.get("maxEpochs")
+        metrics = runner.run(max_epochs=int(max_epochs) if max_epochs else None)
+        for m in metrics:
+            ctx.events.append({"stage": self.name, **m})
+        out = self.params.get("outputView")
+        if out:
+            return self.register_output(ctx, table.read(ctx.spark), out)
+        return None
+
+
 # ---------------------------------------------------------------------------
 # validate / execute
 # ---------------------------------------------------------------------------

@@ -115,3 +115,31 @@ def test_generator_deterministic(spark):
     c = Counter(r["repo"] for r in sa)
     counts = sorted(c.values(), reverse=True)
     assert counts[0] >= 5 * counts[len(counts) // 2]
+
+
+def test_cdc_replay_execute_stage(spark, tmp_path):
+    """The whole replay as one declarative stage: config-driven tail ->
+    LWW -> fenced MERGE, per-epoch lineage in ctx.events, resumable
+    (rerunning the same config is a fenced no-op)."""
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.pipeline import run_config
+
+    stream = write_change_stream(
+        spark, str(tmp_path / "ev"), 3000, seed=7, num_partitions=8
+    )
+    cfg = {"stages": [
+        {"type": "CDCReplayExecute", "name": "replay", "eventsURI": stream,
+         "tableURI": str(tmp_path / "lake"), "batchSize": 1000,
+         "outputView": "lake_state"},
+    ]}
+    df, ctx = run_config(spark, cfg)
+    epochs = [e for e in ctx.events if e.get("event") == "epoch.complete"]
+    assert len(epochs) == 3
+    for e in epochs:
+        assert e["events_read"] == e["schema_changes"] + e["keys_applied"] + e["events_deduped"]
+    n = df.count()
+    assert n > 0
+    # resumable / exactly-once: a rerun applies nothing new
+    df2, ctx2 = run_config(spark, cfg)
+    assert not [e for e in ctx2.events if e.get("event") == "epoch.complete"]
+    assert df2.count() == n
