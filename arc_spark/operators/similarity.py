@@ -333,10 +333,20 @@ class LshIndex:
         meta = json.loads(get_fs(path, spark).read_bytes(fs_join(path, cls.META)))
         return cls(path, meta)
 
-    def topk(self, spark, query_vec: list[float], k: int = 10) -> DataFrame:
+    def topk(
+        self, spark, query_vec: list[float], k: int = 10, *, probe_bits: int = 0
+    ) -> DataFrame:
         """Union of the query's bucket in every band (each a pruned scan
-        of one partition directory) → dedup ids → exact cosine top-k."""
+        of one partition directory) → dedup ids → exact cosine top-k.
+
+        ``probe_bits``: multi-probe — also read buckets whose key differs
+        from the query's in ≤ this many hyperplane signs (the planes the
+        query sits closest to are the likeliest to flip for a true
+        neighbor). probe_bits=1 reads (1 + rows_per_band) buckets per
+        band instead of 1 — a query-time recall knob that needs no index
+        rebuild and keeps the scan partition-pruned."""
         from functools import reduce
+        from itertools import combinations
 
         from arc_spark.fs import join as fs_join
 
@@ -344,9 +354,20 @@ class LshIndex:
         planes = _hyperplanes(m["dim"], m["num_planes"], m["seed"])
         rpb = m["num_planes"] // m["bands"]
         q_keys = _query_band_keys(query_vec, planes, m["bands"], rpb)
+
+        def probes(key: int) -> list[int]:
+            out = {key}
+            for nbits in range(1, probe_bits + 1):
+                for bits in combinations(range(rpb), nbits):
+                    flipped = key
+                    for r in bits:
+                        flipped ^= 1 << r
+                    out.add(flipped)
+            return sorted(out)
+
         parts = [
             spark.read.parquet(fs_join(self.path, f"band={b}")).filter(
-                F.col("_bucket") == F.lit(q_keys[b])
+                F.col("_bucket").isin(probes(q_keys[b]))
             )
             for b in range(m["bands"])
         ]

@@ -206,3 +206,33 @@ def test_ann_index_stages_end_to_end(spark, emb, qvec, brute_ids, tmp_path):
     ]}
     df, _ = run_config(spark, cfg)
     assert [r["vec_id"] for r in df.orderBy(F.col("cosine_sim").desc(), "vec_id").collect()] == brute_ids
+
+
+def test_lsh_index_multi_probe_recall(spark, emb, qvec, brute_ids, tmp_path):
+    """probe_bits=1 candidate set is a superset of the exact-bucket set
+    and lifts recall on a deliberately low-recall config (few bands)."""
+    from arc_spark.operators.similarity import LshIndex
+
+    path = str(tmp_path / "lsh_probe_idx")
+    LshIndex.build_and_write(
+        emb.filter(F.col("vec_id") != 0), path, num_planes=16, bands=2
+    )
+    idx = LshIndex.load(spark, path)
+    exact = [r["vec_id"] for r in idx.topk(spark, qvec, k=10).collect()]
+    probed = [r["vec_id"] for r in idx.topk(spark, qvec, k=10, probe_bits=1).collect()]
+    r_exact = len(set(exact) & set(brute_ids))
+    r_probe = len(set(probed) & set(brute_ids))
+    assert r_probe >= r_exact
+    # structural guarantee: the probed candidate set strictly contains the
+    # exact-bucket candidate set (flipping 0 bits is always probed too)
+    from arc_spark.fs import join as fs_join
+    from arc_spark.operators.similarity import _hyperplanes, _query_band_keys
+
+    m = idx.meta
+    planes = _hyperplanes(m["dim"], m["num_planes"], m["seed"])
+    keys = _query_band_keys(qvec, planes, m["bands"], m["num_planes"] // m["bands"])
+    b0 = spark.read.parquet(fs_join(path, "band=0"))
+    exact_cand = {r["vec_id"] for r in b0.filter(F.col("_bucket") == keys[0]).collect()}
+    probe_keys = [keys[0] ^ (1 << r) for r in range(m["num_planes"] // m["bands"])] + [keys[0]]
+    probed_cand = {r["vec_id"] for r in b0.filter(F.col("_bucket").isin(probe_keys)).collect()}
+    assert exact_cand < probed_cand
