@@ -75,6 +75,22 @@ def apply_authentication(spark, auth: dict | None) -> dict[str, str]:
     elif method == "AmazonIAM":
         for k in _S3A_CLEAR[2:]:
             hc.unset(k)
+        bucket = auth.get("bucket")
+        if bucket:
+            # bucket-scoped instance-profile chain (CloudUtils.scala sets
+            # InstanceProfile/ContainerCredentials for the named bucket):
+            # without this a bucket-scoped IAM config silently inherits
+            # whatever GLOBAL provider/keys an earlier stage configured —
+            # possibly stale AccessKey credentials for another bucket
+            _set(
+                f"fs.s3a.bucket.{bucket}.aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider",
+            )
+            hc.unset(f"fs.s3a.bucket.{bucket}.access.key")
+            hc.unset(f"fs.s3a.bucket.{bucket}.secret.key")
+        else:
+            for k in _S3A_CLEAR[:2]:
+                hc.unset(k)
         enc = auth.get("encryptionAlgorithm")
         if enc == "SSE-S3":
             _set("fs.s3a.server-side-encryption-algorithm", "SSE-S3")

@@ -892,10 +892,18 @@ class LakeTable:
                 seen_dirs.append(d_)
         for v in to_drop:
             self.fs.delete(self._manifest_path(v))
-        # prune now-empty attempt directories (deepest first)
-        for d_ in sorted(seen_dirs, key=len, reverse=True):
-            if d_ != data_root:
-                self.fs.rmdir_if_empty(d_)
+        # prune now-empty attempt directories: walk_files only surfaced
+        # DIRECT parents of files, so once the leaf _bucket=* dirs empty
+        # out, their epoch=*/compact-* ancestors would otherwise linger
+        # forever — include every ancestor up to (not incl.) data/
+        ancestors: set[str] = set()
+        for d_ in seen_dirs:
+            cur = d_
+            while cur.startswith(data_root) and cur != data_root:
+                ancestors.add(cur)
+                cur = cur.rsplit("/", 1)[0]
+        for d_ in sorted(ancestors, key=len, reverse=True):
+            self.fs.rmdir_if_empty(d_)
         return {
             "status": "expired",
             "manifests_removed": len(to_drop),

@@ -610,6 +610,7 @@ def dedup_clusters(
         .withColumn("cluster", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    changed = 0
     for _ in range(max_iter):
         # neighbor minimum: for each dst, the smallest label among its
         # neighbors' current labels
@@ -638,6 +639,16 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed > 0:
+        # a cap must never silently truncate: a component with diameter >
+        # max_iter is otherwise split into several clusters and downstream
+        # keep/drop decisions retain duplicates
+        _log.warning(
+            "dedup_clusters did NOT converge in %d rounds (%d labels still "
+            "changing) — raise max_iter; components wider than max_iter are "
+            "split and duplicates will survive the keep/drop pass",
+            max_iter, changed,
+        )
     return labels.select("id", "cluster")
 
 

@@ -10,6 +10,7 @@ class.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import random as _random
 
@@ -27,6 +28,8 @@ from arc_spark.schema import parse_arc_schema, to_struct_type
 
 
 _INTERNAL_META = {"internal": True}
+
+logger = logging.getLogger("arc_spark.stages")
 
 
 def add_internal_columns(df: DataFrame, *, contiguous_index: bool = True) -> DataFrame:
@@ -462,8 +465,39 @@ class BytesExtract(_FileExtract):
                     f"of paths, got {view.schema.simpleString()}"
                 )
             paths = [r[0] for r in view.select("value").collect() if r[0]]
+            if fail_mode == "permissive" and paths:
+                # permissive covers "no files found", NOT "one missing path
+                # drops everything": load() raises PATH_NOT_FOUND if ANY
+                # path is absent, and falling into the typed-empty branch
+                # there would silently discard every path that DOES exist.
+                # Filter to existing paths first (O(paths) driver-side
+                # exists, same cost class as the collect above); only when
+                # ZERO remain does the typed-empty fallback apply.
+                from arc_spark.fs import get_fs
+
+                kept = []
+                for p in paths:
+                    if any(ch in p for ch in "*?[{"):
+                        kept.append(p)  # globs: let the source expand them
+                    elif get_fs(p, ctx.spark).exists(p):
+                        kept.append(p)
+                    else:
+                        logger.warning(
+                            "%s: permissive mode skipping missing path %s",
+                            self.name, p,
+                        )
+                paths = kept
         else:
             paths = [self.params["inputURI"]]
+        if not paths and fail_mode == "permissive":
+            df = ctx.spark.createDataFrame(
+                [],
+                StructType([
+                    StructField("value", BinaryType()),
+                    StructField("_filename", StringType()),
+                ]),
+            )
+            return self.register_output(ctx, df, self.params["outputView"])
         try:
             df = ctx.spark.read.format("binaryFile").load(paths)
             df.take(1)  # force evaluation so missing paths surface here

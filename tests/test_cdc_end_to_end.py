@@ -99,6 +99,13 @@ def test_expire_snapshots_keeps_current_state(spark, stream_path, expected_state
     # table still mergeable after expiry
     snap = table.snapshot()
     assert snap.end_seq == N_EVENTS - 1
+    # no empty directories linger under data/ — leaf _bucket=* dirs AND
+    # their epoch=*/compact-* ancestors are pruned
+    import os as _os
+
+    data_root = str(tmp_path / "lake_x" / "data")
+    for d, subdirs, files in _os.walk(data_root):
+        assert subdirs or files or d == data_root, f"empty dir left behind: {d}"
 
 
 def test_generator_deterministic(spark):

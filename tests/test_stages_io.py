@@ -272,6 +272,18 @@ def test_bytes_extract_input_view_and_fail_mode(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         run_config(spark, cfg_f)
+    # permissive with SOME paths missing keeps the data from the ones
+    # that exist (one absent path must not drop everything)
+    spark.createDataFrame(
+        [(str(p1),), (str(tmp_path / "gone.bin"),), (str(p2),)],
+        "value: string",
+    ).createOrReplaceTempView("bytes_partial")
+    cfg_pp = {"stages": [
+        {"type": "BytesExtract", "name": "b", "inputView": "bytes_partial",
+         "outputView": "bytes_partial_out", "failMode": "permissive"},
+    ]}
+    df, _ = run_config(spark, cfg_pp)
+    assert {bytes(r["value"]) for r in df.collect()} == {b"\x01\x02", b"\x03"}
 
 
 def test_image_extract_base_path_and_missing(spark, tmp_path):
