@@ -749,6 +749,32 @@ def _ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(LshIndex.load(spark, path).topk(spark, list(qvec), k=10))
 
 
+def _ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval through the persisted LshIndex: 3 query vectors
+    answered by ONE partition-pruned index scan (OR-of-per-band bucket
+    predicates on the two partition columns) + broadcast probe join +
+    JVM-side exact re-rank — the 100 TB serving shape for real retrieval
+    workloads, vs ann_lsh_indexed's one-vector-per-job form. 32 planes /
+    16 bands keeps every exact top-10 member of all 3 queries in the
+    candidate set at sf0.001 and sf0.01 (verified offline), so the result
+    hash-matches the brute-force batch oracle. Integer output only
+    (query_id, rank, vec_id)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.similarity import LshIndex
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    path = tempfile.mkdtemp(prefix="lsh_batch_") + "/idx"
+    idx = LshIndex.build_and_write(
+        emb.filter(F.col("vec_id") >= 3), path, num_planes=32, bands=16
+    )
+    return idx.topk_batch(spark, queries, k=10).select("query_id", "rank", "vec_id")
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN. 16 planes / 8 bands keeps every exact top-10
     member in the candidate set at all test SFs (verified offline), so the
@@ -822,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": _doc_quality_filter,
         "ann_lsh": _ann_lsh,
         "ann_lsh_indexed": _ann_lsh_indexed,
+        "ann_lsh_batch": _ann_lsh_batch,
         "knn_batch": _knn_batch,
         "dedup_clusters_minhash": _dedup_clusters_minhash,
         "doc_sample_split": _doc_sample_split,
@@ -1239,6 +1266,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _BRUTE_TOPK_SQL,
         "ann_lsh_indexed": _BRUTE_TOPK_SQL,
         "knn_batch": _KNN_BATCH_SQL,
+        # recall-1 LSH config (see _ann_lsh_batch docstring) reduces the
+        # indexed batch retrieval to exactly the brute-force batch answer
+        "ann_lsh_batch": _KNN_BATCH_SQL,
         "dedup_clusters_minhash": _dedup_clusters_sql(0.4),
         "doc_sample_split": _DOC_SAMPLE_SPLIT_SQL,
         "ann_ivf": _BRUTE_TOPK_SQL,

@@ -346,7 +346,6 @@ class LshIndex:
         band instead of 1 — a query-time recall knob that needs no index
         rebuild and keeps the scan partition-pruned."""
         from functools import reduce
-        from itertools import combinations
 
         from arc_spark.fs import join as fs_join
 
@@ -355,19 +354,9 @@ class LshIndex:
         rpb = m["num_planes"] // m["bands"]
         q_keys = _query_band_keys(query_vec, planes, m["bands"], rpb)
 
-        def probes(key: int) -> list[int]:
-            out = {key}
-            for nbits in range(1, probe_bits + 1):
-                for bits in combinations(range(rpb), nbits):
-                    flipped = key
-                    for r in bits:
-                        flipped ^= 1 << r
-                    out.add(flipped)
-            return sorted(out)
-
         parts = [
             spark.read.parquet(fs_join(self.path, f"band={b}")).filter(
-                F.col("_bucket").isin(probes(q_keys[b]))
+                F.col("_bucket").isin(self._probe_keys(q_keys[b], probe_bits, rpb))
             )
             for b in range(m["bands"])
         ]
@@ -382,6 +371,109 @@ class LshIndex:
             )
             .orderBy(F.col("cosine_sim").desc(), F.col(m["id_col"]))
             .limit(k)
+        )
+
+    def _probe_keys(self, key: int, probe_bits: int, rpb: int) -> list[int]:
+        from itertools import combinations
+
+        out = {key}
+        for nbits in range(1, probe_bits + 1):
+            for bits in combinations(range(rpb), nbits):
+                flipped = key
+                for r in bits:
+                    flipped ^= 1 << r
+                out.add(flipped)
+        return sorted(out)
+
+    def topk_batch(
+        self,
+        spark,
+        queries: list[tuple],
+        k: int = 10,
+        *,
+        probe_bits: int = 0,
+        max_queries: int = 10_000,
+    ) -> DataFrame:
+        """Top-k for a BATCH of queries through the persisted index — the
+        retrieval shape a training pipeline runs (10^4-10^7 lookups), vs
+        ``topk``'s one-vector-per-job driver loop.
+
+        ``queries``: [(query_id, vector), ...] driver-side — a query set
+        is index METADATA (q·dim floats), bounded by ``max_queries`` like
+        ``cosine_topk_batch``; shard bigger sets.
+
+        Plan shape (the 100 TB story): all q·bands band keys come from one
+        driver-side numpy matmul; the index is read in ONE scan whose
+        predicate — OR over bands of ``band = b AND _bucket IN (probed
+        buckets)`` — references only the two PARTITION columns, so it
+        prunes at the file-listing level to exactly the probed bucket
+        directories (≤ q·bands·(1+probes) of them), never the corpus. A
+        broadcast join against the tiny (band, bucket, query_id, qvec)
+        probe table fans candidates out per query, (query_id, id) dedups
+        multi-band hits, and the exact cosine re-rank runs JVM-side
+        (zip_with/aggregate, codegen) under a per-query window top-k."""
+        if len(queries) > max_queries:
+            raise ValueError(
+                f"{len(queries)} queries > max_queries={max_queries}; shard "
+                f"the query set (driver holds q x dim floats + q·bands keys)"
+            )
+        m = self.meta
+        planes = _hyperplanes(m["dim"], m["num_planes"], m["seed"])
+        rpb = m["num_planes"] // m["bands"]
+        P = np.array(planes, dtype=np.float64)
+        weights = np.array([1 << r for r in range(rpb)], dtype=np.int64)
+        qids = [q[0] for q in queries]
+        Q = np.array([list(map(float, q[1])) for q in queries], dtype=np.float64)
+        bits = (Q @ P.T >= 0).astype(np.int64)  # (q, planes)
+        keys = bits.reshape(len(queries), m["bands"], rpb) @ weights  # (q, bands)
+
+        # probe table: one row per (query, band, probed bucket)
+        probe_rows = []
+        per_band_buckets: dict[int, set[int]] = {b: set() for b in range(m["bands"])}
+        for i, qid in enumerate(qids):
+            qv = [float(x) for x in Q[i]]
+            for b in range(m["bands"]):
+                for bucket in self._probe_keys(int(keys[i, b]), probe_bits, rpb):
+                    probe_rows.append((int(qid), b, bucket, qv))
+                    per_band_buckets[b].add(bucket)
+        probes_df = spark.createDataFrame(
+            probe_rows, "query_id long, band int, _bucket long, _qvec array<double>"
+        )
+
+        # ONE index scan, partition-column-only predicate → pruned listing
+        from functools import reduce as _reduce
+
+        pred = _reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("band") == b) & F.col("_bucket").isin(sorted(buckets))
+                for b, buckets in per_band_buckets.items()
+                if buckets
+            ],
+        )
+        idx = spark.read.parquet(self.path).filter(pred).select(
+            m["id_col"], m["vec_col"], "band", "_bucket"
+        )
+        cand = (
+            idx.join(F.broadcast(probes_df), ["band", "_bucket"])
+            .dropDuplicates(["query_id", m["id_col"]])
+        )
+        from pyspark.sql.window import Window
+
+        scored = cand.select(
+            "query_id",
+            F.col(m["id_col"]),
+            cosine(
+                F.col(m["vec_col"]).cast("array<double>"), F.col("_qvec")
+            ).alias("cosine_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col(m["id_col"])
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", m["id_col"], "cosine_sim")
         )
 
 

@@ -1003,30 +1003,54 @@ class ANNIndexLoad(PipelineStage):
 
 @register_stage
 class ANNQueryExtract(PipelineStage):
-    """Engine-specific: top-k neighbors of a query vector from a
-    persisted LshIndex — reads exactly ``bands`` bucket directories via
-    partition pruning. The query vector comes from a one-row view
-    (``queryView``.``vectorField``) or an inline ``queryVector`` list."""
+    """Engine-specific: top-k neighbors from a persisted LshIndex — every
+    read partition-pruned to the probed bucket directories. The query
+    comes from ``queryView`` (ANY number of rows: a multi-row view runs
+    the BATCH retrieval path — one pruned index scan answers the whole
+    view, output gains ``query_id``/``rank``) or an inline ``queryVector``
+    list (single-query output: id, cosine_sim)."""
 
     stage_type = "ANNQueryExtract"
     REQUIRED = ("inputURI", "outputView")
-    OPTIONAL = ("queryView", "queryVector", "vectorField", "k")
+    OPTIONAL = (
+        "queryView", "queryVector", "vectorField", "idField", "k",
+        "probeBits", "maxQueries",
+    )
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         from arc_spark.operators.similarity import LshIndex
 
+        k = int(self.params.get("k", 10))
+        probe_bits = int(self.params.get("probeBits", 0))
+        idx = LshIndex.load(ctx.spark, self.params["inputURI"])
         if "queryVector" in self.params:
             qvec = [float(x) for x in self.params["queryVector"]]
+            out = idx.topk(ctx.spark, qvec, k=k, probe_bits=probe_bits)
         elif "queryView" in self.params:
             field = self.params.get("vectorField", "embedding")
-            row = ctx.spark.table(self.params["queryView"]).select(field).first()
-            if row is None:
+            id_field = self.params.get("idField", idx.meta["id_col"])
+            max_q = int(self.params.get("maxQueries", 10_000))
+            rows = (
+                ctx.spark.table(self.params["queryView"])
+                .select(id_field, field)
+                .limit(max_q + 1)
+                .collect()
+            )
+            if not rows:
                 raise ValueError(f"{self.name}: queryView is empty")
-            qvec = [float(x) for x in row[0]]
+            if len(rows) == 1:
+                out = idx.topk(
+                    ctx.spark, [float(x) for x in rows[0][1]], k=k,
+                    probe_bits=probe_bits,
+                )
+            else:
+                queries = [(r[0], [float(x) for x in r[1]]) for r in rows]
+                out = idx.topk_batch(
+                    ctx.spark, queries, k=k, probe_bits=probe_bits,
+                    max_queries=max_q,
+                )
         else:
             raise ValueError(f"{self.name}: queryVector or queryView required")
-        idx = LshIndex.load(ctx.spark, self.params["inputURI"])
-        out = idx.topk(ctx.spark, qvec, k=int(self.params.get("k", 10)))
         return self.register_output(ctx, out, self.params["outputView"])
 
 
