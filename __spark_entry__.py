@@ -373,8 +373,10 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.operators.similarity import embedding_near_dup
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    # max_bucket_size=None: the oracle config must provably never drop a
+    # candidate (the production default cap is exercised in pytest)
     return embedding_near_dup(
-        emb, threshold=0.5, num_planes=32, bands=16
+        emb, threshold=0.5, num_planes=32, bands=16, max_bucket_size=None
     ).select("id_a", "id_b")
 
 

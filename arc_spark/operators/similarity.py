@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+_USE_DEFAULT_CAP = -1  # sentinel: resolve to dedup.DEFAULT_MAX_BUCKET_SIZE
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -656,10 +658,17 @@ def embedding_near_dup(
     num_planes: int = 128,
     bands: int = 16,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = _USE_DEFAULT_CAP,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, via banded hyperplane-LSH
     bucketing + exact re-rank (id_a < id_b).
+
+    ``max_bucket_size`` defaults to ``dedup.DEFAULT_MAX_BUCKET_SIZE``
+    like the minhash/simhash paths: a degenerate bucket (a corpus slice
+    of near-identical vectors all landing in one (band, bucket))
+    otherwise goes quadratic in the pair expansion. Drops are logged by
+    ``_bucket_pairs``; pass ``None`` explicitly for provable-recall
+    configs that must never drop.
 
     Plan shape (the 100 TB story): one scan computes ALL band keys per row
     in a single numpy matmul Arrow pass (n×dim @ dim×planes — a
@@ -671,7 +680,10 @@ def embedding_near_dup(
     """
     from pyspark.sql.types import DoubleType
 
-    from arc_spark.operators.dedup import _bucket_pairs
+    from arc_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE, _bucket_pairs
+
+    if max_bucket_size == _USE_DEFAULT_CAP:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
 
     sample = df.select(vec_col).first()
     dim = len(sample[0])

@@ -920,12 +920,16 @@ class QualityFilterTransform(PipelineStage):
 class NearDupTransform(PipelineStage):
     """Engine-specific: near-duplicate pair detection as a stage — MinHash
     or SimHash LSH candidates with an exact n-gram-Jaccard verify
-    (operators.dedup); outputs (id_a, id_b, jaccard)."""
+    (operators.dedup); outputs (id_a, id_b, jaccard). ``method:
+    embedding`` runs hyperplane-LSH over a vector column instead
+    (operators.similarity.embedding_near_dup) and outputs
+    (id_a, id_b, cosine_sim) — its verify IS the exact cosine."""
 
     stage_type = "NearDupTransform"
     REQUIRED = ("inputView", "outputView")
     OPTIONAL = ("method", "idField", "textField", "threshold", "numHashes",
-                "bands", "shingleN", "maxHamming", "maxBucketSize")
+                "bands", "shingleN", "maxHamming", "maxBucketSize",
+                "vectorField", "numPlanes")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         from arc_spark.operators.dedup import (
@@ -945,6 +949,19 @@ class NearDupTransform(PipelineStage):
         # maxBucketSize: 0 disables it for provable-recall configs
         cap = int(self.params.get("maxBucketSize", DEFAULT_MAX_BUCKET_SIZE)) or None
         method = self.params.get("method", "minhash")
+        if method == "embedding":
+            from arc_spark.operators.similarity import embedding_near_dup
+
+            out = embedding_near_dup(
+                df,
+                vec_col=self.params.get("vectorField", "embedding"),
+                id_col=self.params.get("idField", "vec_id"),
+                threshold=float(self.params.get("threshold", 0.95)),
+                num_planes=int(self.params.get("numPlanes", 128)),
+                bands=int(self.params.get("bands", 16)),
+                max_bucket_size=cap,
+            )
+            return self.register_output(ctx, out, self.params["outputView"])
         if method == "minhash":
             # default 32 hashes / 8 bands = 4 rows per band: 1-row bands
             # put every doc pair sharing ANY single minhash value in the

@@ -293,3 +293,53 @@ def test_ann_query_extract_multi_row_view(spark, emb, tmp_path):
     g = [(r["query_id"], r["rank"], r["vec_id"]) for r in df.orderBy("query_id", "rank").collect()]
     b = [(r["query_id"], r["rank"], r["vec_id"]) for r in brute.orderBy("query_id", "rank").collect()]
     assert g == b and len(g) == 15
+
+
+def test_embedding_near_dup_default_cap_guards_degenerate_bucket(spark):
+    """The cap now defaults ON (like minhash/simhash): a planted clique
+    of identical vectors larger than the cap is dropped (with a logged
+    warning) instead of going quadratic; an explicit None uncaps."""
+    import numpy as np
+
+    from arc_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.RandomState(3)
+    v = [float(x) for x in rng.randn(8)]
+    clique = [(i, v) for i in range(30)]  # identical → one bucket per band
+    others = [(100 + i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    df = spark.createDataFrame(
+        clique + others, "vec_id: long, embedding: array<double>"
+    )
+    capped = embedding_near_dup(
+        df, threshold=0.99, num_planes=16, bands=4, max_bucket_size=10
+    )
+    uncapped = embedding_near_dup(
+        df, threshold=0.99, num_planes=16, bands=4, max_bucket_size=None
+    )
+    assert uncapped.count() == 30 * 29 // 2
+    assert capped.count() == 0  # every band bucket holds the 30-clique > 10
+    # default invocation is capped (sentinel resolves to the shared default)
+    import inspect
+
+    from arc_spark.operators import similarity as S
+    sig = inspect.signature(embedding_near_dup)
+    assert sig.parameters["max_bucket_size"].default == S._USE_DEFAULT_CAP
+
+
+def test_near_dup_transform_embedding_method(spark, emb):
+    """method: embedding in the declarative stage — same pairs as the
+    library call with the same config."""
+    from arc_spark.operators.similarity import embedding_near_dup
+    from arc_spark.pipeline import run_config
+
+    emb.createOrReplaceTempView("nd_emb")
+    cfg = {"stages": [
+        {"type": "NearDupTransform", "name": "nd", "inputView": "nd_emb",
+         "outputView": "nd_pairs", "method": "embedding",
+         "threshold": 0.5, "numPlanes": 32, "bands": 16},
+    ]}
+    df, _ = run_config(spark, cfg)
+    lib = embedding_near_dup(emb, threshold=0.5, num_planes=32, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in lib.collect()}
+    assert got == want and len(got) > 0
