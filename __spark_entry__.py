@@ -617,18 +617,26 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit → vectorized centroid assignment → probe selection → exact
     re-rank) against brute force. Partition pruning with nprobe<k is
     pinned separately in tests/test_similarity.py against a numpy
-    replication of the same deterministic pipeline."""
+    replication of the same deterministic pipeline.
+
+    The query runs through the full PERSISTENCE round trip — build →
+    write_index (cluster-partitioned parquet + centers meta) → load (no
+    quantizer refit) → topk — certifying the served-index path, not just
+    the in-memory one."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    from arc_spark.operators.similarity import ivf_topk
+    from arc_spark.operators.similarity import IVFIndex
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return _rank_topk(
-        ivf_topk(
-            emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_clusters=8, nprobe=8
-        )
-    )
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
+    IVFIndex.build(
+        emb.filter(F.col("vec_id") != 0), k=8, seed=42
+    ).write_index(path)
+    loaded = IVFIndex.load(spark, path)
+    return _rank_topk(loaded.topk(list(qvec), k=10, nprobe=8))
 
 
 def _doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:

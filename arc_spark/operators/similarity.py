@@ -529,6 +529,8 @@ class IVFIndex:
     or via MLlib's distributed KMeans (``method="mllib"``).
     """
 
+    META = "_ivf_index.json"
+
     def __init__(self, centers, assigned: DataFrame, vec_col: str, id_col: str):
         self.centers = centers  # list[list[float]]
         self.assigned = assigned
@@ -603,8 +605,38 @@ class IVFIndex:
 
     def write_index(self, path: str) -> None:
         """Persist the assigned table partitioned by cluster id so queries
-        prune at the file-listing level (only nprobe directories scanned)."""
+        prune at the file-listing level (only nprobe directories scanned).
+        Centers + column names ride a JSON meta object next to the data
+        (the LshIndex.META pattern) so ``load`` serves the index WITHOUT
+        refitting the quantizer — a served IVF index is open-from-path,
+        any scheme arc_spark.fs can reach."""
+        import json
+
+        from arc_spark.fs import get_fs, join as fs_join
+
         self.assigned.write.mode("overwrite").partitionBy("_cluster").parquet(path)
+        meta = {
+            "centers": self.centers,
+            "vec_col": self.vec_col,
+            "id_col": self.id_col,
+        }
+        get_fs(path, self.assigned.sparkSession).write_bytes(
+            fs_join(path, self.META), json.dumps(meta).encode()
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        """Open a persisted index: quantizer centers from the meta object,
+        the assigned table as a parquet scan partitioned by ``_cluster``
+        (so ``topk``'s probe filter prunes at the file-listing level) —
+        no refit, no driver-side data."""
+        import json
+
+        from arc_spark.fs import get_fs, join as fs_join
+
+        meta = json.loads(get_fs(path, spark).read_bytes(fs_join(path, cls.META)))
+        assigned = spark.read.parquet(path)
+        return cls(meta["centers"], assigned, meta["vec_col"], meta["id_col"])
 
     def probe_clusters(self, query_vec: list[float], nprobe: int) -> list[int]:
 
@@ -623,6 +655,63 @@ class IVFIndex:
             )
             .orderBy(F.col("cosine_sim").desc(), F.col(self.id_col))
             .limit(k)
+        )
+
+    def topk_batch(
+        self,
+        spark,
+        queries: list[tuple],
+        k: int = 10,
+        *,
+        nprobe: int = 4,
+        max_queries: int = 10_000,
+    ) -> DataFrame:
+        """Top-k per query for a batch — same shape as
+        ``LshIndex.topk_batch``: probe clusters for every query come from
+        one driver-side numpy pass, the index is read in ONE scan with a
+        ``_cluster IN (union of probes)`` partition-column predicate
+        (pruned listing over a persisted index), a broadcast probe table
+        (query_id, _cluster, qvec) fans candidates per query, and the
+        exact cosine re-rank is JVM-side under a per-query window."""
+        if len(queries) > max_queries:
+            raise ValueError(
+                f"{len(queries)} queries > max_queries={max_queries}; "
+                f"shard the query set"
+            )
+        C = np.array(self.centers, dtype=np.float64)
+        Q = np.array([list(map(float, q[1])) for q in queries], dtype=np.float64)
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (q, k)
+        order = np.argsort(d2, axis=1)[:, :nprobe]
+        probe_rows = []
+        for i, (qid, qv) in enumerate(queries):
+            qvf = [float(x) for x in qv]
+            for c in order[i]:
+                probe_rows.append((int(qid), int(c), qvf))
+        probes_df = spark.createDataFrame(
+            probe_rows, "query_id long, _cluster int, _qvec array<double>"
+        )
+        all_clusters = sorted({int(c) for row in order for c in row})
+        cand = (
+            self.assigned.filter(F.col("_cluster").isin(all_clusters))
+            .select(self.id_col, self.vec_col, "_cluster")
+            .join(F.broadcast(probes_df), ["_cluster"])
+        )
+        from pyspark.sql.window import Window
+
+        scored = cand.select(
+            "query_id",
+            F.col(self.id_col),
+            cosine(
+                F.col(self.vec_col).cast("array<double>"), F.col("_qvec")
+            ).alias("cosine_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", self.id_col, "cosine_sim")
         )
 
 

@@ -994,34 +994,53 @@ class NearDupTransform(PipelineStage):
 
 @register_stage
 class ANNIndexLoad(PipelineStage):
-    """Engine-specific: build + persist an LshIndex (per-band partitioned
-    parquet, one scan) from an embedding view — the index half of the
-    ANN serving path."""
+    """Engine-specific: build + persist an ANN index from an embedding
+    view — the index half of the ANN serving path. ``method: lsh``
+    (default) writes the per-band partitioned LshIndex in one scan;
+    ``method: ivf`` fits the bounded-sample quantizer and writes the
+    cluster-partitioned IVFIndex (+ centers meta, loadable without a
+    refit)."""
 
     stage_type = "ANNIndexLoad"
     REQUIRED = ("inputView", "outputURI")
-    OPTIONAL = ("vectorField", "idField", "numPlanes", "bands", "seed")
+    OPTIONAL = ("method", "vectorField", "idField", "numPlanes", "bands",
+                "seed", "numClusters")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
-        from arc_spark.operators.similarity import LshIndex
+        from arc_spark.operators.similarity import IVFIndex, LshIndex
 
         df = ctx.spark.table(self.params["inputView"])
-        LshIndex.build_and_write(
-            df,
-            self.params["outputURI"],
-            vec_col=self.params.get("vectorField", "embedding"),
-            id_col=self.params.get("idField", "vec_id"),
-            num_planes=int(self.params.get("numPlanes", 16)),
-            bands=int(self.params.get("bands", 4)),
-            seed=int(self.params.get("seed", 42)),
-        )
+        method = self.params.get("method", "lsh")
+        if method == "ivf":
+            idx = IVFIndex.build(
+                df,
+                k=int(self.params.get("numClusters", 16)),
+                vec_col=self.params.get("vectorField", "embedding"),
+                id_col=self.params.get("idField", "vec_id"),
+                seed=int(self.params.get("seed", 42)),
+            )
+            idx.write_index(self.params["outputURI"])
+        elif method == "lsh":
+            LshIndex.build_and_write(
+                df,
+                self.params["outputURI"],
+                vec_col=self.params.get("vectorField", "embedding"),
+                id_col=self.params.get("idField", "vec_id"),
+                num_planes=int(self.params.get("numPlanes", 16)),
+                bands=int(self.params.get("bands", 4)),
+                seed=int(self.params.get("seed", 42)),
+            )
+        else:
+            raise ValueError(f"{self.name}: unknown method {method!r}")
         return df
 
 
 @register_stage
 class ANNQueryExtract(PipelineStage):
-    """Engine-specific: top-k neighbors from a persisted LshIndex — every
-    read partition-pruned to the probed bucket directories. The query
+    """Engine-specific: top-k neighbors from a persisted ANN index —
+    every read partition-pruned to the probed bucket/cluster
+    directories. The index kind is auto-detected from the meta object
+    next to the data (LshIndex vs IVFIndex — both write one). The query
     comes from ``queryView`` (ANY number of rows: a multi-row view runs
     the BATCH retrieval path — one pruned index scan answers the whole
     view, output gains ``query_id``/``rank``) or an inline ``queryVector``
@@ -1031,21 +1050,40 @@ class ANNQueryExtract(PipelineStage):
     REQUIRED = ("inputURI", "outputView")
     OPTIONAL = (
         "queryView", "queryVector", "vectorField", "idField", "k",
-        "probeBits", "maxQueries",
+        "probeBits", "nprobe", "maxQueries",
     )
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
-        from arc_spark.operators.similarity import LshIndex
+        from arc_spark.fs import get_fs, join as fs_join
+        from arc_spark.operators.similarity import IVFIndex, LshIndex
 
+        uri = self.params["inputURI"]
         k = int(self.params.get("k", 10))
-        probe_bits = int(self.params.get("probeBits", 0))
-        idx = LshIndex.load(ctx.spark, self.params["inputURI"])
+        fs = get_fs(uri, ctx.spark)
+        if fs.exists(fs_join(uri, LshIndex.META)):
+            idx = LshIndex.load(ctx.spark, uri)
+            id_col = idx.meta["id_col"]
+            kw = {"probe_bits": int(self.params.get("probeBits", 0))}
+        elif fs.exists(fs_join(uri, IVFIndex.META)):
+            idx = IVFIndex.load(ctx.spark, uri)
+            id_col = idx.id_col
+            kw = {"nprobe": int(self.params.get("nprobe", 4))}
+        else:
+            raise ValueError(
+                f"{self.name}: no ANN index meta ({LshIndex.META} or "
+                f"{IVFIndex.META}) found under {uri}"
+            )
+
+        def _single(qvec):
+            if isinstance(idx, LshIndex):
+                return idx.topk(ctx.spark, qvec, k=k, **kw)
+            return idx.topk(qvec, k=k, **kw)
+
         if "queryVector" in self.params:
-            qvec = [float(x) for x in self.params["queryVector"]]
-            out = idx.topk(ctx.spark, qvec, k=k, probe_bits=probe_bits)
+            out = _single([float(x) for x in self.params["queryVector"]])
         elif "queryView" in self.params:
             field = self.params.get("vectorField", "embedding")
-            id_field = self.params.get("idField", idx.meta["id_col"])
+            id_field = self.params.get("idField", id_col)
             max_q = int(self.params.get("maxQueries", 10_000))
             rows = (
                 ctx.spark.table(self.params["queryView"])
@@ -1056,15 +1094,11 @@ class ANNQueryExtract(PipelineStage):
             if not rows:
                 raise ValueError(f"{self.name}: queryView is empty")
             if len(rows) == 1:
-                out = idx.topk(
-                    ctx.spark, [float(x) for x in rows[0][1]], k=k,
-                    probe_bits=probe_bits,
-                )
+                out = _single([float(x) for x in rows[0][1]])
             else:
                 queries = [(r[0], [float(x) for x in r[1]]) for r in rows]
                 out = idx.topk_batch(
-                    ctx.spark, queries, k=k, probe_bits=probe_bits,
-                    max_queries=max_q,
+                    ctx.spark, queries, k=k, max_queries=max_q, **kw
                 )
         else:
             raise ValueError(f"{self.name}: queryVector or queryView required")

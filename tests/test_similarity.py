@@ -343,3 +343,71 @@ def test_near_dup_transform_embedding_method(spark, emb):
     got = {(r["id_a"], r["id_b"]) for r in df.collect()}
     want = {(r["id_a"], r["id_b"]) for r in lib.collect()}
     assert got == want and len(got) > 0
+
+
+def test_ivf_index_load_round_trip(spark, emb, qvec, tmp_path):
+    """write_index → load serves identical answers with NO quantizer
+    refit (centers come from the meta object), and the loaded index's
+    probe filter still partition-prunes."""
+    from arc_spark.operators.similarity import IVFIndex
+
+    base = emb.filter(F.col("vec_id") != 0)
+    built = IVFIndex.build(base, k=8)
+    path = str(tmp_path / "ivf_rt")
+    built.write_index(path)
+    loaded = IVFIndex.load(spark, path)
+    assert loaded.centers == built.centers
+    for nprobe in (2, 8):
+        got = [r["vec_id"] for r in loaded.topk(qvec, k=10, nprobe=nprobe).collect()]
+        want = [r["vec_id"] for r in built.topk(qvec, k=10, nprobe=nprobe).collect()]
+        assert got == want
+    pruned = loaded.topk(qvec, k=10, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "_cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_topk_batch_matches_brute_at_full_probe(spark, emb, tmp_path):
+    """Batch IVF retrieval: nprobe = n_clusters probes everything, so the
+    batched window top-k must equal exact brute force; the scan predicate
+    is partition-column-only."""
+    from arc_spark.operators.similarity import IVFIndex, cosine_topk_batch
+
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    path = str(tmp_path / "ivf_batch")
+    IVFIndex.build(corpus, k=8).write_index(path)
+    idx = IVFIndex.load(spark, path)
+    got = idx.topk_batch(spark, queries, k=10, nprobe=8)
+    brute = cosine_topk_batch(corpus, queries, k=10)
+    g = [(r["query_id"], r["rank"], r["vec_id"]) for r in got.orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["rank"], r["vec_id"]) for r in brute.orderBy("query_id", "rank").collect()]
+    assert g == b and len(g) == 30
+
+
+def test_ann_stages_ivf_method_auto_detect(spark, emb, tmp_path):
+    """ANNIndexLoad method=ivf + ANNQueryExtract auto-detecting the index
+    kind from its meta object; multi-row view → batch output."""
+    from arc_spark.operators.similarity import cosine_topk_batch
+    from arc_spark.pipeline import run_config
+
+    emb.createOrReplaceTempView("ivf_emb")
+    emb.filter(F.col("vec_id") < 2).createOrReplaceTempView("ivf_queries")
+    path = str(tmp_path / "ivf_stage_idx")
+    cfg = {"stages": [
+        {"type": "SQLTransform", "name": "corpus", "outputView": "ivf_corpus",
+         "sql": "SELECT * FROM ivf_emb WHERE vec_id >= 2"},
+        {"type": "ANNIndexLoad", "name": "build", "inputView": "ivf_corpus",
+         "outputURI": path, "method": "ivf", "numClusters": 8},
+        {"type": "ANNQueryExtract", "name": "q", "inputURI": path,
+         "outputView": "ivf_hits", "queryView": "ivf_queries", "k": 5,
+         "nprobe": 8},
+    ]}
+    df, _ = run_config(spark, cfg)
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    qrows = emb.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    brute = cosine_topk_batch(corpus, [(r["vec_id"], list(r["embedding"])) for r in qrows], k=5)
+    g = [(r["query_id"], r["rank"], r["vec_id"]) for r in df.orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["rank"], r["vec_id"]) for r in brute.orderBy("query_id", "rank").collect()]
+    assert g == b and len(g) == 10
