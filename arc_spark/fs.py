@@ -22,10 +22,13 @@ same idea with three backends:
 Commit CAS semantics by backend: LocalFS/MemoryFS use create-exclusive
 (atomic). HadoopFS writes a temp object then ``rename`` with
 no-overwrite, which is atomic on HDFS; on S3A rename is copy+delete and
-the no-overwrite check races — production S3 deployments should layer a
-DynamoDB/conditional-PUT lock exactly as Iceberg's S3 committers do (the
-manifest naming here is compatible with that: one immutable object per
-version, winner-takes-name).
+the no-overwrite check races — production S3 deployments inject a
+:class:`CommitLocker` (``LakeTable(root, locker=ConditionalPutLocker
+(...))``), which turns the commit into a LOCKED check-then-put exactly
+as Iceberg's DynamoDB S3 committers do; without one, LakeTable logs a
+prominent warning at commit time on object-store schemes (see
+``OBJECT_STORE_SCHEMES``). The manifest naming is lock-friendly: one
+immutable object per version, winner-takes-name.
 """
 
 from __future__ import annotations
@@ -36,6 +39,14 @@ import posixpath
 import shutil
 import threading
 from urllib.parse import urlparse
+
+
+#: rename is copy+delete (or the no-overwrite check races) on these —
+#: the manifest-commit CAS is NOT atomic without an external lock
+OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+     "cos", "swift"}
+)
 
 
 def scheme_of(path: str) -> str:
@@ -118,6 +129,66 @@ class ArcFileSystem:
     def seekable_input(self, path: str):
         """Seekable binary file-like (for parquet footer reads)."""
         return io.BytesIO(self.read_bytes(path))
+
+
+class CommitLocker:
+    """Mutual exclusion around a commit CAS for stores whose
+    create-if-absent is not atomic (the S3 rename race documented on
+    ``HadoopFS.create_exclusive``). The contract is DynamoDB-lock-shaped:
+    ``acquire`` blocks until it owns ``key`` (or times out), returns an
+    opaque token; ``release`` frees only if the token still owns it.
+    Inject into ``LakeTable(root, locker=...)`` — with a locker the
+    commit does locked check-then-put, which is safe on ANY backend."""
+
+    def acquire(self, key: str, timeout: float = 30.0) -> str:
+        raise NotImplementedError
+
+    def release(self, key: str, token: str) -> None:
+        raise NotImplementedError
+
+
+class ConditionalPutLocker(CommitLocker):
+    """CommitLocker over any ArcFileSystem whose ``create_exclusive`` IS
+    atomic: the lock object for ``key`` is created exclusively (one
+    winner); losers poll until it disappears. MemoryFS backs the tests;
+    a production S3 deployment points this at a consistent side-store
+    (the DynamoDB pattern Iceberg's S3 committers use) — the LOCK store
+    needs atomicity, the data store does not."""
+
+    def __init__(self, fs: ArcFileSystem, root: str, poll_interval: float = 0.05):
+        self.fs = fs
+        self.root = root
+        self.poll_interval = poll_interval
+
+    def _lock_path(self, key: str) -> str:
+        import hashlib
+
+        return join(self.root, hashlib.sha256(key.encode()).hexdigest() + ".lock")
+
+    def acquire(self, key: str, timeout: float = 30.0) -> str:
+        import time
+
+        token = os.urandom(8).hex()
+        path = self._lock_path(key)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                self.fs.create_exclusive(path, token.encode())
+                return token
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"commit lock for {key!r} still held after {timeout}s"
+                    ) from None
+                time.sleep(self.poll_interval)
+
+    def release(self, key: str, token: str) -> None:
+        path = self._lock_path(key)
+        try:
+            if self.fs.read_bytes(path).decode() == token:
+                self.fs.delete(path)
+        except FileNotFoundError:
+            pass
 
 
 class LocalFS(ArcFileSystem):

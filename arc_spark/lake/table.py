@@ -38,6 +38,7 @@ row-count bookkeeping mirrors JDBCLoad's count parity check
 from __future__ import annotations
 
 import json
+import logging
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -47,6 +48,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from arc_spark.fs import get_fs, join as fs_join
+
+_log = logging.getLogger("arc_spark.lake")
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -96,11 +99,21 @@ class CommitConflict(Exception):
 
 
 class LakeTable:
-    """A key-partitioned upsert table with snapshot/manifest metadata."""
+    """A key-partitioned upsert table with snapshot/manifest metadata.
 
-    def __init__(self, root: str):
+    ``locker``: optional :class:`arc_spark.fs.CommitLocker`. When set, the
+    manifest commit is a LOCKED check-then-put — required for
+    multi-writer safety on object stores (s3a/gs/abfss), where the
+    filesystem CAS (rename-if-absent) races; harmless elsewhere. Without
+    one, committing to an object-store root logs a prominent warning
+    (once per table) instead of failing — single-writer deployments are
+    still correct."""
+
+    def __init__(self, root: str, *, locker=None):
         self.root = root
         self._fs = None
+        self.locker = locker
+        self._warned_unlocked = False
 
     @property
     def fs(self):
@@ -153,6 +166,31 @@ class LakeTable:
         """Atomically publish a manifest as the next version (CAS)."""
         version = manifest["version"]
         path = self._manifest_path(version)
+        if self.locker is not None:
+            # locked check-then-put: safe on ANY backend, including object
+            # stores where the filesystem CAS below races (rename is
+            # copy+delete on S3). The lock key is the TABLE, not the
+            # version — two writers racing different versions from the
+            # same stale snapshot must also serialize.
+            token = self.locker.acquire(fs_join(self.root, "_commit"))
+            try:
+                if self.fs.exists(path):
+                    raise CommitConflict(f"version {version} already committed")
+                self.fs.write_bytes(path, json.dumps(manifest).encode())
+                return version
+            finally:
+                self.locker.release(fs_join(self.root, "_commit"), token)
+        from arc_spark.fs import OBJECT_STORE_SCHEMES, scheme_of
+
+        if scheme_of(self.root) in OBJECT_STORE_SCHEMES and not self._warned_unlocked:
+            self._warned_unlocked = True
+            _log.warning(
+                "LakeTable at %s commits via rename-if-absent, which RACES "
+                "on object stores under concurrent writers — exactly-once "
+                "is best-effort. Pass LakeTable(root, locker=...) (see "
+                "arc_spark.fs.CommitLocker) for multi-writer safety.",
+                self.root,
+            )
         try:
             # create-exclusive / rename-if-absent CAS (backend-dependent
             # atomicity documented in arc_spark.fs)

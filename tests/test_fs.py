@@ -178,3 +178,171 @@ def test_stage_authentication_reaches_hadoop_conf(spark, tmp_path):
     assert "SECRET" not in str(evs)
     for k in ("fs.s3a.access.key", "fs.s3a.secret.key", "fs.s3a.endpoint"):
         hc.unset(k)
+
+
+class RacyFS(MemoryFS):
+    """Simulates an object store whose create-if-absent is check-then-act
+    (the S3A rename): a deliberate sleep inside the window makes the race
+    reliable in a test."""
+
+    def __init__(self, delay=0.05):
+        super().__init__()
+        self._delay = delay
+
+    def create_exclusive(self, path, data):
+        import time
+
+        p = self._norm(path)
+        if p in self._objects:            # check ...
+            raise FileExistsError(path)
+        time.sleep(self._delay)           # ... window ...
+        with self._lock:
+            self._objects[p] = bytes(data)  # ... act (clobbers the racer)
+
+
+def test_conditional_put_locker_mutual_exclusion():
+    """N threads increment a shared counter under the lock — no lost
+    updates; a held lock times out for a second acquirer."""
+    import threading
+
+    from arc_spark.fs import ConditionalPutLocker
+
+    lock_store = MemoryFS()
+    locker = ConditionalPutLocker(lock_store, "memory://locks", poll_interval=0.005)
+    state = {"n": 0}
+
+    def bump():
+        for _ in range(20):
+            tok = locker.acquire("memory://t/table1")
+            try:
+                cur = state["n"]
+                state["n"] = cur + 1
+            finally:
+                locker.release("memory://t/table1", tok)
+
+    threads = [threading.Thread(target=bump) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert state["n"] == 80
+    tok = locker.acquire("memory://t/busy")
+    with pytest.raises(TimeoutError):
+        locker.acquire("memory://t/busy", timeout=0.15)
+    locker.release("memory://t/busy", tok)
+    # released → acquirable again
+    tok2 = locker.acquire("memory://t/busy", timeout=1.0)
+    locker.release("memory://t/busy", tok2)
+
+
+def test_commit_lock_serializes_racy_store(monkeypatch):
+    """On a store whose CAS races (RacyFS: check-then-act with a window),
+    two concurrent commits of the SAME version both 'succeed' without a
+    lock — the documented S3 hazard — and exactly one wins through a
+    ConditionalPutLocker."""
+    import threading
+
+    import arc_spark.fs as afs
+    from arc_spark.fs import ConditionalPutLocker
+
+    def contend(table):
+        results = []
+        barrier = threading.Barrier(2)
+
+        def commit(tag):
+            barrier.wait()
+            try:
+                table._commit({"version": 99, "writer": tag})
+                results.append((tag, "won"))
+            except CommitConflict:
+                results.append((tag, "lost"))
+
+        ts = [threading.Thread(target=commit, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return results
+
+    # UNLOCKED on the racy store: both writers pass the absence check ->
+    # both report success, one manifest silently clobbers the other
+    racy = RacyFS()
+    t_unlocked = LakeTable("memory://racy/t1")
+    t_unlocked._fs = racy
+    assert [r for _, r in contend(t_unlocked)] == ["won", "won"]
+
+    # LOCKED: the same racy store, one winner, loser sees CommitConflict
+    racy2 = RacyFS()
+    locker = ConditionalPutLocker(MemoryFS(), "memory://locks", poll_interval=0.005)
+    t_locked = LakeTable("memory://racy/t2", locker=locker)
+    t_locked._fs = racy2
+    assert sorted(r for _, r in contend(t_locked)) == ["lost", "won"]
+    # the winning manifest is intact
+    assert json.loads(racy2.read_bytes(t_locked._manifest_path(99)))["version"] == 99
+
+
+def test_unlocked_object_store_commit_warns(monkeypatch, caplog):
+    """Committing to an object-store-scheme root without a locker logs a
+    prominent warning (once); with a locker it does not."""
+    import logging
+
+    import arc_spark.fs as afs
+
+    monkeypatch.setattr(
+        afs, "OBJECT_STORE_SCHEMES", afs.OBJECT_STORE_SCHEMES | {"memory"}
+    )
+    t = LakeTable("memory://warn/t1")
+    with caplog.at_level(logging.WARNING, logger="arc_spark.lake"):
+        t._commit({"version": 0})
+        t._commit({"version": 1})
+    hits = [r for r in caplog.records if "RACES" in r.message]
+    assert len(hits) == 1  # once per table, not per commit
+    from arc_spark.fs import ConditionalPutLocker
+
+    caplog.clear()
+    t2 = LakeTable("memory://warn/t2",
+                   locker=ConditionalPutLocker(MemoryFS(), "memory://locks"))
+    with caplog.at_level(logging.WARNING, logger="arc_spark.lake"):
+        t2._commit({"version": 0})
+    assert not [r for r in caplog.records if "RACES" in r.message]
+
+
+def test_concurrent_merge_conflict_through_lock_path(spark, tmp_path, monkeypatch):
+    """The optimistic-retry merge scenario, with the manifest CAS routed
+    through a CommitLocker: a competing commit lands mid-merge, the loser
+    retries from the new snapshot, both epochs survive."""
+    from arc_spark.fs import ConditionalPutLocker
+
+    locker = ConditionalPutLocker(MemoryFS(), "memory://locks", poll_interval=0.005)
+    t = LakeTable(str(tmp_path / "locked_races"), locker=locker)
+    df0 = spark.createDataFrame(
+        [(1, "a", 0, "upsert"), (2, "b", 1, "upsert")],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=4)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=1)
+
+    competitor = spark.createDataFrame(
+        [(3, "c", 2, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    orig_commit = LakeTable._commit
+    state = {"raced": False}
+
+    def racing_commit(self, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            t2 = LakeTable(t.root, locker=locker)
+            t2.merge(spark, competitor, epoch=1, start_seq=2, end_seq=2)
+        return orig_commit(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_commit", racing_commit)
+    ours = spark.createDataFrame(
+        [(4, "d", 3, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    r = t.merge(spark, ours, epoch=2, start_seq=3, end_seq=3)
+    monkeypatch.setattr(LakeTable, "_commit", orig_commit)
+    assert r["status"] == "committed"
+    snap = t.snapshot()
+    assert set(snap.committed_epochs) == {"0", "1", "2"}
+    rows = {row["k"]: row["v"] for row in t.read(spark).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c", 4: "d"}
