@@ -163,6 +163,24 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]], band: int, rows_per_
     return key
 
 
+def _band_keys_kernel(planes: list[list[float]], bands: int, rpb: int):
+    """Arrow kernel computing ALL band keys per row in one numpy matmul
+    (n×dim @ dim×planes) — shared by index build, incremental append and
+    the near-dup banding so every path is plan-pinned to a single
+    ArrowEvalPython pass."""
+    P = np.array(planes, dtype=np.float64)
+    weights = np.array([1 << r for r in range(rpb)], dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ P.T >= 0).astype(np.int64)
+        keys = bits.reshape(len(V), bands, rpb) @ weights
+        return pd.Series(list(keys))
+
+    return _band_keys
+
+
 def _query_band_keys(
     query_vec: list[float], planes: list[list[float]], bands: int, rpb: int
 ) -> list[int]:
@@ -294,17 +312,7 @@ class LshIndex:
         # ONE scan + ONE write job: every band key comes out of a single
         # numpy matmul Arrow pass and lands via partitionBy(band, bucket)
         # — a per-band write loop would scan the corpus `bands` times
-        P = np.array(planes, dtype=np.float64)
-        weights = np.array([1 << r for r in range(rpb)], dtype=np.int64)
-        n_bands = bands
-
-        @pandas_udf(ArrayType(LongType()))
-        def _band_keys(vecs: pd.Series) -> pd.Series:
-            V = np.array(vecs.tolist(), dtype=np.float64)
-            bits = (V @ P.T >= 0).astype(np.int64)
-            keys = bits.reshape(len(V), n_bands, rpb) @ weights
-            return pd.Series(list(keys))
-
+        _band_keys = _band_keys_kernel(planes, bands, rpb)
         staged = df.withColumn(
             "_bk", _band_keys(F.col(vec_col).cast("array<double>"))
         ).localCheckpoint(eager=False)
@@ -313,6 +321,7 @@ class LshIndex:
                 "*", F.posexplode(F.col("_bk")).alias("band", "_bucket")
             )
             .drop("_bk")
+            .withColumn("_gen", F.lit(0))
             .write.partitionBy("band", "_bucket")
             .mode("overwrite")
             .parquet(path)
@@ -320,11 +329,99 @@ class LshIndex:
         meta = {
             "num_planes": num_planes, "bands": bands, "seed": seed,
             "dim": dim, "vec_col": vec_col, "id_col": id_col,
+            "gen": 0, "columns": df.columns,
         }
         get_fs(path, df.sparkSession).write_bytes(
             fs_join(path, cls.META), json.dumps(meta).encode()
         )
         return cls(path, meta)
+
+    # -- incremental maintenance -------------------------------------------
+
+    TOMBSTONES = "_tombstones"
+
+    def apply_changes(self, spark, changes: DataFrame, *, op_col: str = "op") -> dict:
+        """Incrementally maintain the index from a change feed — the
+        shape ``LakeTable.changes_since`` emits (rows + ``op`` ∈
+        {'upsert','delete'}) — WITHOUT a rebuild.
+
+        Mechanics: every changed id is tombstoned at a new generation
+        (an upsert's prior rows are stale, a delete's rows are dead);
+        upserted vectors are band-keyed with the STORED planes (same
+        Arrow kernel as the build) and appended into the existing
+        (band, _bucket) partition layout at the new generation. Queries
+        filter candidates through the thin (id → min live generation)
+        tombstone table, so stale rows can never win. Cost is
+        O(delta·bands) rows written + one meta PUT — at 100 TB you never
+        re-scan the corpus to keep the index fresh."""
+        m = self.meta
+        new_gen = int(m.get("gen", 0)) + 1
+        id_col, vec_col = m["id_col"], m["vec_col"]
+        from arc_spark.fs import get_fs, join as fs_join
+
+        counts = {
+            r[0]: r[1]
+            for r in changes.groupBy(op_col).agg(F.count(F.lit(1))).collect()
+        }
+        # tombstone EVERY changed id: rows with _gen < min_live_gen are dead
+        (
+            changes.select(
+                F.col(id_col).alias("id"), F.lit(new_gen).alias("min_live_gen")
+            )
+            .write.mode("append")
+            .parquet(fs_join(self.path, self.TOMBSTONES))
+        )
+        ups = changes.filter(F.col(op_col) == "upsert")
+        planes = _hyperplanes(m["dim"], m["num_planes"], m["seed"])
+        rpb = m["num_planes"] // m["bands"]
+        _band_keys = _band_keys_kernel(planes, m["bands"], rpb)
+        cols = m.get("columns") or [c for c in ups.columns if c != op_col]
+        (
+            ups.select(*cols)
+            .withColumn("_bk", _band_keys(F.col(vec_col).cast("array<double>")))
+            .select("*", F.posexplode(F.col("_bk")).alias("band", "_bucket"))
+            .drop("_bk")
+            .withColumn("_gen", F.lit(new_gen))
+            .write.partitionBy("band", "_bucket")
+            .mode("append")
+            .parquet(self.path)
+        )
+        import json
+
+        self.meta = {**m, "gen": new_gen}
+        get_fs(self.path, spark).write_bytes(
+            fs_join(self.path, self.META), json.dumps(self.meta).encode()
+        )
+        return {
+            "generation": new_gen,
+            "upserts": int(counts.get("upsert", 0)),
+            "deletes": int(counts.get("delete", 0)),
+        }
+
+    def _live(self, spark, df: DataFrame) -> DataFrame:
+        """Drop stale/deleted candidate rows: left-join the tombstone
+        table and keep rows whose generation is at/above the id's minimum
+        live generation. Pre-incremental indexes (no _gen column, no
+        tombstones) pass through untouched."""
+        from arc_spark.fs import get_fs, join as fs_join
+
+        if "_gen" not in df.columns:
+            df = df.withColumn("_gen", F.lit(0))
+        tomb_path = fs_join(self.path, self.TOMBSTONES)
+        fs = get_fs(self.path, spark)
+        if not fs.exists(tomb_path):
+            return df
+        id_col = self.meta["id_col"]
+        tomb = (
+            spark.read.parquet(tomb_path)
+            .groupBy(F.col("id").alias("_tid"))
+            .agg(F.max("min_live_gen").alias("_mlg"))
+        )
+        return (
+            df.join(tomb, df[id_col] == F.col("_tid"), "left")
+            .filter(F.col("_mlg").isNull() | (F.col("_gen") >= F.col("_mlg")))
+            .drop("_tid", "_mlg")
+        )
 
     @classmethod
     def load(cls, spark, path: str) -> "LshIndex":
@@ -362,9 +459,9 @@ class LshIndex:
             )
             for b in range(m["bands"])
         ]
-        cand = reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates(
-            [m["id_col"]]
-        )
+        cand = self._live(
+            spark, reduce(lambda a, b: a.unionByName(b), parts)
+        ).dropDuplicates([m["id_col"]])
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             cand.select(
@@ -453,7 +550,7 @@ class LshIndex:
                 if buckets
             ],
         )
-        idx = spark.read.parquet(self.path).filter(pred).select(
+        idx = self._live(spark, spark.read.parquet(self.path).filter(pred)).select(
             m["id_col"], m["vec_col"], "band", "_bucket"
         )
         cand = (

@@ -411,3 +411,69 @@ def test_ann_stages_ivf_method_auto_detect(spark, emb, tmp_path):
     g = [(r["query_id"], r["rank"], r["vec_id"]) for r in df.orderBy("query_id", "rank").collect()]
     b = [(r["query_id"], r["rank"], r["vec_id"]) for r in brute.orderBy("query_id", "rank").collect()]
     assert g == b and len(g) == 10
+
+
+def test_lsh_index_incremental_maintenance(spark, tmp_path):
+    """Index built at lake version N + apply_changes(changes_since(N))
+    answers EXACTLY like a full rebuild on the new state: deletes vanish,
+    updated vectors re-bucket, inserts appear — no corpus re-scan."""
+    import numpy as np
+
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.operators.similarity import LshIndex
+
+    rng = np.random.RandomState(17)
+    n = 200
+
+    def mk(i, seq, shift=0.0):
+        rs = np.random.RandomState(i)
+        return (i, [float(x + shift) for x in rs.randn(16)], seq)
+
+    t = LakeTable(str(tmp_path / "vec_lake"))
+    df0 = spark.createDataFrame(
+        [mk(i, i) for i in range(n)],
+        "vec_id: long, embedding: array<double>, seq: long",
+    )
+    t.create(df0.schema, ["vec_id"], num_buckets=8)
+    t.merge(spark, df0.withColumn("op", F.lit("upsert")), epoch=0,
+            start_seq=0, end_seq=n - 1)
+    since = t.snapshot().end_seq
+
+    path = str(tmp_path / "inc_idx")
+    idx = LshIndex.build_and_write(t.read(spark), path, num_planes=32, bands=16)
+
+    # delta: update 10 (shifted vectors), delete 10, insert 10 new
+    upd = [mk(i, n + j, shift=3.0) for j, i in enumerate(range(0, 10))]
+    ins = [mk(i, n + 20 + j) for j, i in enumerate(range(n, n + 10))]
+    dele = [(i, None, n + 10 + j) for j, i in enumerate(range(10, 20))]
+    delta = spark.createDataFrame(
+        [(*r, "upsert") for r in upd + ins] + [(*r, "delete") for r in dele],
+        "vec_id: long, embedding: array<double>, seq: long, op: string",
+    )
+    t.merge(spark, delta, epoch=1, start_seq=n, end_seq=n + 29)
+
+    changes = t.changes_since(spark, since)
+    stats = idx.apply_changes(spark, changes)
+    assert stats == {"generation": 1, "upserts": 20, "deletes": 10}
+
+    rebuilt = LshIndex.build_and_write(
+        t.read(spark), str(tmp_path / "rebuilt_idx"), num_planes=32, bands=16
+    )
+    qvecs = [mk(5, 0, shift=3.0)[1], mk(205, 0)[1], mk(15, 0)[1], mk(77, 0)[1]]
+    for qv in qvecs:
+        got = [(r["vec_id"], round(r["cosine_sim"], 9))
+               for r in idx.topk(spark, qv, k=10).collect()]
+        want = [(r["vec_id"], round(r["cosine_sim"], 9))
+                for r in rebuilt.topk(spark, qv, k=10).collect()]
+        assert got == want
+    # batch path agrees too, and deleted ids never surface
+    queries = [(j, qv) for j, qv in enumerate(qvecs)]
+    gb = idx.topk_batch(spark, queries, k=10)
+    wb = rebuilt.topk_batch(spark, queries, k=10)
+    g = [(r["query_id"], r["rank"], r["vec_id"]) for r in gb.orderBy("query_id", "rank").collect()]
+    w = [(r["query_id"], r["rank"], r["vec_id"]) for r in wb.orderBy("query_id", "rank").collect()]
+    assert g == w
+    assert not {r["vec_id"] for r in gb.collect()} & set(range(10, 20))
+    # reload from disk picks up the new generation
+    re = LshIndex.load(spark, path)
+    assert re.meta["gen"] == 1
