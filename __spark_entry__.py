@@ -701,6 +701,31 @@ def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE declarative dedup pipeline — NearDupTransform
+    (recall-1 minhash config) → DedupClusterTransform (connected
+    components) → DedupApplyTransform (keep one representative per
+    cluster) — run through run_config, no SQL glue. Output is the keep
+    set's doc_ids; the oracle derives the same set from a recursive
+    transitive-closure CTE over exact Jaccard pairs."""
+    from arc_spark.pipeline import run_config
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs.createOrReplaceTempView("dedup_docs")
+    cfg = {"stages": [
+        {"type": "NearDupTransform", "name": "pairs", "inputView": "dedup_docs",
+         "outputView": "dedup_pairs", "method": "minhash", "numHashes": 16,
+         "bands": 16, "threshold": 0.4, "shingleN": 3, "maxBucketSize": 0},
+        {"type": "DedupClusterTransform", "name": "cluster",
+         "inputView": "dedup_pairs", "outputView": "dedup_clusters"},
+        {"type": "DedupApplyTransform", "name": "apply",
+         "inputView": "dedup_docs", "clusterView": "dedup_clusters",
+         "outputView": "dedup_kept", "mode": "keep"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    return df.select("doc_id")
+
+
 def _knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact retrieval: 3 query vectors against the corpus in ONE
     scan (mapInPandas matmul local top-k → window global top-k). Integer
@@ -861,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_batch": _ann_lsh_batch,
         "knn_batch": _knn_batch,
         "dedup_clusters_minhash": _dedup_clusters_minhash,
+        "dedup_apply": _dedup_apply,
         "doc_sample_split": _doc_sample_split,
         "ann_ivf": _ann_ivf,
     }
@@ -923,6 +949,32 @@ def _dedup_clusters_sql(threshold: float) -> str:
         )
         SELECT src AS id, least(src, min(dst)) AS cluster
         FROM reach GROUP BY src
+    """
+
+
+def _dedup_apply_sql(threshold: float) -> str:
+    """Keep set after dedup: every document except non-representative
+    cluster members (cluster = min reachable id over the exact-Jaccard
+    pair graph — same closure as _dedup_clusters_sql)."""
+    pairs = _jaccard_pairs_sql(threshold)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        cl AS (
+          SELECT src AS id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
     """
 
 
@@ -1280,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         # indexed batch retrieval to exactly the brute-force batch answer
         "ann_lsh_batch": _KNN_BATCH_SQL,
         "dedup_clusters_minhash": _dedup_clusters_sql(0.4),
+        "dedup_apply": _dedup_apply_sql(0.4),
         "doc_sample_split": _DOC_SAMPLE_SPLIT_SQL,
         "ann_ivf": _BRUTE_TOPK_SQL,
         "statistics_lineitem": _statistics_oracle_sql(),

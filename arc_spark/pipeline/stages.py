@@ -1161,6 +1161,38 @@ class DedupClusterTransform(PipelineStage):
 
 
 @register_stage
+class DedupApplyTransform(PipelineStage):
+    """Engine-specific: the FINAL step of a dedup pipeline — apply a
+    cluster assignment (``clusterView``: (id, cluster) from
+    DedupClusterTransform) to the document view. ``mode: keep`` (default)
+    retains one representative per cluster (the canonical minimum member)
+    plus every unclustered document; ``mode: drop`` emits only the
+    documents that would be removed. Both are thin hash joins against
+    the (id, cluster) table — no text moves through the decision."""
+
+    stage_type = "DedupApplyTransform"
+    REQUIRED = ("inputView", "clusterView", "outputView")
+    OPTIONAL = ("idField", "mode")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        df = ctx.spark.table(self.params["inputView"])
+        clusters = ctx.spark.table(self.params["clusterView"])
+        id_f = self.params.get("idField", "doc_id")
+        mode = self.params.get("mode", "keep")
+        # ids to REMOVE: cluster members that are not the representative
+        drop_ids = clusters.filter(F.col("id") != F.col("cluster")).select(
+            F.col("id").alias(id_f)
+        )
+        if mode == "keep":
+            out = df.join(drop_ids, id_f, "left_anti")
+        elif mode == "drop":
+            out = df.join(drop_ids, id_f, "left_semi")
+        else:
+            raise ValueError(f"{self.name}: unknown mode {mode!r}")
+        return self.register_output(ctx, out, self.params["outputView"])
+
+
+@register_stage
 class HTTPTransform(PipelineStage):
     """transform/HTTPTransform.scala:149-325 — batched POST of a column to
     an external service via mapInPandas with a per-partition pooled client.

@@ -149,3 +149,37 @@ def test_sample_transform_stage(spark):
     n = df.count()
     assert 2200 < n < 2800 and set(df.columns) == {"k", "split"}
     assert 0.15 < df.filter("split = 'test'").count() / n < 0.25
+
+
+def test_dedup_end_to_end_keep_and_drop(spark):
+    """NearDup → Cluster → Apply as one job config on planted duplicate
+    groups: keep retains exactly one representative (the min id) per
+    clique plus all unique docs; drop emits the complement."""
+    from arc_spark.pipeline import run_config
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = (
+        [(i, base + f" v{i % 2}") for i in range(6)]       # clique of 6 (near-dup)
+        + [(100 + i, f"totally unrelated document number {i} "
+                     f"with distinct words alpha{i} beta{i} gamma{i}") for i in range(4)]
+    )
+    spark.createDataFrame(rows, "doc_id: long, text: string") \
+        .createOrReplaceTempView("e2e_docs")
+    cfg = {"stages": [
+        {"type": "NearDupTransform", "name": "p", "inputView": "e2e_docs",
+         "outputView": "e2e_pairs", "method": "minhash", "numHashes": 16,
+         "bands": 16, "threshold": 0.5, "shingleN": 3, "maxBucketSize": 0},
+        {"type": "DedupClusterTransform", "name": "c", "inputView": "e2e_pairs",
+         "outputView": "e2e_clusters"},
+        {"type": "DedupApplyTransform", "name": "k", "inputView": "e2e_docs",
+         "clusterView": "e2e_clusters", "outputView": "e2e_kept"},
+        {"type": "DedupApplyTransform", "name": "d", "inputView": "e2e_docs",
+         "clusterView": "e2e_clusters", "outputView": "e2e_dropped",
+         "mode": "drop"},
+    ]}
+    df, ctx = run_config(spark, cfg)
+    kept = {r["doc_id"] for r in ctx.spark.table("e2e_kept").collect()}
+    dropped = {r["doc_id"] for r in ctx.spark.table("e2e_dropped").collect()}
+    assert kept == {0, 100, 101, 102, 103}  # one rep (min id) + uniques
+    assert dropped == {1, 2, 3, 4, 5}
+    assert kept | dropped == {r[0] for r in rows} and not kept & dropped
