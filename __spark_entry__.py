@@ -653,21 +653,25 @@ def _doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minstd_sql(expr: str, seed: int) -> str:
+    """DuckDB expression replicating operators.sampling.minstd_hash
+    verbatim (3 MINSTD rounds, 2 seed-derived XORs — constants inlined
+    from the same helper the Spark side uses)."""
+    from arc_spark.operators.sampling import minstd_mixes
+
+    m1, m2 = minstd_mixes(seed)
+    M, A = 2147483647, 48271
+    h1 = f"((({expr} + {seed}) % {M}) * {A}) % {M}"
+    h2 = f"(xor({h1}, {m1}) % {M} * {A}) % {M}"
+    return f"(xor({h2}, {m2}) % {M} * {A}) % {M}"
+
+
 _DOC_SAMPLE_SPLIT_SQL = f"""
-    WITH h1 AS (
-        SELECT doc_id,
-               (((doc_id + 11) % 2147483647) * 48271) % 2147483647 AS s1,
-               (((doc_id + 99) % 2147483647) * 48271) % 2147483647 AS t1
-        FROM documents
-    ), h AS (
-        SELECT doc_id,
-               (xor(s1, 1281505947) % 2147483647 * 48271) % 2147483647 AS hs,
-               (xor(t1, 796135283) % 2147483647 * 48271) % 2147483647 AS ht
-        FROM h1
-    )
     SELECT doc_id,
-           CASE WHEN ht < {int(0.1 * (2**31 - 1))} THEN 'test' ELSE 'train' END AS split
-    FROM h WHERE hs < {int(0.25 * (2**31 - 1))}
+           CASE WHEN {_minstd_sql('doc_id', 99)} < {int(0.1 * (2**31 - 1))}
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    WHERE {_minstd_sql('doc_id', 11)} < {int(0.25 * (2**31 - 1))}
 """
 
 

@@ -183,3 +183,75 @@ def test_dedup_end_to_end_keep_and_drop(spark):
     assert kept == {0, 100, 101, 102, 103}  # one rep (min id) + uniques
     assert dropped == {1, 2, 3, 4, 5}
     assert kept | dropped == {r[0] for r in rows} and not kept & dropped
+
+
+# -- sampling-hash properties (the cross-seed correlation class of bug,
+#    commit b2cfe88, must not regress silently on the next formula change)
+
+def _minstd_np(keys, seed):
+    """Exact numpy replication of operators.sampling.minstd_hash."""
+    import numpy as np
+
+    from arc_spark.operators.sampling import minstd_mixes
+
+    M, A = 2**31 - 1, 48271
+    mix1, mix2 = minstd_mixes(seed)
+    k = (keys.astype(np.int64) + seed) % M
+    h1 = (k * A) % M
+    h2 = ((np.bitwise_xor(h1, mix1) % M) * A) % M
+    return ((np.bitwise_xor(h2, mix2) % M) * A) % M
+
+
+def test_minstd_spark_matches_numpy_replication(spark):
+    import numpy as np
+
+    from arc_spark.operators.sampling import minstd_hash
+    from pyspark.sql import functions as F
+
+    keys = np.array([0, 1, 2, 7, 44_000, 44_001, 2**20, 2**30, 2**31 - 2])
+    for seed in (0, 11, 99, 7919):
+        df = spark.createDataFrame([(int(k),) for k in keys], "k: long")
+        got = [r[0] for r in df.select(minstd_hash(F.col("k"), seed)).collect()]
+        assert got == [int(x) for x in _minstd_np(keys, seed)]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(min_value=0, max_value=2**20))
+    @settings(max_examples=60, deadline=None)
+    def test_minstd_uniform_over_seeds(seed):
+        """Decile occupancy stays within ±6% of uniform for ANY seed —
+        the 'hash is affine in key' failure mode concentrates deciles."""
+        import numpy as np
+
+        n = 50_000
+        h = _minstd_np(np.arange(n), seed)
+        deciles = np.bincount((h * 10 // (2**31 - 1)).astype(int), minlength=10)
+        assert deciles.max() <= n / 10 * 1.10 and deciles.min() >= n / 10 * 0.90
+
+    @given(
+        s1=st.integers(min_value=0, max_value=2**20),
+        delta=st.integers(min_value=1, max_value=2**20),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_minstd_cross_stream_conditional_matches_marginal(s1, delta):
+        """For ANY pair of distinct seeds — INCLUDING adjacent ones,
+        which hypothesis shrinks straight to — membership in stream-2's
+        10% sample is ~independent of membership in stream-1's 25%
+        sample: P(h2<0.1M | h1<0.25M) ≈ 0.1. The affine pre-b2cfe88
+        formula gives 0 or 1 here; the 2-round formula this test
+        RETIRED ran ~0.057 for (s, s+1) pairs."""
+        import numpy as np
+
+        M = 2**31 - 1
+        n = 50_000
+        keys = np.arange(n)
+        in1 = _minstd_np(keys, s1) < 0.25 * M
+        in2 = _minstd_np(keys, s1 + delta) < 0.1 * M
+        assert in1.sum() > 0
+        cond = in2[in1].mean()
+        assert abs(cond - 0.1) < 0.02, (s1, delta, cond)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
