@@ -300,7 +300,11 @@ class LshIndex:
         num_planes: int = 16,
         bands: int = 4,
         seed: int = 42,
+        last_seq: int | None = None,
     ) -> "LshIndex":
+        """``last_seq``: when the corpus is a LakeTable read, pass the
+        snapshot's end_seq — it seeds the resumable ``sync_from_table``
+        cursor so index freshness needs no manual bookkeeping."""
         import json
 
         from arc_spark.fs import get_fs, join as fs_join
@@ -331,6 +335,8 @@ class LshIndex:
             "dim": dim, "vec_col": vec_col, "id_col": id_col,
             "gen": 0, "columns": df.columns,
         }
+        if last_seq is not None:
+            meta["last_seq"] = int(last_seq)
         get_fs(path, df.sparkSession).write_bytes(
             fs_join(path, cls.META), json.dumps(meta).encode()
         )
@@ -340,7 +346,14 @@ class LshIndex:
 
     TOMBSTONES = "_tombstones"
 
-    def apply_changes(self, spark, changes: DataFrame, *, op_col: str = "op") -> dict:
+    def apply_changes(
+        self,
+        spark,
+        changes: DataFrame,
+        *,
+        op_col: str = "op",
+        extra_meta: dict | None = None,
+    ) -> dict:
         """Incrementally maintain the index from a change feed — the
         shape ``LakeTable.changes_since`` emits (rows + ``op`` ∈
         {'upsert','delete'}) — WITHOUT a rebuild.
@@ -388,7 +401,7 @@ class LshIndex:
         )
         import json
 
-        self.meta = {**m, "gen": new_gen}
+        self.meta = {**m, "gen": new_gen, **(extra_meta or {})}
         get_fs(self.path, spark).write_bytes(
             fs_join(self.path, self.META), json.dumps(self.meta).encode()
         )
@@ -397,6 +410,37 @@ class LshIndex:
             "upserts": int(counts.get("upsert", 0)),
             "deletes": int(counts.get("delete", 0)),
         }
+
+    def sync_from_table(self, spark, table, *, since_seq: int | None = None) -> dict:
+        """Resumable index freshness from a LakeTable: pull
+        ``changes_since(cursor)`` and apply them incrementally; the new
+        cursor (the table's end_seq) commits in the SAME meta PUT as the
+        generation bump, so a crash between data-append and meta-write
+        merely re-applies the same delta next run — idempotent for
+        queries, because re-tombstoning + re-appending at a higher
+        generation leaves exactly one live copy winning per id (stale
+        survivors dedup away in topk/topk_batch).
+
+        ``since_seq`` seeds the cursor for indexes built before cursor
+        tracking (or built outside a lake read); otherwise the cursor in
+        the meta (``build_and_write(..., last_seq=...)`` records it) is
+        required."""
+        cursor = self.meta.get("last_seq", since_seq)
+        if cursor is None:
+            cursor = since_seq
+        if cursor is None:
+            raise ValueError(
+                "index meta carries no last_seq cursor — build with "
+                "last_seq=<snapshot end_seq> or pass since_seq explicitly"
+            )
+        snap = table.snapshot()
+        if snap.end_seq <= int(cursor):
+            return {"status": "up_to_date", "last_seq": int(cursor)}
+        changes = table.changes_since(spark, int(cursor))
+        stats = self.apply_changes(
+            spark, changes, extra_meta={"last_seq": int(snap.end_seq)}
+        )
+        return {"status": "applied", "last_seq": int(snap.end_seq), **stats}
 
     def _live(self, spark, df: DataFrame) -> DataFrame:
         """Drop stale/deleted candidate rows: left-join the tombstone

@@ -1106,6 +1106,43 @@ class ANNQueryExtract(PipelineStage):
 
 
 @register_stage
+class ANNIndexMaintain(PipelineStage):
+    """Engine-specific: keep a persisted LshIndex fresh against a
+    LakeTable WITHOUT rebuilds — the declarative CDC→serving loop. Pulls
+    the table's ``changes_since`` from the cursor stored in the index
+    meta (seeded at build or via ``sinceSeq``), band-keys only the delta
+    with the stored planes, appends at a new generation and tombstones
+    changed ids; the cursor advances in the same meta PUT. Rerunning
+    after the table is caught up is a no-op (``up_to_date``)."""
+
+    stage_type = "ANNIndexMaintain"
+    REQUIRED = ("inputURI", "tableURI")
+    OPTIONAL = ("sinceSeq", "outputView")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.lake.table import LakeTable
+        from arc_spark.operators.similarity import LshIndex
+
+        idx = LshIndex.load(ctx.spark, self.params["inputURI"])
+        table = LakeTable(self.params["tableURI"])
+        since = self.params.get("sinceSeq")
+        res = idx.sync_from_table(
+            ctx.spark, table, since_seq=None if since is None else int(since)
+        )
+        logger.info("%s: %s", self.name, res)
+        out = ctx.spark.createDataFrame(
+            [(res["status"], int(res["last_seq"]),
+              int(res.get("upserts", 0)), int(res.get("deletes", 0)),
+              int(res.get("generation", idx.meta.get("gen", 0))))],
+            "status: string, last_seq: long, upserts: long, deletes: long, "
+            "generation: long",
+        )
+        if "outputView" in self.params:
+            return self.register_output(ctx, out, self.params["outputView"])
+        return out
+
+
+@register_stage
 class SampleTransform(PipelineStage):
     """Engine-specific: deterministic key-hash sampling / train-test
     split (operators/sampling.py) — membership reproducible on any
@@ -1560,14 +1597,24 @@ class CDCReplayExecute(PipelineStage):
     stage_type = "CDCReplayExecute"
     REQUIRED = ("eventsURI", "tableURI")
     OPTIONAL = ("batchSize", "strategy", "saltBuckets", "mergeMode",
-                "numBuckets", "maxEpochs", "outputView")
+                "numBuckets", "maxEpochs", "outputView", "commitLockURI")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
         from arc_spark.cdc.runner import ReplayRunner
         from arc_spark.lake.table import LakeTable
 
-        table = LakeTable(self.params["tableURI"])
+        locker = None
+        if "commitLockURI" in self.params:
+            # multi-writer safety on object stores: route the manifest CAS
+            # through a ConditionalPutLocker rooted at a store whose
+            # create-if-absent IS atomic (memory:// in tests, a consistent
+            # side-store in production — see arc_spark.fs.CommitLocker)
+            from arc_spark.fs import ConditionalPutLocker, get_fs
+
+            lock_root = self.params["commitLockURI"]
+            locker = ConditionalPutLocker(get_fs(lock_root, ctx.spark), lock_root)
+        table = LakeTable(self.params["tableURI"], locker=locker)
         if not table.exists():
             table, _ = create_table_for_stream(
                 ctx.spark,
@@ -1575,6 +1622,7 @@ class CDCReplayExecute(PipelineStage):
                 self.params["tableURI"],
                 num_buckets=int(self.params.get("numBuckets", 32)),
             )
+            table.locker = locker  # bootstrap constructs its own LakeTable
         runner = ReplayRunner(
             ctx.spark,
             self.params["eventsURI"],

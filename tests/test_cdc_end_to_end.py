@@ -150,3 +150,27 @@ def test_cdc_replay_execute_stage(spark, tmp_path):
     df2, ctx2 = run_config(spark, cfg)
     assert not [e for e in ctx2.events if e.get("event") == "epoch.complete"]
     assert df2.count() == n
+
+
+def test_cdc_replay_execute_with_commit_lock(spark, tmp_path):
+    """commitLockURI routes every epoch's manifest commit through the
+    ConditionalPutLocker — same final state, lock released after each
+    commit (the lock store is empty when the stage returns)."""
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.fs import get_fs
+    from arc_spark.pipeline import run_config
+
+    stream = write_change_stream(
+        spark, str(tmp_path / "lk_ev"), 2000, seed=3, num_partitions=4
+    )
+    lock_root = "memory://locks/replay_test"
+    cfg = {"stages": [
+        {"type": "CDCReplayExecute", "name": "replay", "eventsURI": stream,
+         "tableURI": str(tmp_path / "lk_lake"), "batchSize": 1000,
+         "commitLockURI": lock_root, "outputView": "lk_state"},
+    ]}
+    df, ctx = run_config(spark, cfg)
+    assert df.count() > 0
+    epochs = [e for e in ctx.events if e.get("event") == "epoch.complete"]
+    assert len(epochs) == 2 and all(e["status"] == "committed" for e in epochs)
+    assert get_fs(lock_root).listdir(lock_root) == []  # all locks released

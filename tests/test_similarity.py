@@ -507,3 +507,61 @@ def test_lsh_multi_probe_recall_monotone(spark, tmp_path):
         assert recalls == sorted(recalls), (qseed, recalls)
         totals = [t + r for t, r in zip(totals, recalls)]
     assert totals[0] < totals[1] < totals[2], totals
+
+
+def test_ann_index_maintain_stage_resumable(spark, tmp_path):
+    """CDC→serving loop as config: index built at the lake's end_seq,
+    table advances, ANNIndexMaintain catches the index up (queries match
+    a rebuild); a second run is an up_to_date no-op."""
+    import numpy as np
+
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.operators.similarity import LshIndex
+    from arc_spark.pipeline import run_config
+
+    def vec(i, shift=0.0):
+        rs = np.random.RandomState(i)
+        return [float(x + shift) for x in rs.randn(16)]
+
+    t = LakeTable(str(tmp_path / "m_lake"))
+    n = 100
+    df0 = spark.createDataFrame(
+        [(i, vec(i), i) for i in range(n)],
+        "vec_id: long, embedding: array<double>, seq: long",
+    )
+    t.create(df0.schema, ["vec_id"], num_buckets=4)
+    t.merge(spark, df0.withColumn("op", F.lit("upsert")), epoch=0,
+            start_seq=0, end_seq=n - 1)
+    path = str(tmp_path / "m_idx")
+    LshIndex.build_and_write(
+        t.read(spark), path, num_planes=32, bands=16,
+        last_seq=t.snapshot().end_seq,
+    )
+    delta = spark.createDataFrame(
+        [(0, vec(0, 5.0), n, "upsert"), (1, None, n + 1, "delete"),
+         (200, vec(200), n + 2, "upsert")],
+        "vec_id: long, embedding: array<double>, seq: long, op: string",
+    )
+    t.merge(spark, delta, epoch=1, start_seq=n, end_seq=n + 2)
+
+    cfg = {"stages": [
+        {"type": "ANNIndexMaintain", "name": "sync", "inputURI": path,
+         "tableURI": t.root, "outputView": "sync_out"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    row = df.first()
+    assert row["status"] == "applied" and row["last_seq"] == n + 2
+    assert row["upserts"] == 2 and row["deletes"] == 1
+
+    idx = LshIndex.load(spark, path)
+    rebuilt = LshIndex.build_and_write(
+        t.read(spark), str(tmp_path / "m_rebuilt"), num_planes=32, bands=16
+    )
+    for q in (vec(0, 5.0), vec(200), vec(50)):
+        got = [r["vec_id"] for r in idx.topk(spark, q, k=5).collect()]
+        want = [r["vec_id"] for r in rebuilt.topk(spark, q, k=5).collect()]
+        assert got == want
+    # second run: no-op, cursor unchanged
+    df2, _ = run_config(spark, cfg)
+    assert df2.first()["status"] == "up_to_date"
+    assert LshIndex.load(spark, path).meta["gen"] == 1
