@@ -323,9 +323,14 @@ def _diff_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidates + exact n-gram-Jaccard verify. The verify
     stage makes the output oracle-checkable: it equals the brute-force
-    exact-Jaccard pair set whenever LSH recall is 1, which the 16-band
-    config guarantees to ~1e-11 for the ≥0.8-Jaccard duplicates present
-    in this corpus (planted dups have a clean gap: nothing in [0.4, 0.8))."""
+    exact-Jaccard pair set whenever LSH recall is 1. 32 hashes / 16 bands
+    (2 rows per band) misses a ≥0.8-Jaccard pair with prob
+    (1-J²)¹⁶ ≤ (1-0.64)¹⁶ ≈ 8.7e-8 — recall 1 for the planted duplicates
+    in this corpus (clean gap: nothing in [0.4, 0.8)), verified
+    pair-set-equal to the 1-row-per-band config at sf0.001/0.01/0.1 —
+    while 2-row bands collapse spurious candidates ~75x (157,774 → 2,096
+    at sf0.1; r03's 1-row bands put every pair sharing ANY single
+    minhash value in a bucket)."""
     from arc_spark.operators.dedup import (
         hashed_shingle_table,
         minhash_near_dup,
@@ -337,7 +342,7 @@ def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify; Jaccard runs over hashed (long) shingles, never strings
     ht = hashed_shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
     cand = minhash_near_dup(
-        docs, "text", "doc_id", num_hashes=16, bands=16, jaccard_threshold=0.0,
+        docs, "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.0,
         hashes_df=ht, max_bucket_size=None,  # provable-recall oracle config
     )
     return ngram_jaccard_pairs(
@@ -639,6 +644,30 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(loaded.topk(list(qvec), k=10, nprobe=8))
 
 
+def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval through the persisted IVFIndex (write → load → one
+    cluster-pruned scan answering 3 queries via the broadcast probe
+    table). nprobe = n_clusters probes every cluster, reducing the IVF
+    machinery (bounded-sample quantizer fit, matmul assignment, probe
+    join, window re-rank) to exactly the brute-force batch answer — same
+    oracle as knn_batch. Integer output only (query_id, rank, vec_id)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.similarity import IVFIndex
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    path = tempfile.mkdtemp(prefix="ivf_batch_") + "/idx"
+    IVFIndex.build(emb.filter(F.col("vec_id") >= 3), k=8, seed=42).write_index(path)
+    idx = IVFIndex.load(spark, path)
+    return idx.topk_batch(spark, queries, k=10, nprobe=8).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
 def _doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% sample of documents + leakage-free train/test
     split label — membership a pure integer function of doc_id (MINSTD
@@ -691,7 +720,7 @@ def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")["documents"]
     ht = hashed_shingle_table(docs, "text", "doc_id", shingle_n=3).persist()
     cand = minhash_near_dup(
-        docs, "text", "doc_id", num_hashes=16, bands=16, jaccard_threshold=0.0,
+        docs, "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.0,
         hashes_df=ht, max_bucket_size=None,
     )
     pairs = ngram_jaccard_pairs(
@@ -718,7 +747,7 @@ def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("dedup_docs")
     cfg = {"stages": [
         {"type": "NearDupTransform", "name": "pairs", "inputView": "dedup_docs",
-         "outputView": "dedup_pairs", "method": "minhash", "numHashes": 16,
+         "outputView": "dedup_pairs", "method": "minhash", "numHashes": 32,
          "bands": 16, "threshold": 0.4, "shingleN": 3, "maxBucketSize": 0},
         {"type": "DedupClusterTransform", "name": "cluster",
          "inputView": "dedup_pairs", "outputView": "dedup_clusters"},
@@ -893,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": _dedup_apply,
         "doc_sample_split": _doc_sample_split,
         "ann_ivf": _ann_ivf,
+        "ann_ivf_batch": _ann_ivf_batch,
     }
 
 
@@ -1339,6 +1369,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _dedup_apply_sql(0.4),
         "doc_sample_split": _DOC_SAMPLE_SPLIT_SQL,
         "ann_ivf": _BRUTE_TOPK_SQL,
+        # nprobe = n_clusters reduces batched IVF to the brute batch oracle
+        "ann_ivf_batch": _KNN_BATCH_SQL,
         "statistics_lineitem": _statistics_oracle_sql(),
         "cdc_replay_mini": r"""
             WITH c AS (

@@ -889,6 +889,7 @@ def embedding_near_dup(
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = _USE_DEFAULT_CAP,
+    pair_method: str = "bucket_matmul",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, via banded hyperplane-LSH
     bucketing + exact re-rank (id_a < id_b).
@@ -896,21 +897,40 @@ def embedding_near_dup(
     ``max_bucket_size`` defaults to ``dedup.DEFAULT_MAX_BUCKET_SIZE``
     like the minhash/simhash paths: a degenerate bucket (a corpus slice
     of near-identical vectors all landing in one (band, bucket))
-    otherwise goes quadratic in the pair expansion. Drops are logged by
-    ``_bucket_pairs``; pass ``None`` explicitly for provable-recall
-    configs that must never drop.
+    otherwise goes quadratic in the pair expansion. Drops are logged;
+    pass ``None`` explicitly for provable-recall configs that must never
+    drop.
 
-    Plan shape (the 100 TB story): one scan computes ALL band keys per row
-    in a single numpy matmul Arrow pass (n×dim @ dim×planes — a
-    per-expression fold would interpret dim·planes lambda steps per row);
-    thin (id, band, bucket) rows group by bucket and expand in-bucket
-    pairs (no self-join, so vectors and projections compute once); the
-    deduped pair set late-materializes the vectors for one vectorized
-    exact-cosine verify.
+    Plan shape (the 100 TB story): one scan computes ALL band keys per
+    row in a single numpy matmul Arrow pass (n×dim @ dim×planes — a
+    per-expression fold would interpret dim·planes lambda steps per row).
+
+    ``pair_method`` picks the verify layout by candidate DENSITY:
+
+    - ``bucket_matmul`` (default): vectors ride the banded rows (×bands
+      duplication) into a per-(band, bucket) ``applyInPandas`` that
+      computes ALL in-bucket pairwise cosines in one normalized matmul
+      and emits ONLY over-threshold pairs; a final (id_a, id_b) dedup
+      collapses multi-band hits. Sub-threshold candidates die inside the
+      kernel without ever materializing as rows — decisive when buckets
+      are dense (hyperplane LSH near the similarity floor: measured
+      98.7% of all pairs were candidates at threshold 0.5 on random
+      embeddings, 2M pair rows × 2 vector copies through the old join).
+    - ``join``: thin (id, band, bucket) self-join → distinct pair set →
+      late-materialize 2 vectors per DISTINCT pair for a vectorized
+      cosine. Wins when candidates are sparse relative to n×bands (high
+      thresholds / strongly clustered corpora), because nothing is
+      duplicated ×bands.
+
+    Both are O(Σ bucket²·dim) flops — the cap bounds that; the methods
+    differ only in what moves through the shuffle.
     """
-    from pyspark.sql.types import DoubleType
-
-    from arc_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE, _bucket_pairs
+    from arc_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        _bucket_pairs,
+        _log as _dedup_log,
+        spread,
+    )
 
     if max_bucket_size == _USE_DEFAULT_CAP:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
@@ -919,28 +939,69 @@ def embedding_near_dup(
     dim = len(sample[0])
     planes = _hyperplanes(dim, num_planes, seed)
     rpb = num_planes // bands
-    P = np.array(planes, dtype=np.float64)  # (planes, dim)
-    weights = np.array([1 << r for r in range(rpb)], dtype=np.int64)
-    n_bands = bands
-
-    @pandas_udf(ArrayType(LongType()))
-    def _band_keys(vecs: pd.Series) -> pd.Series:
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        bits = (V @ P.T >= 0).astype(np.int64)  # (n, planes)
-        keys = bits.reshape(len(V), n_bands, rpb) @ weights  # (n, bands)
-        return pd.Series(list(keys))
-
-    from arc_spark.operators.dedup import spread
+    _band_keys = _band_keys_kernel(planes, bands, rpb)
 
     base = spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).persist()  # referenced by banding + both verify join sides
+    ).persist()  # referenced by banding + verify
+
+    if pair_method == "bucket_matmul":
+        thr = float(threshold)
+
+        def _verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(
+                np.sqrt((V * V).sum(axis=1, keepdims=True)), 1e-300
+            )
+            S = Vn @ Vn.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = S[iu, ju] >= thr
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine_sim": S[iu, ju][keep]}
+            )
+
+        banded_vec = base.select(
+            "id", "v", F.posexplode(_band_keys(F.col("v"))).alias("band", "bucket")
+        )
+        if max_bucket_size:
+            sizes = (
+                banded_vec.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("_bs"))
+                .persist()
+            )
+            dropped = sizes.filter(F.col("_bs") > max_bucket_size).count()
+            if dropped:
+                _dedup_log.warning(
+                    "embedding near-dup: dropped %d degenerate bucket(s) "
+                    "larger than max_bucket_size=%d", dropped, max_bucket_size
+                )
+            ok = sizes.filter(F.col("_bs") <= max_bucket_size).drop("_bs")
+            banded_vec = banded_vec.join(ok, ["band", "bucket"], "left_semi")
+        # max() instead of dropDuplicates: multi-band copies of a pair can
+        # differ in the last ULP (BLAS blocking varies with bucket shape),
+        # and an arbitrary pick would make reruns flap on that bit
+        return (
+            banded_vec.groupBy("band", "bucket")
+            .applyInPandas(
+                _verify_bucket, schema="id_a long, id_b long, cosine_sim double"
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine_sim").alias("cosine_sim"))
+        )
+
+    if pair_method != "join":
+        raise ValueError(f"unknown pair_method {pair_method!r}")
+
+    from pyspark.sql.types import DoubleType
+
     banded = base.select(
         "id", F.posexplode(_band_keys(F.col("v"))).alias("band", "bucket")
     )
-    # join method: few-bit hyperplane buckets hold ~n/2^rpb rows each —
-    # far too large for array expansion; banded derives from the persisted
-    # base so the self-join's double evaluation is one cheap matmul
+    # banded derives from the persisted base so the self-join's double
+    # evaluation is one cheap matmul
     pairs = _bucket_pairs(
         banded, ["band", "bucket"], F.col("id"), max_bucket_size, method="join"
     ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
