@@ -442,6 +442,52 @@ class LshIndex:
         )
         return {"status": "applied", "last_seq": int(snap.end_seq), **stats}
 
+    def compact(self, spark) -> dict:
+        """Fold accumulated maintenance debt back into a clean base: one
+        scan applies the tombstone filter, rewrites every (band, bucket)
+        partition at generation 0 and clears ``_tombstones/`` — the index
+        analogue of ``LakeTable.compact()``. Incremental maintenance
+        keeps queries correct indefinitely, but each ``apply_changes``
+        grows the tombstone table the query-time anti-filter joins
+        against; compact after ~N deltas restores O(0) filter cost.
+
+        Single-writer maintenance operation (like build): the rewrite
+        stages to a sibling directory and swaps via the driver filesystem
+        so a crash mid-compact leaves the original index intact."""
+        import json
+
+        from arc_spark.fs import get_fs, join as fs_join
+
+        fs = get_fs(self.path, spark)
+        live = self._live(spark, spark.read.parquet(self.path))
+        staging = self.path.rstrip("/") + ".compact-tmp"
+        (
+            live.withColumn("_gen", F.lit(0))
+            .write.partitionBy("band", "_bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        new_meta = {**self.meta, "gen": 0}
+        get_fs(staging, spark).write_bytes(
+            fs_join(staging, self.META), json.dumps(new_meta).encode()
+        )
+        fs.rmtree(self.path)
+        # LocalFS/HadoopFS rename; MemoryFS has no rename — copy keys
+        if hasattr(fs, "_fs"):  # HadoopFS
+            fs._fs.rename(fs._path(staging), fs._path(self.path))
+        else:
+            import os as _os
+
+            try:
+                _os.rename(staging, self.path)
+            except OSError:
+                for full, _name in list(fs.walk_files(staging)):
+                    rel = full[len(staging):].lstrip("/")
+                    fs.write_bytes(fs_join(self.path, rel), fs.read_bytes(full))
+                fs.rmtree(staging)
+        self.meta = new_meta
+        return {"status": "compacted", "gen": 0}
+
     def _live(self, spark, df: DataFrame) -> DataFrame:
         """Drop stale/deleted candidate rows: left-join the tombstone
         table and keep rows whose generation is at/above the id's minimum

@@ -1106,6 +1106,84 @@ class ANNQueryExtract(PipelineStage):
 
 
 @register_stage
+class LakeChangesExtract(PipelineStage):
+    """Engine-specific: incremental CONSUMPTION of a lake table's change
+    feed — the downstream half of the CDC story (a training pipeline or
+    derived table keeps itself fresh without rescanning the lake). Emits
+    the current state of every key changed after the cursor
+    (``op`` ∈ {'upsert','delete'}, the ``changes_since`` bucket+row-group
+    pruned read).
+
+    Cursor protocol: ``sinceSeq`` overrides; else the JSON object at
+    ``cursorURI`` ({"seq": N}, any arc_spark.fs scheme; absent → -1 =
+    full history). The ADVANCED cursor is staged in ctx.user_data and
+    only written by a later ``LakeCursorCommitExecute`` stage — placed
+    AFTER the loads, this gives at-least-once delivery (a failed run
+    replays the same window; consumers dedup by key+seq).
+    ``advanceCursor: immediate`` writes it here instead (at-most-once)."""
+
+    stage_type = "LakeChangesExtract"
+    REQUIRED = ("tableURI", "outputView")
+    OPTIONAL = ("cursorURI", "sinceSeq", "advanceCursor")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.fs import get_fs
+        from arc_spark.lake.table import LakeTable
+
+        table = LakeTable(self.params["tableURI"])
+        cursor_uri = self.params.get("cursorURI")
+        if "sinceSeq" in self.params:
+            since = int(self.params["sinceSeq"])
+        elif cursor_uri:
+            fs = get_fs(cursor_uri, ctx.spark)
+            since = (
+                int(json.loads(fs.read_bytes(cursor_uri))["seq"])
+                if fs.exists(cursor_uri)
+                else -1
+            )
+        else:
+            since = -1
+        out = table.changes_since(ctx.spark, since)
+        new_seq = table.snapshot().end_seq
+        if cursor_uri:
+            if self.params.get("advanceCursor") == "immediate":
+                get_fs(cursor_uri, ctx.spark).write_bytes(
+                    cursor_uri, json.dumps({"seq": int(new_seq)}).encode()
+                )
+            else:
+                ctx.user_data.setdefault("lake_cursors", {})[cursor_uri] = int(
+                    new_seq
+                )
+        return self.register_output(ctx, out, self.params["outputView"])
+
+
+@register_stage
+class LakeCursorCommitExecute(PipelineStage):
+    """Engine-specific: persist the cursor(s) staged by
+    ``LakeChangesExtract`` — run AFTER the loads so a mid-pipeline
+    failure replays the window instead of dropping it (at-least-once)."""
+
+    stage_type = "LakeCursorCommitExecute"
+    REQUIRED = ()
+    OPTIONAL = ("cursorURI",)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from arc_spark.fs import get_fs
+
+        pending = ctx.user_data.get("lake_cursors", {})
+        only = self.params.get("cursorURI")
+        for uri, seq in list(pending.items()):
+            if only and uri != only:
+                continue
+            get_fs(uri, ctx.spark).write_bytes(
+                uri, json.dumps({"seq": int(seq)}).encode()
+            )
+            logger.info("%s: cursor %s -> seq %d", self.name, uri, seq)
+            del pending[uri]
+        return None
+
+
+@register_stage
 class ANNIndexMaintain(PipelineStage):
     """Engine-specific: keep a persisted LshIndex fresh against a
     LakeTable WITHOUT rebuilds — the declarative CDC→serving loop. Pulls

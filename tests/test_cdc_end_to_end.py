@@ -174,3 +174,52 @@ def test_cdc_replay_execute_with_commit_lock(spark, tmp_path):
     epochs = [e for e in ctx.events if e.get("event") == "epoch.complete"]
     assert len(epochs) == 2 and all(e["status"] == "committed" for e in epochs)
     assert get_fs(lock_root).listdir(lock_root) == []  # all locks released
+
+
+def test_lake_changes_extract_cursor_protocol(spark, tmp_path):
+    """Incremental consumption: first run emits full history and stages
+    the cursor; LakeCursorCommitExecute persists it; the next run emits
+    only the delta; a run WITHOUT the commit stage replays the window
+    (at-least-once)."""
+    import json as _json
+
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.pipeline import run_config
+
+    t = LakeTable(str(tmp_path / "cons_lake"))
+    df0 = spark.createDataFrame(
+        [(1, "a", 0, "upsert"), (2, "b", 1, "upsert")],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=4)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=1)
+    cursor = str(tmp_path / "cursor.json")
+    cfg = {"stages": [
+        {"type": "LakeChangesExtract", "name": "c", "tableURI": t.root,
+         "cursorURI": cursor, "outputView": "changes"},
+        {"type": "LakeCursorCommitExecute", "name": "commit"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    got = {(r["k"], r["op"]) for r in df.collect()}
+    assert got == {(1, "upsert"), (2, "upsert")}
+    assert _json.loads(open(cursor).read())["seq"] == 1
+
+    # advance the table; next run sees only the delta
+    delta = spark.createDataFrame(
+        [(2, None, 2, "delete"), (3, "c", 3, "upsert")],
+        "k: long, v: string, seq: long, op: string",
+    )
+    t.merge(spark, delta, epoch=1, start_seq=2, end_seq=3, mode="delta")
+    # no-commit config: window replays until committed
+    cfg_nc = {"stages": [cfg["stages"][0]]}
+    df1, _ = run_config(spark, cfg_nc)
+    w1 = {(r["k"], r["op"]) for r in df1.collect()}
+    assert w1 == {(2, "delete"), (3, "upsert")}
+    df2, _ = run_config(spark, cfg_nc)
+    assert {(r["k"], r["op"]) for r in df2.collect()} == w1  # replayed
+    df3, _ = run_config(spark, cfg)  # with commit
+    assert {(r["k"], r["op"]) for r in df3.collect()} == w1
+    assert _json.loads(open(cursor).read())["seq"] == 3
+    # caught up: empty window
+    df4, _ = run_config(spark, cfg)
+    assert df4.count() == 0

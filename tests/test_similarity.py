@@ -565,3 +565,43 @@ def test_ann_index_maintain_stage_resumable(spark, tmp_path):
     df2, _ = run_config(spark, cfg)
     assert df2.first()["status"] == "up_to_date"
     assert LshIndex.load(spark, path).meta["gen"] == 1
+
+
+def test_lsh_index_compact_folds_tombstones(spark, tmp_path):
+    """After deltas, compact() rewrites the live rows at gen 0 and clears
+    the tombstone table; queries are unchanged and no longer pay the
+    anti-filter join."""
+    import numpy as np
+
+    from arc_spark.fs import get_fs
+    from arc_spark.operators.similarity import LshIndex
+
+    def vec(i, shift=0.0):
+        return [float(x + shift) for x in np.random.RandomState(i).randn(16)]
+
+    rows = [(i, vec(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    path = str(tmp_path / "cmp_idx")
+    idx = LshIndex.build_and_write(df, path, num_planes=32, bands=16)
+    changes = spark.createDataFrame(
+        [(0, vec(0, 4.0), "upsert"), (1, None, "delete"), (200, vec(200), "upsert")],
+        "vec_id: long, embedding: array<double>, op: string",
+    )
+    idx.apply_changes(spark, changes)
+    q = vec(0, 4.0)
+    before = [r["vec_id"] for r in idx.topk(spark, q, k=8).collect()]
+    res = idx.compact(spark)
+    assert res == {"status": "compacted", "gen": 0}
+    fs = get_fs(path, spark)
+    assert not fs.exists(f"{path}/{LshIndex.TOMBSTONES}")
+    reloaded = LshIndex.load(spark, path)
+    assert reloaded.meta["gen"] == 0
+    after = [r["vec_id"] for r in reloaded.topk(spark, q, k=8).collect()]
+    assert after == before
+    assert 1 not in after and 0 in after  # delete gone, upsert present
+    # maintenance continues cleanly after compact
+    more = spark.createDataFrame(
+        [(2, None, "delete")], "vec_id: long, embedding: array<double>, op: string"
+    )
+    assert reloaded.apply_changes(spark, more)["generation"] == 1
+    assert 2 not in [r["vec_id"] for r in reloaded.topk(spark, vec(2), k=8).collect()]
