@@ -144,6 +144,73 @@ def cosine_topk_batch(
     )
 
 
+_TOMBSTONES = "_tombstones"
+
+
+def _write_tombstones(path: str, changes: DataFrame, id_col: str, new_gen: int) -> None:
+    """Append (id → min live generation) tombstones for EVERY changed id:
+    an upsert's prior rows are stale, a delete's rows are dead. Shared by
+    the LSH and IVF incremental-maintenance paths."""
+    from arc_spark.fs import join as fs_join
+
+    (
+        changes.select(
+            F.col(id_col).alias("id"), F.lit(int(new_gen)).alias("min_live_gen")
+        )
+        .write.mode("append")
+        .parquet(fs_join(path, _TOMBSTONES))
+    )
+
+
+def _live_rows(spark, path: str, df: DataFrame, id_col: str) -> DataFrame:
+    """Drop stale/deleted candidate rows: left-join the index's tombstone
+    table and keep rows whose generation is at/above the id's minimum
+    live generation. Pre-incremental indexes (no _gen column, no
+    tombstones) pass through untouched."""
+    from arc_spark.fs import get_fs, join as fs_join
+
+    if "_gen" not in df.columns:
+        df = df.withColumn("_gen", F.lit(0))
+    tomb_path = fs_join(path, _TOMBSTONES)
+    if not get_fs(path, spark).exists(tomb_path):
+        return df
+    tomb = (
+        spark.read.parquet(tomb_path)
+        .groupBy(F.col("id").alias("_tid"))
+        .agg(F.max("min_live_gen").alias("_mlg"))
+    )
+    return (
+        df.join(tomb, df[id_col] == F.col("_tid"), "left")
+        .filter(F.col("_mlg").isNull() | (F.col("_gen") >= F.col("_mlg")))
+        .drop("_tid", "_mlg")
+    )
+
+
+def _index_sync_from_table(idx, spark, table, since_seq: int | None) -> dict:
+    """Resumable index freshness from a LakeTable (shared by LshIndex and
+    IVFIndex): pull ``changes_since(cursor)``, apply incrementally, and
+    commit the new cursor in the SAME meta PUT as the generation bump —
+    a crash between data-append and meta-write merely re-applies the same
+    delta next run (idempotent for queries: re-tombstoning + re-appending
+    at a higher generation leaves one live winner per id)."""
+    cursor = idx.meta.get("last_seq", since_seq)
+    if cursor is None:
+        cursor = since_seq
+    if cursor is None:
+        raise ValueError(
+            "index meta carries no last_seq cursor — build/write with "
+            "last_seq=<snapshot end_seq> or pass since_seq explicitly"
+        )
+    snap = table.snapshot()
+    if snap.end_seq <= int(cursor):
+        return {"status": "up_to_date", "last_seq": int(cursor)}
+    changes = table.changes_since(spark, int(cursor))
+    stats = idx.apply_changes(
+        spark, changes, extra_meta={"last_seq": int(snap.end_seq)}
+    )
+    return {"status": "applied", "last_seq": int(snap.end_seq), **stats}
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     rnd = random.Random(seed)
     return [
@@ -344,7 +411,7 @@ class LshIndex:
 
     # -- incremental maintenance -------------------------------------------
 
-    TOMBSTONES = "_tombstones"
+    TOMBSTONES = _TOMBSTONES
 
     def apply_changes(
         self,
@@ -377,13 +444,7 @@ class LshIndex:
             for r in changes.groupBy(op_col).agg(F.count(F.lit(1))).collect()
         }
         # tombstone EVERY changed id: rows with _gen < min_live_gen are dead
-        (
-            changes.select(
-                F.col(id_col).alias("id"), F.lit(new_gen).alias("min_live_gen")
-            )
-            .write.mode("append")
-            .parquet(fs_join(self.path, self.TOMBSTONES))
-        )
+        _write_tombstones(self.path, changes, id_col, new_gen)
         ups = changes.filter(F.col(op_col) == "upsert")
         planes = _hyperplanes(m["dim"], m["num_planes"], m["seed"])
         rpb = m["num_planes"] // m["bands"]
@@ -412,35 +473,12 @@ class LshIndex:
         }
 
     def sync_from_table(self, spark, table, *, since_seq: int | None = None) -> dict:
-        """Resumable index freshness from a LakeTable: pull
-        ``changes_since(cursor)`` and apply them incrementally; the new
-        cursor (the table's end_seq) commits in the SAME meta PUT as the
-        generation bump, so a crash between data-append and meta-write
-        merely re-applies the same delta next run — idempotent for
-        queries, because re-tombstoning + re-appending at a higher
-        generation leaves exactly one live copy winning per id (stale
-        survivors dedup away in topk/topk_batch).
-
+        """Resumable index freshness from a LakeTable — see
+        ``_index_sync_from_table`` for the cursor/idempotence contract.
         ``since_seq`` seeds the cursor for indexes built before cursor
-        tracking (or built outside a lake read); otherwise the cursor in
-        the meta (``build_and_write(..., last_seq=...)`` records it) is
-        required."""
-        cursor = self.meta.get("last_seq", since_seq)
-        if cursor is None:
-            cursor = since_seq
-        if cursor is None:
-            raise ValueError(
-                "index meta carries no last_seq cursor — build with "
-                "last_seq=<snapshot end_seq> or pass since_seq explicitly"
-            )
-        snap = table.snapshot()
-        if snap.end_seq <= int(cursor):
-            return {"status": "up_to_date", "last_seq": int(cursor)}
-        changes = table.changes_since(spark, int(cursor))
-        stats = self.apply_changes(
-            spark, changes, extra_meta={"last_seq": int(snap.end_seq)}
-        )
-        return {"status": "applied", "last_seq": int(snap.end_seq), **stats}
+        tracking; otherwise ``build_and_write(..., last_seq=...)``'s
+        recorded cursor is required."""
+        return _index_sync_from_table(self, spark, table, since_seq)
 
     def compact(self, spark) -> dict:
         """Fold accumulated maintenance debt back into a clean base: one
@@ -489,29 +527,7 @@ class LshIndex:
         return {"status": "compacted", "gen": 0}
 
     def _live(self, spark, df: DataFrame) -> DataFrame:
-        """Drop stale/deleted candidate rows: left-join the tombstone
-        table and keep rows whose generation is at/above the id's minimum
-        live generation. Pre-incremental indexes (no _gen column, no
-        tombstones) pass through untouched."""
-        from arc_spark.fs import get_fs, join as fs_join
-
-        if "_gen" not in df.columns:
-            df = df.withColumn("_gen", F.lit(0))
-        tomb_path = fs_join(self.path, self.TOMBSTONES)
-        fs = get_fs(self.path, spark)
-        if not fs.exists(tomb_path):
-            return df
-        id_col = self.meta["id_col"]
-        tomb = (
-            spark.read.parquet(tomb_path)
-            .groupBy(F.col("id").alias("_tid"))
-            .agg(F.max("min_live_gen").alias("_mlg"))
-        )
-        return (
-            df.join(tomb, df[id_col] == F.col("_tid"), "left")
-            .filter(F.col("_mlg").isNull() | (F.col("_gen") >= F.col("_mlg")))
-            .drop("_tid", "_mlg")
-        )
+        return _live_rows(spark, self.path, df, self.meta["id_col"])
 
     @classmethod
     def load(cls, spark, path: str) -> "LshIndex":
@@ -717,12 +733,44 @@ class IVFIndex:
     """
 
     META = "_ivf_index.json"
+    TOMBSTONES = _TOMBSTONES
 
-    def __init__(self, centers, assigned: DataFrame, vec_col: str, id_col: str):
+    def __init__(
+        self,
+        centers,
+        assigned: DataFrame,
+        vec_col: str,
+        id_col: str,
+        *,
+        path: str | None = None,
+        meta: dict | None = None,
+    ):
         self.centers = centers  # list[list[float]]
         self.assigned = assigned
         self.vec_col = vec_col
         self.id_col = id_col
+        self.path = path  # set when persisted/loaded — enables maintenance
+        self.meta = meta or {
+            "centers": centers, "vec_col": vec_col, "id_col": id_col, "gen": 0,
+        }
+
+    @staticmethod
+    def _assign_kernel(centers):
+        """Vectorized nearest-centroid assignment — one numpy matmul per
+        Arrow batch (||v-c||² = |v|² - 2v·c + |c|², argmin over c);
+        shared by build and incremental append."""
+        from pyspark.sql.types import IntegerType
+
+        C = np.array(centers, dtype=np.float64)
+        c_norm2 = (C**2).sum(axis=1)
+
+        @pandas_udf(IntegerType())
+        def _assign(v: pd.Series) -> pd.Series:
+            V = np.array(v.tolist(), dtype=np.float64)
+            d2 = -2.0 * (V @ C.T) + c_norm2[None, :]
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        return _assign
 
     @classmethod
     def build(
@@ -768,21 +816,8 @@ class IVFIndex:
             X = np.array([r[1] for r in rows], dtype=np.float64)
             centers = [list(map(float, c)) for c in _lloyd_kmeans(X, k, seed, max_iter)]
 
-        # assignment: one vectorized Arrow pass (numpy matmul per batch) —
-        # ||v-c||² = |v|² - 2v·c + |c|², argmin over c
-        from pyspark.sql.types import IntegerType
-
-        C = np.array(centers, dtype=np.float64)
-        c_norm2 = (C**2).sum(axis=1)
-
-        @pandas_udf(IntegerType())
-        def _assign(v: pd.Series) -> pd.Series:
-            V = np.array(v.tolist(), dtype=np.float64)
-            d2 = -2.0 * (V @ C.T) + c_norm2[None, :]
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
-
         assigned = df.withColumn(
-            "_cluster", _assign(F.col(vec_col).cast("array<double>"))
+            "_cluster", cls._assign_kernel(centers)(F.col(vec_col).cast("array<double>"))
         )
         index = cls(centers, assigned, vec_col, id_col)
         # observability: how many vectors actually reached the driver
@@ -790,40 +825,127 @@ class IVFIndex:
         index.sample_mod = sample_mod if method != "mllib" else None
         return index
 
-    def write_index(self, path: str) -> None:
+    def write_index(self, path: str, *, last_seq: int | None = None) -> None:
         """Persist the assigned table partitioned by cluster id so queries
         prune at the file-listing level (only nprobe directories scanned).
         Centers + column names ride a JSON meta object next to the data
         (the LshIndex.META pattern) so ``load`` serves the index WITHOUT
         refitting the quantizer — a served IVF index is open-from-path,
-        any scheme arc_spark.fs can reach."""
+        any scheme arc_spark.fs can reach. ``last_seq`` seeds the
+        ``sync_from_table`` cursor when the corpus came from a lake
+        snapshot."""
         import json
 
         from arc_spark.fs import get_fs, join as fs_join
 
-        self.assigned.write.mode("overwrite").partitionBy("_cluster").parquet(path)
+        cols = [c for c in self.assigned.columns if c not in ("_cluster", "_gen")]
+        (
+            self.assigned.withColumn("_gen", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("_cluster")
+            .parquet(path)
+        )
         meta = {
             "centers": self.centers,
             "vec_col": self.vec_col,
             "id_col": self.id_col,
+            "gen": 0,
+            "columns": cols,
         }
+        if last_seq is not None:
+            meta["last_seq"] = int(last_seq)
         get_fs(path, self.assigned.sparkSession).write_bytes(
             fs_join(path, self.META), json.dumps(meta).encode()
         )
+        self.path = path
+        self.meta = meta
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFIndex":
         """Open a persisted index: quantizer centers from the meta object,
         the assigned table as a parquet scan partitioned by ``_cluster``
         (so ``topk``'s probe filter prunes at the file-listing level) —
-        no refit, no driver-side data."""
+        no refit, no driver-side data. A loaded index is maintainable:
+        ``apply_changes`` / ``sync_from_table`` append new generations."""
         import json
 
         from arc_spark.fs import get_fs, join as fs_join
 
         meta = json.loads(get_fs(path, spark).read_bytes(fs_join(path, cls.META)))
         assigned = spark.read.parquet(path)
-        return cls(meta["centers"], assigned, meta["vec_col"], meta["id_col"])
+        return cls(
+            meta["centers"], assigned, meta["vec_col"], meta["id_col"],
+            path=path, meta=meta,
+        )
+
+    # -- incremental maintenance (same contract as LshIndex) ----------------
+
+    def apply_changes(
+        self,
+        spark,
+        changes: DataFrame,
+        *,
+        op_col: str = "op",
+        extra_meta: dict | None = None,
+    ) -> dict:
+        """Incrementally maintain a PERSISTED index from a change feed
+        (``LakeTable.changes_since`` shape) WITHOUT refitting the
+        quantizer: changed ids are tombstoned at a new generation,
+        upserted vectors are assigned to their nearest EXISTING centroid
+        (one Arrow matmul over the delta) and appended into the
+        ``_cluster`` partition layout; queries filter through the thin
+        tombstone table. The quantizer drifts only if the data
+        distribution does — rebuild (or ``compact``-equivalent refit)
+        when recall degrades, exactly like production IVF systems."""
+        import json
+
+        from arc_spark.fs import get_fs, join as fs_join
+
+        if self.path is None:
+            raise ValueError("apply_changes requires a persisted index "
+                             "(write_index/load first)")
+        m = self.meta
+        new_gen = int(m.get("gen", 0)) + 1
+        counts = {
+            r[0]: r[1]
+            for r in changes.groupBy(op_col).agg(F.count(F.lit(1))).collect()
+        }
+        _write_tombstones(self.path, changes, self.id_col, new_gen)
+        ups = changes.filter(F.col(op_col) == "upsert")
+        cols = m.get("columns") or [c for c in ups.columns if c != op_col]
+        (
+            ups.select(*cols)
+            .withColumn(
+                "_cluster",
+                self._assign_kernel(self.centers)(
+                    F.col(self.vec_col).cast("array<double>")
+                ),
+            )
+            .withColumn("_gen", F.lit(new_gen))
+            .write.partitionBy("_cluster")
+            .mode("append")
+            .parquet(self.path)
+        )
+        self.meta = {**m, "gen": new_gen, **(extra_meta or {})}
+        get_fs(self.path, spark).write_bytes(
+            fs_join(self.path, self.META), json.dumps(self.meta).encode()
+        )
+        self.assigned = spark.read.parquet(self.path)  # pick up the delta
+        return {
+            "generation": new_gen,
+            "upserts": int(counts.get("upsert", 0)),
+            "deletes": int(counts.get("delete", 0)),
+        }
+
+    def sync_from_table(self, spark, table, *, since_seq: int | None = None) -> dict:
+        """Resumable freshness from a LakeTable — shared cursor contract,
+        see ``_index_sync_from_table``."""
+        return _index_sync_from_table(self, spark, table, since_seq)
+
+    def _live(self, spark, df: DataFrame) -> DataFrame:
+        if self.path is None:
+            return df
+        return _live_rows(spark, self.path, df, self.id_col)
 
     def probe_clusters(self, query_vec: list[float], nprobe: int) -> list[int]:
 
@@ -834,6 +956,8 @@ class IVFIndex:
     def topk(self, query_vec: list[float], k: int = 10, *, nprobe: int = 4) -> DataFrame:
         probe = self.probe_clusters(query_vec, nprobe)
         cand = self.assigned.filter(F.col("_cluster").isin(probe))
+        if self.path is not None:
+            cand = self._live(self.assigned.sparkSession, cand)
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             cand.select(
@@ -878,9 +1002,11 @@ class IVFIndex:
             probe_rows, "query_id long, _cluster int, _qvec array<double>"
         )
         all_clusters = sorted({int(c) for row in order for c in row})
+        pruned = self.assigned.filter(F.col("_cluster").isin(all_clusters))
+        if self.path is not None:
+            pruned = self._live(spark, pruned)
         cand = (
-            self.assigned.filter(F.col("_cluster").isin(all_clusters))
-            .select(self.id_col, self.vec_col, "_cluster")
+            pruned.select(self.id_col, self.vec_col, "_cluster")
             .join(F.broadcast(probes_df), ["_cluster"])
         )
         from pyspark.sql.window import Window

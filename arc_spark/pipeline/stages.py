@@ -1185,23 +1185,32 @@ class LakeCursorCommitExecute(PipelineStage):
 
 @register_stage
 class ANNIndexMaintain(PipelineStage):
-    """Engine-specific: keep a persisted LshIndex fresh against a
-    LakeTable WITHOUT rebuilds — the declarative CDC→serving loop. Pulls
-    the table's ``changes_since`` from the cursor stored in the index
-    meta (seeded at build or via ``sinceSeq``), band-keys only the delta
-    with the stored planes, appends at a new generation and tombstones
-    changed ids; the cursor advances in the same meta PUT. Rerunning
-    after the table is caught up is a no-op (``up_to_date``)."""
+    """Engine-specific: keep a persisted ANN index (LshIndex OR
+    IVFIndex — auto-detected by meta object) fresh against a LakeTable
+    WITHOUT rebuilds — the declarative CDC→serving loop. Pulls the
+    table's ``changes_since`` from the cursor stored in the index meta
+    (seeded at build or via ``sinceSeq``), re-keys only the delta with
+    the stored planes/centroids, appends at a new generation and
+    tombstones changed ids; the cursor advances in the same meta PUT.
+    Rerunning after the table is caught up is a no-op (``up_to_date``)."""
 
     stage_type = "ANNIndexMaintain"
     REQUIRED = ("inputURI", "tableURI")
     OPTIONAL = ("sinceSeq", "outputView")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.fs import get_fs, join as fs_join
         from arc_spark.lake.table import LakeTable
-        from arc_spark.operators.similarity import LshIndex
+        from arc_spark.operators.similarity import IVFIndex, LshIndex
 
-        idx = LshIndex.load(ctx.spark, self.params["inputURI"])
+        uri = self.params["inputURI"]
+        fs = get_fs(uri, ctx.spark)
+        if fs.exists(fs_join(uri, LshIndex.META)):
+            idx = LshIndex.load(ctx.spark, uri)
+        elif fs.exists(fs_join(uri, IVFIndex.META)):
+            idx = IVFIndex.load(ctx.spark, uri)
+        else:
+            raise ValueError(f"{self.name}: no ANN index meta under {uri}")
         table = LakeTable(self.params["tableURI"])
         since = self.params.get("sinceSeq")
         res = idx.sync_from_table(

@@ -605,3 +605,66 @@ def test_lsh_index_compact_folds_tombstones(spark, tmp_path):
     )
     assert reloaded.apply_changes(spark, more)["generation"] == 1
     assert 2 not in [r["vec_id"] for r in reloaded.topk(spark, vec(2), k=8).collect()]
+
+
+def test_ivf_incremental_maintenance_matches_rebuild_assignment(spark, tmp_path):
+    """IVF apply_changes: deletes vanish, updates re-assign to the
+    nearest EXISTING centroid, inserts appear — full-probe queries equal
+    a fresh assignment over the new corpus with the SAME centers (the
+    quantizer is frozen by design); ANNIndexMaintain drives it from a
+    lake via the shared cursor."""
+    import numpy as np
+
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.operators.similarity import IVFIndex
+    from arc_spark.pipeline import run_config
+
+    def vec(i, shift=0.0):
+        return [float(x + shift) for x in np.random.RandomState(i).randn(16)]
+
+    n = 150
+    t = LakeTable(str(tmp_path / "ivf_lake"))
+    df0 = spark.createDataFrame(
+        [(i, vec(i), i) for i in range(n)],
+        "vec_id: long, embedding: array<double>, seq: long",
+    )
+    t.create(df0.schema, ["vec_id"], num_buckets=4)
+    t.merge(spark, df0.withColumn("op", F.lit("upsert")), epoch=0,
+            start_seq=0, end_seq=n - 1)
+    path = str(tmp_path / "ivf_inc")
+    built = IVFIndex.build(t.read(spark), k=8, seed=42)
+    built.write_index(path, last_seq=t.snapshot().end_seq)
+
+    delta = spark.createDataFrame(
+        [(0, vec(0, 6.0), n, "upsert"), (1, None, n + 1, "delete"),
+         (300, vec(300), n + 2, "upsert")],
+        "vec_id: long, embedding: array<double>, seq: long, op: string",
+    )
+    t.merge(spark, delta, epoch=1, start_seq=n, end_seq=n + 2)
+
+    cfg = {"stages": [
+        {"type": "ANNIndexMaintain", "name": "sync", "inputURI": path,
+         "tableURI": t.root, "outputView": "ivf_sync"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    row = df.first()
+    assert row["status"] == "applied" and row["upserts"] == 2 and row["deletes"] == 1
+
+    idx = IVFIndex.load(spark, path)
+    assert idx.meta["gen"] == 1 and idx.meta["last_seq"] == n + 2
+    # oracle: same centers, fresh assignment over the post-delta corpus
+    fresh = IVFIndex(idx.centers, t.read(spark).withColumn(
+        "_cluster",
+        IVFIndex._assign_kernel(idx.centers)(F.col("embedding").cast("array<double>")),
+    ), "embedding", "vec_id")
+    for q in (vec(0, 6.0), vec(300), vec(42)):
+        got = [r["vec_id"] for r in idx.topk(q, k=8, nprobe=8).collect()]
+        want = [r["vec_id"] for r in fresh.topk(q, k=8, nprobe=8).collect()]
+        assert got == want
+    assert 1 not in [r["vec_id"] for r in idx.topk(vec(1), k=8, nprobe=8).collect()]
+    # batch path respects tombstones too
+    gb = idx.topk_batch(spark, [(0, vec(0, 6.0)), (1, vec(300))], k=8, nprobe=8)
+    assert 1 not in {r["vec_id"] for r in gb.collect()}
+    # second maintain run: no-op
+    df2, _ = run_config(spark, cfg)
+    assert df2.first()["status"] == "up_to_date"
