@@ -1273,8 +1273,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id
             )
             SELECT user_id, last_seq, event_type, value,
-                   regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '\s+$', '') AS props,
-                   sha256(regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '\s+$', '')) AS content_sha256
+                   regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '') AS props,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
             FROM w WHERE event_type <> 'error'
         """,
         "diff_views": """
@@ -1388,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM c GROUP BY repo, path
             )
             SELECT repo, path, seq, "commit", value,
-                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '\s+$', '')) AS content_sha256
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
             FROM w WHERE op <> 'delete'
         """,
         "language_id_documents": _language_id_oracle_sql(),

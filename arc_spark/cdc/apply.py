@@ -60,10 +60,17 @@ from pyspark.sql.types import StringType
 def normalize_content(s: pd.Series) -> pd.Series:
     """Normalize source text: strip trailing whitespace per line, normalize
     line endings, drop trailing newlines. Vectorized pandas string ops over
-    Arrow batches (north_rule: no per-row Python in the engine hot path)."""
+    Arrow batches (north_rule: no per-row Python in the engine hot path).
+
+    Whitespace is the EXPLICIT ASCII class [ \\t\\r\\n\\f\\v] — never ``\\s``,
+    whose meaning differs across Python re (Unicode), Java regex (ASCII)
+    and RE2/DuckDB (ASCII): the explicit class keeps the Arrow kernel, the
+    codegen twin (normalize_and_fingerprint impl="jvm"), the Python
+    reference replay and the DuckDB oracle bit-identical on any input.
+    Unicode spaces (NBSP etc.) are treated as content, not formatting."""
     out = s.str.replace("\r\n", "\n", regex=False)
     out = out.str.replace(r"[ \t]+\n", "\n", regex=True)
-    out = out.str.replace(r"\s+$", "", regex=True)
+    out = out.str.replace(r"[ \t\r\n\f\v]+$", "", regex=True)
     return out
 
 
@@ -92,15 +99,41 @@ def _normalize_sha(s: pd.Series) -> pd.DataFrame:
     twice)."""
     out = s.str.replace("\r\n", "\n", regex=False)
     out = out.str.replace(r"[ \t]+\n", "\n", regex=True)
-    out = out.str.replace(r"\s+$", "", regex=True)
+    out = out.str.replace(r"[ \t\r\n\f\v]+$", "", regex=True)
     sha = out.map(
         lambda x: None if x is None else hashlib.sha256(x.encode("utf-8")).hexdigest()
     )
     return pd.DataFrame({"content": out, "content_sha256": sha})
 
 
-def normalize_and_fingerprint(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Add ``content`` (normalized in place) and ``content_sha256``."""
+def normalize_and_fingerprint(
+    df: DataFrame, content_col: str = "content", impl: str = "arrow"
+) -> DataFrame:
+    """Add ``content`` (normalized in place) and ``content_sha256``.
+
+    ``impl``:
+      - ``arrow`` (default): the fused pandas-UDF kernel — ONE Arrow round
+        trip; the north_rule's mandated engine primitive.
+      - ``jvm``: the same normalization as a ``regexp_replace`` chain +
+        ``F.sha2(_, 256)`` — stays entirely inside whole-stage codegen, no
+        Arrow transfer of the multi-KB content column at all. Equality with
+        the arrow kernel is pinned by tests (test_cdc_end_to_end) and the
+        two are A/B-able in bench.py (ARC_BENCH_FP=jvm).
+    """
+    if impl == "jvm":
+        norm = F.regexp_replace(F.col(content_col), r"\r\n", "\n")
+        norm = F.regexp_replace(norm, r"[ \t]+\n", "\n")
+        norm = F.regexp_replace(norm, r"[ \t\r\n\f\x0B]+$", "")
+        other = [c for c in df.columns if c != content_col]
+        return df.withColumn("_nc", norm).select(
+            *other,
+            F.col("_nc").alias(content_col),
+            F.when(
+                F.col("_nc").isNotNull(), F.sha2(F.col("_nc"), 256)
+            ).alias("content_sha256"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     packed = F.when(F.col(content_col).isNotNull(), _normalize_sha(F.col(content_col)))
     other = [c for c in df.columns if c != content_col]
     return df.withColumn("_ns", packed).select(

@@ -22,7 +22,7 @@ def _normalize(content: str) -> str:
 
     out = content.replace("\r\n", "\n")
     out = re.sub(r"[ \t]+\n", "\n", out)
-    out = re.sub(r"\s+$", "", out)
+    out = re.sub(r"[ \t\r\n\f\v]+$", "", out)
     return out
 
 

@@ -52,11 +52,12 @@ class ReplayRunner:
         batch_size: int = 100_000,
         strategy: str = "window",
         salt_buckets: int | None = None,
-        fingerprint: bool = True,
+        fingerprint: bool | str = True,
         metrics_path: str | None = None,
         merge_mode: str = "auto",
         keys: list[str] | None = None,
         seq_col: str = "seq",
+        lineage: str = "global",
     ):
         self.spark = spark
         self.keys = list(keys) if keys else list(KEYS)
@@ -71,6 +72,14 @@ class ReplayRunner:
         # "auto" commits small epochs as merge-on-read deltas and big ones
         # as copy-on-write rewrites (see LakeTable.merge)
         self.merge_mode = merge_mode
+        # "global": per-epoch totals only (df.observe — zero extra jobs).
+        # "bucket": additionally emit per-partition lineage counters
+        # {bucket: events_read / keys_applied / deletes / events_deduped}
+        # — one thin column-pruned aggregate over the epoch's (keys)
+        # projection plus one aggregate over the persisted winner set.
+        if lineage not in ("global", "bucket"):
+            raise ValueError(f"lineage must be 'global' or 'bucket', got {lineage!r}")
+        self.lineage = lineage
         self.metrics: list[dict] = []
 
     # ------------------------------------------------------------------
@@ -165,12 +174,29 @@ class ReplayRunner:
         # Fingerprint AFTER dedup: the Arrow UDF then touches only winning
         # rows, and runs post-shuffle where partitioning is uniform.
         if self.fingerprint:
-            deduped = normalize_and_fingerprint(deduped)
+            # True → "arrow" (north_rule primitive); "jvm" → codegen
+            # regexp_replace + sha2 twin (no Arrow transfer) for A/B runs
+            impl = self.fingerprint if isinstance(self.fingerprint, str) else "arrow"
+            deduped = normalize_and_fingerprint(deduped, impl=impl)
         deduped = deduped.observe(
             obs_applied,
             F.count(F.lit(1)).alias("keys_applied"),
             F.count_if(F.col("op") == "delete").alias("deletes"),
         )
+
+        read_per_bucket: dict[str, int] | None = None
+        if self.lineage == "bucket":
+            # events read per bucket: thin aggregate over the epoch's key
+            # projection (parquet reads only the key columns, seq filter
+            # pushed down) — O(epoch), not O(stream)
+            bexpr = self.table.bucket_expr(self.table.snapshot())
+            read_per_bucket = {
+                str(r["_b"]): r["_n"]
+                for r in row_ops.select(bexpr.alias("_b"))
+                .groupBy("_b")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
 
         if failure_injector:
             failure_injector(epoch, "before_merge")
@@ -182,6 +208,7 @@ class ReplayRunner:
             start_seq=start_seq,
             end_seq=end_seq,
             mode=self.merge_mode,
+            bucket_lineage=self.lineage == "bucket",
         )
 
         if failure_injector:
@@ -208,6 +235,20 @@ class ReplayRunner:
             metric["events_deduped"] = (
                 metric["events_read"] - metric["schema_changes"] - metric["keys_applied"]
             )
+        if read_per_bucket is not None and result.get("status") == "committed":
+            applied = result.get("bucket_lineage") or {}
+            metric["bucket_lineage"] = {
+                b: {
+                    "events_read": read_per_bucket.get(b, 0),
+                    "keys_applied": applied.get(b, {}).get("keys_applied", 0),
+                    "deletes": applied.get(b, {}).get("deletes", 0),
+                    "events_deduped": read_per_bucket.get(b, 0)
+                    - applied.get(b, {}).get("keys_applied", 0),
+                }
+                for b in sorted(
+                    set(read_per_bucket) | set(applied), key=lambda x: int(x)
+                )
+            }
         self.metrics.append(metric)
         log.info(json.dumps(metric))
         return metric

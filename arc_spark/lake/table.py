@@ -427,6 +427,7 @@ class LakeTable:
         mode: str = "cow",
         delta_fraction: float = 0.05,
         max_delta_chain: int = 8,
+        bucket_lineage: bool = False,
     ) -> dict:
         """MERGE a deduplicated change batch (one row per key) into the table.
 
@@ -458,7 +459,7 @@ class LakeTable:
                 return self._merge_attempt(
                     spark, snap, changes, epoch, start_seq, end_seq, op_col, delete_op,
                     extra_counters or {}, bucket_pruning, mode, delta_fraction,
-                    max_delta_chain,
+                    max_delta_chain, bucket_lineage,
                 )
             except CommitConflict:
                 if attempt == max_retries - 1:
@@ -480,6 +481,7 @@ class LakeTable:
         mode: str = "cow",
         delta_fraction: float = 0.05,
         max_delta_chain: int = 8,
+        bucket_lineage: bool = False,
     ) -> dict:
         keys = snap.key_cols
         seq_col = snap.seq_col
@@ -503,6 +505,61 @@ class LakeTable:
                 src_sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         src = src.select(*src_sel, F.col(op_col).alias("_op"), F.col("_bucket"))
 
+        known_touched: list[int] | None = None
+        persisted_for_lineage = False
+        if bucket_lineage:
+            # Per-partition lineage (north-star counter set): keys applied +
+            # deletes per bucket for THIS epoch, in one thin aggregate over
+            # the persisted deduped batch. The persist is reused by the
+            # downstream write/merge (and replaces the pruned path's
+            # touched-bucket discovery job), so the dedup chain still runs
+            # exactly once.
+            from pyspark import StorageLevel
+
+            src = src.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+            persisted_for_lineage = True
+            lin = {
+                str(r["_bucket"]): {
+                    "keys_applied": r["_applied"],
+                    "deletes": r["_deletes"],
+                }
+                for r in src.groupBy("_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("_applied"),
+                    F.count_if(F.col("_op") == delete_op).alias("_deletes"),
+                )
+                .collect()
+            }
+            extra_counters = {**extra_counters, "bucket_lineage": lin}
+            known_touched = sorted(int(b) for b in lin)
+        try:
+            return self._merge_dispatch(
+                spark, snap, src, epoch, start_seq, end_seq, delete_op,
+                extra_counters, bucket_pruning, mode, delta_fraction,
+                max_delta_chain, new_schema, data_cols, known_touched,
+            )
+        finally:
+            if persisted_for_lineage:
+                src.unpersist()
+
+    def _merge_dispatch(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        src: DataFrame,
+        epoch: int,
+        start_seq: int,
+        end_seq: int,
+        delete_op: str,
+        extra_counters: dict,
+        bucket_pruning: bool | str,
+        mode: str,
+        delta_fraction: float,
+        max_delta_chain: int,
+        new_schema: StructType,
+        data_cols: list[str],
+        known_touched: list[int] | None,
+    ) -> dict:
         if mode == "auto":
             epoch_events = end_seq - start_seq + 1
             chain = max((len(v) for v in snap.delta_files.values()), default=0)
@@ -524,6 +581,14 @@ class LakeTable:
         # (events >> buckets), pruning is pure overhead — skip the
         # discovery pass entirely and stream the batch ONCE through the
         # merge join. "auto" uses the seq-range size as the proxy.
+        if known_touched is not None:
+            # lineage already materialized the exact touched-bucket set —
+            # pruning is free, no discovery pass needed
+            return self._merge_write(
+                spark, snap, src, new_schema, data_cols, epoch, start_seq,
+                end_seq, delete_op, extra_counters, touched=known_touched,
+            )
+
         if bucket_pruning == "auto":
             bucket_pruning = (end_seq - start_seq + 1) < snap.num_buckets * 64
 

@@ -1684,7 +1684,8 @@ class CDCReplayExecute(PipelineStage):
     stage_type = "CDCReplayExecute"
     REQUIRED = ("eventsURI", "tableURI")
     OPTIONAL = ("batchSize", "strategy", "saltBuckets", "mergeMode",
-                "numBuckets", "maxEpochs", "outputView", "commitLockURI")
+                "numBuckets", "maxEpochs", "outputView", "commitLockURI",
+                "lineage")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1722,6 +1723,7 @@ class CDCReplayExecute(PipelineStage):
                 else None
             ),
             merge_mode=self.params.get("mergeMode", "auto"),
+            lineage=self.params.get("lineage", "global"),
         )
         max_epochs = self.params.get("maxEpochs")
         metrics = runner.run(max_epochs=int(max_epochs) if max_epochs else None)

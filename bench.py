@@ -169,7 +169,7 @@ def _stage_metrics(spark) -> dict | None:
 
 def _cdc_replay(
     master: str, stream_path: str, n_events: int, batches: int, strategy: str = "window",
-    want_metrics: bool = False,
+    want_metrics: bool = False, fingerprint: str = "arrow", codec: str | None = None,
 ):
     """Run the full replay job cold at the given parallelism; return
     events/sec (plus a stage-metrics byte breakdown when requested).
@@ -190,6 +190,11 @@ def _cdc_replay(
     conf = {"spark.local.dir": f"{shm}/sparktmp"} if shm else {}
     if want_metrics:
         conf["spark.ui.enabled"] = "true"  # REST stage metrics source
+    if codec:
+        # shuffle/broadcast/spill block codec A/B (default lz4): zstd trades
+        # CPU for bus bytes — on a membw-ceilinged host that can lift
+        # strong scaling even if absolute throughput dips
+        conf["spark.io.compression.codec"] = codec
     spark = get_spark(
         f"cdc-bench-{cpus}",
         master=master,
@@ -210,7 +215,8 @@ def _cdc_replay(
         )
         batch = (n_events + batches - 1) // batches
         runner = ReplayRunner(
-            spark, stream_path, table, batch_size=batch, strategy=strategy
+            spark, stream_path, table, batch_size=batch, strategy=strategy,
+            fingerprint=fingerprint,
         )
         before = _stage_metrics(spark) if want_metrics else None
         t0 = time.time()
@@ -353,6 +359,20 @@ def main() -> None:
                     ab[strat] = tp
                     if m:
                         bytes_by_level[f"{high}_{strat}"] = m
+                # kernel A/Bs vs the defaults measured above:
+                # - jvm_fp: codegen regexp+sha2 fingerprint (no Arrow
+                #   transfer of winner content) vs the Arrow kernel
+                # - zstd: shuffle-block codec (fewer bus bytes, more CPU)
+                # Each at BOTH levels so their own scaling efficiency is
+                # visible, not just peak throughput.
+                for name, kw in (
+                    ("jvm_fp", {"fingerprint": "jvm"}),
+                    ("zstd", {"codec": "zstd"}),
+                ):
+                    for cpus in (low, high):
+                        ab[f"{name}_{cpus}"] = _cdc_replay(
+                            f"local[{cpus}]", stream_path, n_events, batches, **kw
+                        )
         finally:
             shutil.rmtree(stream_dir, ignore_errors=True)
 
@@ -380,6 +400,13 @@ def main() -> None:
             "ab_thin_window_events_per_sec_high": (
                 round(ab["thin_window"], 1) if "thin_window" in ab else None
             ),
+            # kernel A/Bs at both levels: {name}_{cpus} -> events/sec
+            "ab_kernels": {
+                k: round(v, 1)
+                for k, v in ab.items()
+                if k not in ("max_by", "thin_window")
+            }
+            or None,
             # executor byte totals per level (rep 0) + per A/B strategy:
             # equal bytes across levels + membw-tracking throughput = the
             # host bus is the strong-scaling ceiling, not the plan

@@ -223,3 +223,96 @@ def test_lake_changes_extract_cursor_protocol(spark, tmp_path):
     # caught up: empty window
     df4, _ = run_config(spark, cfg)
     assert df4.count() == 0
+
+
+def test_bucket_lineage_counters(spark, stream_path, tmp_path):
+    """lineage="bucket" emits per-partition counters whose sums equal the
+    global observe counters, whose bucket ids match the table's bucket
+    function, and which agree with independently computed per-bucket
+    ground truth."""
+    from pyspark.sql import functions as F
+
+    table, _ = create_table_for_stream(
+        spark, stream_path, str(tmp_path / "lake_lin"), num_buckets=8
+    )
+    runner = ReplayRunner(
+        spark, stream_path, table, batch_size=1000, lineage="bucket"
+    )
+    metrics = runner.run()
+    assert len(metrics) == 4
+
+    snap = table.snapshot()
+    events = spark.read.parquet(stream_path)
+    for m in metrics:
+        lin = m["bucket_lineage"]
+        # bucket ids are valid
+        assert all(0 <= int(b) < snap.num_buckets for b in lin)
+        # per-bucket sums == the global counters from df.observe
+        assert sum(v["events_read"] for v in lin.values()) == (
+            m["events_read"] - m["schema_changes"]
+        )
+        assert sum(v["keys_applied"] for v in lin.values()) == m["keys_applied"]
+        assert sum(v["events_deduped"] for v in lin.values()) == m["events_deduped"]
+        for v in lin.values():
+            assert v["events_deduped"] == v["events_read"] - v["keys_applied"]
+            assert 0 <= v["deletes"] <= v["keys_applied"]
+
+    # independent ground truth for epoch 1's reads: hash the keys ourselves
+    m1 = metrics[0]
+    epoch1 = events.filter(
+        (F.col("seq") >= m1["start_seq"])
+        & (F.col("seq") <= m1["end_seq"])
+        & (F.col("op") != "schema-change")
+    )
+    truth = {
+        str(r["_b"]): r["n"]
+        for r in epoch1.groupBy(
+            F.pmod(F.xxhash64("repo", "path"), F.lit(8)).alias("_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {b: v["events_read"] for b, v in m1["bucket_lineage"].items() if v["events_read"]}
+    assert got == {b: n for b, n in truth.items() if n}
+
+    # counters also landed in the committed manifest (last epoch's)
+    assert "bucket_lineage" in snap.counters
+
+
+def test_jvm_fingerprint_matches_arrow(spark, stream_path, expected_state, tmp_path):
+    """The codegen regexp_replace+sha2 twin produces byte-identical
+    normalization + fingerprints to the Arrow kernel (Java vs Python regex
+    semantics pinned on adversarial inputs AND on the full stream)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.apply import normalize_and_fingerprint
+
+    nasty = [
+        "plain",
+        "trail space \n",
+        "a \t\nb\t \n",
+        "crlf\r\nline\r\n",
+        "ends with tabs\t\t",
+        "multi\n\n\n",
+        " \t\r\n",
+        "",
+        None,
+        "unicode café  \n",  # NBSP is \s in neither Java nor Python re
+        "inner  spaces kept\nnext",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"content": pd.Series(nasty, dtype="object")}))
+    a = normalize_and_fingerprint(df, impl="arrow").collect()
+    j = normalize_and_fingerprint(df, impl="jvm").collect()
+    assert [(r["content"], r["content_sha256"]) for r in a] == [
+        (r["content"], r["content_sha256"]) for r in j
+    ]
+
+    # full-stream replay with the jvm impl matches the Python reference
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake_jvm"))
+    ReplayRunner(spark, stream_path, table, batch_size=10**9, fingerprint="jvm").run()
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in table.read(spark).collect()
+    }
+    assert got == {k: v["sha256"] for k, v in expected_state.items()}
