@@ -79,9 +79,9 @@ def sha256_hex(s: pd.Series) -> pd.Series:
     """sha256 hex digest of a string column (Arrow-batched).
 
     hashlib releases the GIL for large buffers; per-batch overhead is
-    amortized by Arrow transfer. (The JVM-side ``F.sha2(col,256)`` built-in
-    is equivalent and faster — bench.py compares both — but the north_rule
-    pins the pandas-UDF form as the engine primitive.)
+    amortized by Arrow transfer. (For the engine hot path prefer
+    ``normalize_and_fingerprint`` — its default mapInArrow kernel skips
+    the pandas conversion entirely, and bench.py A/Bs all three impls.)
     """
     return s.map(lambda x: None if x is None else hashlib.sha256(x.encode("utf-8")).hexdigest())
 
@@ -106,20 +106,80 @@ def _normalize_sha(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"content": out, "content_sha256": sha})
 
 
+def _normalize_sha_record_batches(batches, content_idx: int):
+    """mapInArrow kernel: normalize + sha256 one RecordBatch at a time.
+
+    All string work happens in Arrow's C++ kernels (RE2 regex — our
+    normalization classes are explicitly ASCII, so RE2/Java/Python regex
+    agree, see normalize_content) and the sha256 loop reads ZERO-COPY
+    memoryview slices of the utf8 data buffer — no pandas object Series,
+    no Python str materialization of multi-KB contents. hashlib releases
+    the GIL on large buffers.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        arr = batch.column(content_idx)
+        arr = pc.replace_substring(arr, pattern="\r\n", replacement="\n")
+        arr = pc.replace_substring_regex(arr, pattern="[ \t]+\n", replacement="\n")
+        arr = pc.replace_substring_regex(arr, pattern="[ \t\r\n\f\x0b]+$", replacement="")
+        if arr.type == pa.large_string():
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+        else:
+            arr = arr.cast(pa.string())
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1)
+        data = memoryview(arr.buffers()[2] or b"")
+        off0 = arr.offset
+        null_mask = (
+            np.asarray(arr.is_null()) if arr.null_count else None
+        )
+        shas: list[str | None] = []
+        for i in range(len(arr)):
+            if null_mask is not None and null_mask[i]:
+                shas.append(None)
+                continue
+            lo, hi = offsets[off0 + i], offsets[off0 + i + 1]
+            shas.append(hashlib.sha256(data[lo:hi]).hexdigest())
+        cols = list(batch.columns)
+        cols[content_idx] = arr
+        cols.append(pa.array(shas, type=pa.string()))
+        names = list(batch.schema.names) + ["content_sha256"]
+        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
 def normalize_and_fingerprint(
     df: DataFrame, content_col: str = "content", impl: str = "arrow"
 ) -> DataFrame:
     """Add ``content`` (normalized in place) and ``content_sha256``.
 
-    ``impl``:
-      - ``arrow`` (default): the fused pandas-UDF kernel — ONE Arrow round
-        trip; the north_rule's mandated engine primitive.
-      - ``jvm``: the same normalization as a ``regexp_replace`` chain +
-        ``F.sha2(_, 256)`` — stays entirely inside whole-stage codegen, no
-        Arrow transfer of the multi-KB content column at all. Equality with
-        the arrow kernel is pinned by tests (test_cdc_end_to_end) and the
-        two are A/B-able in bench.py (ARC_BENCH_FP=jvm).
+    ``impl`` — all three produce byte-identical output (equality pinned in
+    test_cdc_end_to_end; A/B-able per-level in bench.py ab_kernels):
+      - ``arrow`` (default): mapInArrow kernel — normalization in Arrow's
+        RE2 C++ kernels, sha256 over zero-copy buffer slices. ONE Arrow
+        round trip, no pandas conversion; the north_rule's
+        vectorized-Arrow-UDF engine primitive at its fastest.
+      - ``pandas``: the fused pandas-UDF kernel (pandas str ops + per-row
+        hashlib). Slower: every content materializes as a Python str.
+      - ``jvm``: a ``regexp_replace`` chain + ``F.sha2(_, 256)`` — stays
+        entirely inside whole-stage codegen, no Python transfer at all.
     """
+    if impl == "arrow":
+        if "content_sha256" in df.columns:
+            df = df.drop("content_sha256")
+        cols = df.columns
+        idx = cols.index(content_col)
+        from pyspark.sql.types import StringType as _St
+        from pyspark.sql.types import StructField as _Sf
+        from pyspark.sql.types import StructType as _Stt
+
+        out_schema = _Stt(
+            list(df.schema.fields) + [_Sf("content_sha256", _St(), True)]
+        )
+        return df.mapInArrow(
+            lambda it: _normalize_sha_record_batches(it, idx), schema=out_schema
+        )
     if impl == "jvm":
         norm = F.regexp_replace(F.col(content_col), r"\r\n", "\n")
         norm = F.regexp_replace(norm, r"[ \t]+\n", "\n")
@@ -132,8 +192,8 @@ def normalize_and_fingerprint(
                 F.col("_nc").isNotNull(), F.sha2(F.col("_nc"), 256)
             ).alias("content_sha256"),
         )
-    if impl != "arrow":
-        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
+    if impl != "pandas":
+        raise ValueError(f"impl must be 'arrow', 'pandas' or 'jvm', got {impl!r}")
     packed = F.when(F.col(content_col).isNotNull(), _normalize_sha(F.col(content_col)))
     other = [c for c in df.columns if c != content_col]
     return df.withColumn("_ns", packed).select(

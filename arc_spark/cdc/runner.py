@@ -174,8 +174,8 @@ class ReplayRunner:
         # Fingerprint AFTER dedup: the Arrow UDF then touches only winning
         # rows, and runs post-shuffle where partitioning is uniform.
         if self.fingerprint:
-            # True → "arrow" (north_rule primitive); "jvm" → codegen
-            # regexp_replace + sha2 twin (no Arrow transfer) for A/B runs
+            # True → "arrow" (mapInArrow kernel, the north_rule primitive);
+            # "pandas" → fused pandas UDF; "jvm" → codegen regexp+sha2 twin
             impl = self.fingerprint if isinstance(self.fingerprint, str) else "arrow"
             deduped = normalize_and_fingerprint(deduped, impl=impl)
         deduped = deduped.observe(

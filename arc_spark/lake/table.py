@@ -45,9 +45,42 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from arc_spark.fs import get_fs, join as fs_join
+
+
+def _safe_promotion(table_t, src_t):
+    """Iceberg-safe type promotion: the src type if promoting the table
+    column to it is lossless (byte<short<int<long; float<double; decimal
+    precision growth at fixed scale), else None (table type stands).
+    Mixed families (e.g. long->double) are NOT promoted — that loses
+    precision for large longs, and Iceberg disallows it too."""
+    if src_t is None or table_t == src_t:
+        return None
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    for family in ((ByteType, ShortType, IntegerType, LongType), (FloatType, DoubleType)):
+        ti = next((i for i, t in enumerate(family) if isinstance(table_t, t)), None)
+        si = next((i for i, t in enumerate(family) if isinstance(src_t, t)), None)
+        if ti is not None and si is not None and si > ti:
+            return src_t
+    if (
+        isinstance(table_t, DecimalType)
+        and isinstance(src_t, DecimalType)
+        and src_t.scale == table_t.scale
+        and src_t.precision > table_t.precision
+    ):
+        return src_t
+    return None
 
 _log = logging.getLogger("arc_spark.lake")
 
@@ -486,8 +519,21 @@ class LakeTable:
         keys = snap.key_cols
         seq_col = snap.seq_col
 
-        # additive schema evolution: widen table schema with new change cols
-        new_schema = StructType(list(snap.schema.fields))
+        # Additive schema evolution: new change columns widen the table
+        # schema; existing columns may be SAFELY type-promoted (Iceberg's
+        # promotion rules: int family upward, float->double, decimal
+        # precision growth at fixed scale). Narrowing never happens — a
+        # narrower change column is cast UP to the table type. Old data
+        # files keep their narrower physical type; reads reconcile via
+        # mergeSchema + cast to the manifest schema (_read_files).
+        src_types = {f_.name: f_.dataType for f_ in changes.schema.fields}
+        evolved_fields = []
+        for f_ in snap.schema.fields:
+            wider = _safe_promotion(f_.dataType, src_types.get(f_.name))
+            evolved_fields.append(
+                StructField(f_.name, wider, f_.nullable, f_.metadata) if wider else f_
+            )
+        new_schema = StructType(evolved_fields)
         base_names = {f_.name for f_ in snap.schema.fields}
         for f_ in changes.schema.fields:
             if f_.name not in base_names and f_.name != op_col:

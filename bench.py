@@ -367,6 +367,7 @@ def main() -> None:
                 # visible, not just peak throughput.
                 for name, kw in (
                     ("jvm_fp", {"fingerprint": "jvm"}),
+                    ("pandas_fp", {"fingerprint": "pandas"}),
                     ("zstd", {"codec": "zstd"}),
                 ):
                     for cpus in (low, high):

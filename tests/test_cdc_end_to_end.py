@@ -303,10 +303,12 @@ def test_jvm_fingerprint_matches_arrow(spark, stream_path, expected_state, tmp_p
     ]
     df = spark.createDataFrame(pd.DataFrame({"content": pd.Series(nasty, dtype="object")}))
     a = normalize_and_fingerprint(df, impl="arrow").collect()
+    p = normalize_and_fingerprint(df, impl="pandas").collect()
     j = normalize_and_fingerprint(df, impl="jvm").collect()
-    assert [(r["content"], r["content_sha256"]) for r in a] == [
-        (r["content"], r["content_sha256"]) for r in j
-    ]
+    key = lambda rows: sorted(
+        (r["content"] or "", r["content_sha256"] or "") for r in rows
+    )
+    assert key(a) == key(p) == key(j)
 
     # full-stream replay with the jvm impl matches the Python reference
     table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake_jvm"))

@@ -137,6 +137,54 @@ def test_schema_evolution_through_delta(spark, tmp_path):
     assert got == {("a", "v1b", "py"), ("b", "v2", None)}
 
 
+def test_type_widening_promotion(spark, tmp_path):
+    """A change batch whose existing column arrives with a WIDER type
+    (int->long, float->double) promotes the table schema in place; old
+    narrow-typed data files still read back correctly under the widened
+    manifest schema, through BOTH the cow and delta paths. A NARROWER
+    change column does not demote the schema. Mixed families (long vs
+    double) never promote."""
+    root = str(tmp_path / "tw")
+    table = LakeTable(root)
+    base = spark.createDataFrame(
+        [("r", "a", 1, 7, 1.5, "upsert"), ("r", "b", 2, 8, 2.5, "upsert")],
+        "repo string, path string, seq long, n int, x float, op string",
+    )
+    table.create(base.drop("op").schema, ["repo", "path"], num_buckets=4)
+    table.merge(spark, base, epoch=0, start_seq=1, end_seq=2, mode="cow")
+
+    wide = spark.createDataFrame(
+        [("r", "a", 5, 2**40, 3.25, "upsert")],
+        "repo string, path string, seq long, n long, x double, op string",
+    )
+    table.merge(spark, wide, epoch=1, start_seq=5, end_seq=5, mode="delta")
+    snap = table.snapshot()
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    assert types["n"] == "bigint" and types["x"] == "double"
+    got = {(r["path"], r["n"], r["x"]) for r in table.read(spark).collect()}
+    assert got == {("a", 2**40, 3.25), ("b", 8, 2.5)}
+
+    # narrower src does NOT demote; values cast up losslessly (cow path
+    # rewrites the touched bucket under the wide schema)
+    narrow = spark.createDataFrame(
+        [("r", "b", 9, 11, 4.5, "upsert")],
+        "repo string, path string, seq long, n int, x float, op string",
+    )
+    table.merge(spark, narrow, epoch=2, start_seq=9, end_seq=9, mode="cow")
+    snap = table.snapshot()
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    assert types["n"] == "bigint" and types["x"] == "double"
+    got = {(r["path"], r["n"], r["x"]) for r in table.read(spark).collect()}
+    assert got == {("a", 2**40, 3.25), ("b", 11, 4.5)}
+
+    # mixed-family types never promote (long column fed doubles keeps long)
+    from arc_spark.lake.table import _safe_promotion
+    from pyspark.sql.types import DoubleType, LongType
+
+    assert _safe_promotion(LongType(), DoubleType()) is None
+    assert _safe_promotion(DoubleType(), LongType()) is None
+
+
 def test_lookup_prunes_buckets(spark, stream, tmp_path):
     table, _ = create_table_for_stream(spark, stream, str(tmp_path / "lk"), num_buckets=16)
     ReplayRunner(spark, stream, table, batch_size=N).run()
