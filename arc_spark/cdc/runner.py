@@ -58,6 +58,9 @@ class ReplayRunner:
         keys: list[str] | None = None,
         seq_col: str = "seq",
         lineage: str = "global",
+        on_bad: str = "error",
+        quarantine_path: str | None = None,
+        valid_ops: tuple[str, ...] = ("insert", "update", "delete", "schema-change"),
     ):
         self.spark = spark
         self.keys = list(keys) if keys else list(KEYS)
@@ -80,7 +83,33 @@ class ReplayRunner:
         if lineage not in ("global", "bucket"):
             raise ValueError(f"lineage must be 'global' or 'bucket', got {lineage!r}")
         self.lineage = lineage
+        # Malformed events (op outside valid_ops, or a row op with a NULL
+        # key or seq) match what the reference replay REJECTS — they must
+        # not silently become upserts:
+        #   "error"      (default) fail the epoch BEFORE anything commits —
+        #                a codegen raise_error projection, zero extra jobs;
+        #                exactly-once means the crashed epoch is retryable
+        #                after the stream is fixed.
+        #   "quarantine" divert bad rows to quarantine_path (parquet,
+        #                appended per epoch) and apply the rest; count in
+        #                metrics as events_quarantined.
+        #   "ignore"     drop silently (counted in metrics only).
+        if on_bad not in ("error", "quarantine", "ignore"):
+            raise ValueError(f"on_bad must be error/quarantine/ignore, got {on_bad!r}")
+        if on_bad == "quarantine" and not quarantine_path:
+            raise ValueError("on_bad='quarantine' requires quarantine_path")
+        self.on_bad = on_bad
+        self.quarantine_path = quarantine_path
+        self.valid_ops = tuple(valid_ops)
         self.metrics: list[dict] = []
+
+    def _bad_event_cond(self):
+        """Codegen predicate: event is malformed."""
+        bad_op = ~F.col("op").isin(*self.valid_ops)
+        null_key = F.lit(False)
+        for k in [*self.keys, self.seq_col]:
+            null_key = null_key | F.col(k).isNull()
+        return bad_op | ((F.col("op") != "schema-change") & null_key)
 
     # ------------------------------------------------------------------
 
@@ -135,6 +164,7 @@ class ReplayRunner:
         obs_read = Observation(f"read-{epoch}")
         obs_applied = Observation(f"applied-{epoch}")
 
+        bad = self._bad_event_cond()
         batch = (
             self._events()
             .filter((F.col(self.seq_col) >= start_seq) & (F.col(self.seq_col) <= end_seq))
@@ -142,8 +172,34 @@ class ReplayRunner:
                 obs_read,
                 F.count(F.lit(1)).alias("events_read"),
                 F.count_if(F.col("op") == "schema-change").alias("schema_changes"),
+                F.count_if(bad).alias("events_bad"),
             )
         )
+        if self.on_bad == "error":
+            # zero-extra-job guard: a malformed row raises inside the same
+            # pass that would apply it, failing the epoch BEFORE commit
+            # (exactly-once → fix the stream, rerun, nothing duplicated)
+            batch = batch.withColumn(
+                "op",
+                F.when(
+                    bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("malformed change event at seq="),
+                            F.coalesce(F.col(self.seq_col).cast("string"), F.lit("NULL")),
+                            F.lit(", op="),
+                            F.coalesce(F.col("op"), F.lit("NULL")),
+                        )
+                    ).cast("string"),
+                ).otherwise(F.col("op")),
+            )
+        else:
+            if self.on_bad == "quarantine":
+                # idempotent per-epoch quarantine dir (overwrite on retry)
+                batch.filter(bad).write.mode("overwrite").parquet(
+                    f"{self.quarantine_path}/epoch={epoch}"
+                )
+            batch = batch.filter(~bad)
         # Schema evolution is DDL-gated: columns in the stream that the
         # table doesn't know about are dropped UNLESS this batch contains a
         # schema-change event, in which case merge() widens the table
@@ -233,7 +289,10 @@ class ReplayRunner:
         }
         if metric.get("events_read") is not None and metric.get("keys_applied") is not None:
             metric["events_deduped"] = (
-                metric["events_read"] - metric["schema_changes"] - metric["keys_applied"]
+                metric["events_read"]
+                - metric["schema_changes"]
+                - metric["keys_applied"]
+                - metric.get("events_bad", 0)
             )
         if read_per_bucket is not None and result.get("status") == "committed":
             applied = result.get("bucket_lineage") or {}

@@ -117,19 +117,47 @@ def _fetch_uri(uri: str) -> bytes | None:
         return None
     scheme = uri.split("://", 1)[0] if "://" in uri else ("file" if uri.startswith(("/", "file:")) else "")
     if scheme not in ("http", "https", "file"):
-        # executors have no JVM access, so Hadoop-scheme fetches can't run
-        # inside a Python UDF; object-storage bytes are a Spark reader's
-        # job — same data, pushdown + parallel scan included
-        raise ValueError(
-            f"get_uri supports http(s)/file URIs; for {scheme!r} object "
-            f"storage read the bytes with BytesExtract (Spark binaryFile "
-            f"source handles any cluster-configured scheme)"
-        )
+        # Executors have no JVM access, so Hadoop-FS fetches can't run
+        # inside a Python UDF. pyarrow.fs covers the common cluster
+        # schemes natively (s3://, gs://, hdfs:// where libhdfs exists) —
+        # try it, and only if pyarrow can't resolve the scheme point at
+        # BytesExtract (Spark binaryFile handles any configured scheme,
+        # with pushdown + a parallel scan besides).
+        try:
+            return _fetch_via_pyarrow(uri)
+        except (ImportError, OSError, ValueError) as e:
+            raise ValueError(
+                f"get_uri could not fetch {scheme!r} URI via pyarrow.fs "
+                f"({e}); for object storage prefer BytesExtract (Spark "
+                f"binaryFile source handles any cluster-configured scheme)"
+            ) from e
     if not uri.startswith(("http://", "https://", "file:")):
         uri = "file://" + uri
     with urllib.request.urlopen(uri) as resp:
         data = resp.read()
         enc = (resp.headers.get("Content-Encoding") or "").lower()
+    return _decompress_by_suffix(uri, data, enc)
+
+
+def _fetch_via_pyarrow(uri: str) -> bytes:
+    """Fetch any pyarrow.fs-resolvable URI (s3://, gs://, hdfs:// where
+    libhdfs is present — and file://, which unit tests exercise) with the
+    same suffix-based decompression as the http path."""
+    from pyarrow import fs as pa_fs
+
+    filesystem, path = pa_fs.FileSystem.from_uri(uri)
+    # compression=None: pyarrow would otherwise auto-decompress by
+    # extension — suffix handling stays in _decompress_by_suffix so all
+    # fetch routes share one behavior
+    with filesystem.open_input_stream(path, compression=None) as f:
+        data = f.read()
+    return _decompress_by_suffix(uri, data, "")
+
+
+def _decompress_by_suffix(uri: str, data: bytes, enc: str) -> bytes:
+    import bz2
+    import gzip
+
     if uri.endswith(".gz") or enc == "gzip":
         return gzip.decompress(data)
     if uri.endswith(".bz2"):

@@ -1685,7 +1685,7 @@ class CDCReplayExecute(PipelineStage):
     REQUIRED = ("eventsURI", "tableURI")
     OPTIONAL = ("batchSize", "strategy", "saltBuckets", "mergeMode",
                 "numBuckets", "maxEpochs", "outputView", "commitLockURI",
-                "lineage")
+                "lineage", "onBad", "quarantineURI")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1724,6 +1724,8 @@ class CDCReplayExecute(PipelineStage):
             ),
             merge_mode=self.params.get("mergeMode", "auto"),
             lineage=self.params.get("lineage", "global"),
+            on_bad=self.params.get("onBad", "error"),
+            quarantine_path=self.params.get("quarantineURI"),
         )
         max_epochs = self.params.get("maxEpochs")
         metrics = runner.run(max_epochs=int(max_epochs) if max_epochs else None)

@@ -42,6 +42,8 @@ class StreamingReplay:
         max_files_per_trigger: int | None = None,
         watermark: tuple[str, str] | None = None,  # (eventTime col, delay)
         merge_mode: str = "auto",
+        on_bad: str = "error",
+        valid_ops: tuple[str, ...] = ("insert", "update", "delete", "schema-change"),
     ):
         self.spark = spark
         self.events_path = events_path
@@ -54,6 +56,12 @@ class StreamingReplay:
         # micro-batches from a file tail are usually small vs the table —
         # exactly the merge-on-read regime (see LakeTable.merge)
         self.merge_mode = merge_mode
+        # same malformed-event policy as ReplayRunner (error/ignore; the
+        # batch runner additionally offers quarantine)
+        if on_bad not in ("error", "ignore"):
+            raise ValueError(f"on_bad must be error/ignore, got {on_bad!r}")
+        self.on_bad = on_bad
+        self.valid_ops = tuple(valid_ops)
         self.batches: list[dict] = []
 
     def _stream(self) -> DataFrame:
@@ -67,6 +75,24 @@ class StreamingReplay:
         return df
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        bad = ~F.col("op").isin(*self.valid_ops)
+        for k in [*KEYS, "seq"]:
+            bad = bad | ((F.col("op") != "schema-change") & F.col(k).isNull())
+        if self.on_bad == "error":
+            batch = batch.withColumn(
+                "op",
+                F.when(
+                    bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("malformed change event, op="),
+                            F.coalesce(F.col("op"), F.lit("NULL")),
+                        )
+                    ).cast("string"),
+                ).otherwise(F.col("op")),
+            )
+        else:
+            batch = batch.filter(~bad)
         row_ops = batch.filter(F.col("op") != "schema-change")
         deduped = last_writer_wins(row_ops, KEYS, "seq", strategy=self.strategy)
         if self.fingerprint:

@@ -318,3 +318,73 @@ def test_jvm_fingerprint_matches_arrow(spark, stream_path, expected_state, tmp_p
         for r in table.read(spark).collect()
     }
     assert got == {k: v["sha256"] for k, v in expected_state.items()}
+
+
+def _stream_with_bad_events(spark, tmp_path):
+    """A clean 300-event stream plus two malformed tail events: an unknown
+    op and a row op with a NULL path."""
+    from pyspark.sql import functions as F
+
+    clean = write_change_stream(
+        spark, str(tmp_path / "clean_ev"), 300, seed=13, num_partitions=4
+    )
+    base = spark.read.parquet(clean)
+    donor = base.filter(F.col("op") == "update").limit(1)
+    bad1 = donor.withColumn("seq", F.lit(300).cast("long")).withColumn(
+        "op", F.lit("chaos")
+    )
+    bad2 = donor.withColumn("seq", F.lit(301).cast("long")).withColumn(
+        "path", F.lit(None).cast("string")
+    )
+    mixed = str(tmp_path / "mixed_ev")
+    base.union(bad1).union(bad2).repartition(4).write.parquet(mixed)
+    return clean, mixed
+
+
+def test_bad_events_error_mode_fails_before_commit(spark, tmp_path):
+    _, mixed = _stream_with_bad_events(spark, tmp_path)
+    table, _ = create_table_for_stream(spark, mixed, str(tmp_path / "lake_err"))
+    runner = ReplayRunner(spark, mixed, table, batch_size=10**9)  # on_bad defaults to error
+    with pytest.raises(Exception, match="malformed change event"):
+        runner.run()
+    # nothing committed: the epoch failed before the manifest advanced
+    assert table.snapshot().end_seq == -1
+
+
+def test_bad_events_quarantine_and_ignore(spark, tmp_path):
+    clean, mixed = _stream_with_bad_events(spark, tmp_path)
+
+    # ground truth: replay of the clean stream only
+    ref, _ = create_table_for_stream(spark, clean, str(tmp_path / "lake_ref"))
+    ReplayRunner(spark, clean, ref, batch_size=10**9).run()
+    want = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in ref.read(spark).collect()
+    }
+
+    qdir = str(tmp_path / "quarantine")
+    tq, _ = create_table_for_stream(spark, mixed, str(tmp_path / "lake_q"))
+    mq = ReplayRunner(
+        spark, mixed, tq, batch_size=10**9, on_bad="quarantine", quarantine_path=qdir
+    ).run()
+    got = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in tq.read(spark).collect()
+    }
+    assert got == want
+    assert mq[0]["events_bad"] == 2
+    assert mq[0]["events_read"] == (
+        mq[0]["schema_changes"] + mq[0]["keys_applied"]
+        + mq[0]["events_deduped"] + mq[0]["events_bad"]
+    )
+    qrows = spark.read.parquet(f"{qdir}/epoch=0").collect()
+    assert {r["seq"] for r in qrows} == {300, 301}
+
+    ti, _ = create_table_for_stream(spark, mixed, str(tmp_path / "lake_i"))
+    mi = ReplayRunner(spark, mixed, ti, batch_size=10**9, on_bad="ignore").run()
+    got_i = {
+        (r["repo"], r["path"]): r["content_sha256"]
+        for r in ti.read(spark).collect()
+    }
+    assert got_i == want
+    assert mi[0]["events_bad"] == 2

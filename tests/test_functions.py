@@ -67,3 +67,26 @@ def test_random_is_builtin(spark):
     # reference registers `random` (ARC.scala:115-117); Spark SQL has rand()
     v = spark.sql("SELECT rand(42) AS r").first()["r"]
     assert 0.0 <= v < 1.0
+
+
+def test_get_uri_pyarrow_route(tmp_path):
+    """Cluster-scheme URIs route through pyarrow.fs. The happy path is
+    exercised with file:// (from_uri resolves it like s3://gs://hdfs://),
+    including suffix decompression; an unreachable object-store URI
+    surfaces the actionable BytesExtract pointer."""
+    import gzip
+
+    import pytest as _pytest
+
+    from arc_spark.functions.udfs import _fetch_uri, _fetch_via_pyarrow
+
+    p = tmp_path / "payload.txt"
+    p.write_bytes(b"hello arrow fs")
+    assert _fetch_via_pyarrow(f"file://{p}") == b"hello arrow fs"
+
+    gz = tmp_path / "payload.bin.gz"
+    gz.write_bytes(gzip.compress(b"zipped bytes"))
+    assert _fetch_via_pyarrow(f"file://{gz}") == b"zipped bytes"
+
+    with _pytest.raises(ValueError, match="BytesExtract"):
+        _fetch_uri("abfss://container@acct.dfs.example/path")
