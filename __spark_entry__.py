@@ -562,6 +562,101 @@ def _cdc_replay_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with malformed events diverted to quarantine (on_bad=
+    "quarantine"): events whose id hits %53 carry an unknown op, %59 a
+    NULL path — the reference oracle REJECTS both, so the final table
+    must equal an LWW over only the well-formed rows. Exercises the
+    codegen bad-event predicate + idempotent per-epoch quarantine sink
+    (arc_spark/cdc/runner.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 53 == 0, F.lit("chaos"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.when(F.col("event_id") % 59 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("f"),
+                F.col("user_id").cast("string"),
+                F.lit("/"),
+                (F.col("event_id") % 3).cast("string"),
+            )
+        )
+        .alias("path"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="cdcquar_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
+    max_seq = ev.agg(F.max("event_id")).first()[0]
+    ReplayRunner(
+        spark, f"{d}/ev", table,
+        batch_size=max(1, int(max_seq) // 3 + 1),
+        on_bad="quarantine", quarantine_path=f"{d}/quarantine",
+    ).run()
+    return table.read(spark).select("repo", "path", "seq", "value", "content_sha256")
+
+
+def _cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch merge where the ``metric`` column arrives as INT in the
+    first half of the stream and as BIGINT (with values needing 64 bits)
+    in the second: the table schema must widen in place and early
+    narrow-typed rows must read back correctly under the widened schema
+    (arc_spark/lake/table.py _safe_promotion)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.lake.table import LakeTable
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    cutoff = int(ev.agg(F.expr("max(event_id) DIV 2")).first()[0])
+    base = ev.select(
+        F.col("event_id").alias("seq"),
+        F.lit("update").alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+    )
+    narrow = base.filter(F.col("seq") <= cutoff).withColumn(
+        "metric", (F.col("seq") % 100).cast("int")
+    )
+    wide = base.filter(F.col("seq") > cutoff).withColumn(
+        "metric", (F.col("seq") % 100 * F.lit(10_000_000_000) + F.col("seq")).cast("long")
+    )
+    from arc_spark.cdc.apply import last_writer_wins
+
+    d = tempfile.mkdtemp(prefix="cdcwiden_")
+    table = LakeTable(f"{d}/lake")
+    table.create(narrow.drop("op").schema, ["repo", "path"], num_buckets=16)
+    table.merge(
+        spark, last_writer_wins(narrow, ["repo", "path"], "seq"),
+        epoch=0, start_seq=0, end_seq=cutoff, mode="cow",
+    )
+    table.merge(
+        spark, last_writer_wins(wide, ["repo", "path"], "seq"),
+        epoch=1, start_seq=cutoff + 1,
+        end_seq=int(ev.agg(F.max("event_id")).first()[0]), mode="cow",
+    )
+    return table.read(spark).select("repo", "path", "seq", "metric")
+
+
 def _language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.operators.text import language_id
 
@@ -910,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "statistics_lineitem": _statistics_lineitem,
         "cdc_replay_mini": _cdc_replay_mini,
+        "cdc_quarantine": _cdc_quarantine,
+        "cdc_type_widening": _cdc_type_widening,
         "language_id_documents": _language_id_documents,
         "doc_quality": _doc_quality,
         "doc_scrub": _doc_scrub,
@@ -1390,6 +1487,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, seq, "commit", value,
                    sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
             FROM w WHERE op <> 'delete'
+        """,
+        "cdc_quarantine": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_id % 53 = 0 THEN 'chaos'
+                            WHEN event_type = 'error' THEN 'delete'
+                            ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       CASE WHEN event_id % 59 = 0 THEN NULL
+                            ELSE 'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) END AS path,
+                       value, props AS content
+                FROM events
+            ), v AS (
+                SELECT * FROM c
+                WHERE op IN ('update','delete') AND path IS NOT NULL AND seq IS NOT NULL
+            ), w AS (
+                SELECT repo, path, max(seq) AS seq,
+                       arg_max(op, seq) AS op,
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM v GROUP BY repo, path
+            )
+            SELECT repo, path, seq, value,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w WHERE op <> 'delete'
+        """,
+        "cdc_type_widening": r"""
+            WITH mx AS (SELECT CAST(max(event_id) AS BIGINT) // 2 AS cutoff FROM events),
+            c AS (
+                SELECT event_id AS seq,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       CASE WHEN event_id <= (SELECT cutoff FROM mx)
+                            THEN CAST(event_id % 100 AS BIGINT)
+                            ELSE event_id % 100 * 10000000000 + event_id END AS metric
+                FROM events
+            ), w AS (
+                SELECT repo, path, max(seq) AS seq, arg_max(metric, seq) AS metric
+                FROM c GROUP BY repo, path
+            )
+            SELECT repo, path, seq, metric FROM w
         """,
         "language_id_documents": _language_id_oracle_sql(),
         "doc_quality": _doc_quality_oracle_sql(),
