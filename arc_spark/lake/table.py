@@ -923,6 +923,7 @@ class LakeTable:
         buckets: list[str] | str | None = None,
         max_files: int = 4,
         vacuum_tombstones_below_seq: int | None = None,
+        sort_within: bool = True,
     ) -> dict:
         """Rewrite buckets into one file each, folding any MOR delta files
         into the base; optionally vacuum tombstones whose seq is below the
@@ -952,10 +953,21 @@ class LakeTable:
         attempt_id = f"compact-{uuid.uuid4().hex[:8]}"
         out_dir = fs_join(self.root, DATA_DIR, attempt_id)
         n_out = snap.num_buckets if target is None else max(1, len(target))
+        out = df.withColumn("_bucket", self.bucket_expr(snap)).repartition(
+            n_out, "_bucket"
+        )
+        if sort_within:
+            # Cluster each compacted file by key: parquet row-group min/max
+            # stats on (keys) become tight disjoint ranges, so key-predicate
+            # lookups (lookup(), MOR resolution joins) skip most row groups
+            # inside the bucket — Iceberg's rewrite with sort-order. Also
+            # compresses better (adjacent rows share repo/path prefixes).
+            # _bucket leads the sort: the dynamic-partition writer requires
+            # ordering by partition columns and would otherwise re-sort by
+            # _bucket alone, destroying the key clustering.
+            out = out.sortWithinPartitions("_bucket", *snap.key_cols, snap.seq_col)
         (
-            df.withColumn("_bucket", self.bucket_expr(snap))
-            .repartition(n_out, "_bucket")
-            .write.partitionBy("_bucket")
+            out.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )

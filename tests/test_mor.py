@@ -315,3 +315,16 @@ def test_changes_since_incremental_read(spark, tmp_path, monkeypatch):
     assert all_read <= allowed and all_read
     # nothing changed after the last seq
     assert t.changes_since(spark, 101).count() == 0
+
+
+def test_compact_sorts_within_buckets(spark, stream, tmp_path):
+    """Default compaction clusters each bucket file by (keys, seq) so
+    parquet row-group stats give tight key ranges (sort_within=True)."""
+    table, _ = _replay(spark, stream, str(tmp_path / "cs"), "auto", 500)
+    table.compact(spark)
+    snap = table.snapshot()
+    bucket, files = next((b, f) for b, f in sorted(snap.files.items()) if f)
+    rows = spark.read.parquet(str(tmp_path / "cs") + "/" + files[0]).collect()
+    keys = [(r["repo"], r["path"], r["seq"]) for r in rows]
+    assert keys == sorted(keys)
+    assert len(rows) > 1
