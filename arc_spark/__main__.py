@@ -73,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     from arc_spark.pipeline.config import ConfigError, run_config
     from arc_spark.session import get_spark
 
+    # Route the engine's structured JSON log events (per-stage enter/exit,
+    # per-epoch replay metrics incl. bucket lineage) to stderr alongside
+    # the CLI's own events — Arc's structured-log surface (ARC.scala:491).
+    import logging
+
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(logging.Formatter("%(message)s"))
+    engine_log = logging.getLogger("arc_spark")
+    engine_log.setLevel(logging.INFO)
+    engine_log.addHandler(handler)
+
     spark = get_spark(
         args.get("etl.config.job.name", "arc-spark"),
         master=args.get("etl.config.master") or _env("ETL_CONF_MASTER") or "local[*]",

@@ -1693,7 +1693,7 @@ class CDCReplayExecute(PipelineStage):
         from arc_spark.lake.table import LakeTable
 
         locker = None
-        if "commitLockURI" in self.params:
+        if self.params.get("commitLockURI"):  # absent OR unresolved ${?...}
             # multi-writer safety on object stores: route the manifest CAS
             # through a ConditionalPutLocker rooted at a store whose
             # create-if-absent IS atomic (memory:// in tests, a consistent

@@ -119,13 +119,16 @@ def _host_scaling_evidence(low: int, high: int, dur: float = 4.0) -> dict:
 
 def _time_queries(spark, sf_dir: str) -> dict[str, float]:
     # warm the session once (JVM codegen, parquet reader, Arrow worker
-    # pool) so per-query timings measure the queries, not first-job setup
+    # pool — BOTH Python-UDF shapes: pandas_udf and mapInArrow) so
+    # per-query timings measure the queries, not first-job setup
     from pyspark.sql.functions import col
 
-    from arc_spark.cdc.apply import sha256_hex
+    from arc_spark.cdc.apply import normalize_and_fingerprint, sha256_hex
 
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).select(
-        sha256_hex(col("r_name"))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    region.select(sha256_hex(col("r_name"))).count()
+    normalize_and_fingerprint(
+        region.select(col("r_name").alias("content")), impl="arrow"
     ).count()
 
     qs = entry_mod.queries()

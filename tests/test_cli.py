@@ -98,3 +98,77 @@ def test_pyfiles_zip_is_importable_and_deterministic(tmp_path):
         cwd=str(tmp_path), env={"PATH": "/usr/bin:/bin"},
     )
     assert "import-ok" in out.stdout, out.stderr
+
+
+def test_spark_submit_pyfiles_replay(tmp_path):
+    """The north-rule deployment shape, literally: spark-submit
+    --py-files arc_spark.zip job.py — the driver AND executors import
+    arc_spark only from the zip (clean cwd, no PYTHONPATH), the job
+    replays a generated stream through the full engine and re-asserts
+    the lineage identity."""
+    import os
+
+    from arc_spark.submit import build_pyfiles_zip
+
+    z = build_pyfiles_zip(str(tmp_path / "arc_spark.zip"))
+    job = tmp_path / "job.py"
+    job.write_text(
+        """
+import json, sys
+from arc_spark.session import get_spark
+from arc_spark.cdc import write_change_stream, ReplayRunner
+from arc_spark.cdc.bootstrap import create_table_for_stream
+
+spark = get_spark("submit-job", master="local[4]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+stream = write_change_stream(spark, sys.argv[1] + "/ev", 2000, seed=9, num_partitions=4)
+table, _ = create_table_for_stream(spark, stream, sys.argv[1] + "/lake")
+metrics = ReplayRunner(spark, stream, table, batch_size=700).run()
+ok = all(
+    m["events_read"] == m["schema_changes"] + m["keys_applied"] + m["events_deduped"]
+    for m in metrics
+)
+print(json.dumps({"epochs": len(metrics), "rows": table.read(spark).count(),
+                  "lineage_ok": ok, "end_seq": table.snapshot().end_seq}))
+spark.stop()
+"""
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master", "local[4]",
+            "--py-files", z,
+            str(job), str(tmp_path / "work"),
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert out["epochs"] == 3 and out["lineage_ok"] and out["end_seq"] == 1999
+    assert out["rows"] > 0
+
+
+def test_example_replay_config_runs(tmp_path):
+    """examples/cdc_replay.conf executes end-to-end via the CLI against a
+    generated stream (environment=test), including the SQLValidate tail."""
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.session import get_spark
+
+    spark = get_spark("exgen", master="local[4]", shuffle_partitions=8)
+    stream = write_change_stream(
+        spark, str(tmp_path / "ev"), 2000, seed=21, num_partitions=4
+    )
+    r = _run(
+        "--etl.config.uri=examples/cdc_replay.conf",
+        "--etl.config.environment=test",
+        "--etl.config.master=local[4]",
+        f"--events.uri={stream}",
+        f"--table.uri={tmp_path / 'lake'}",
+        f"--quarantine.uri={tmp_path / 'quarantine'}",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    events = [json.loads(line) for line in r.stderr.splitlines() if line.startswith("{")]
+    assert any(e.get("event") == "exit" and e.get("status") == "success" for e in events)
+    epochs = [e for e in events if e.get("event") == "epoch.complete"]
+    assert epochs and all("bucket_lineage" in e for e in epochs)
