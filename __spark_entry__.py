@@ -74,8 +74,10 @@ def _cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
         F.col("props").alias("content"),
     )
-    changes = normalize_and_fingerprint(changes)
+    # fingerprint AFTER dedup (the runner's rule, cdc/runner.py): the
+    # Arrow kernel touches only surviving winners, not the whole stream
     winners = last_writer_wins(changes, ["user_id"], "seq", strategy="window")
+    winners = normalize_and_fingerprint(winners)
     return winners.filter(F.col("op") != "delete").select(
         "user_id",
         F.col("seq").alias("last_seq"),
