@@ -146,9 +146,14 @@ class ReplayRunner:
             self.run_epoch(epoch, next_seq, batch_end, failure_injector)
             epochs_done += 1
         if self.metrics_path:
-            with open(self.metrics_path, "w") as f:
-                for m in self.metrics:
-                    f.write(json.dumps(m) + "\n")
+            # through arc_spark.fs: metrics land next to the table on any
+            # scheme (file/memory/hdfs/s3a/...), not just the local disk
+            from arc_spark.fs import get_fs
+
+            get_fs(self.metrics_path, self.spark).write_bytes(
+                self.metrics_path,
+                "".join(json.dumps(m) + "\n" for m in self.metrics).encode(),
+            )
         return self.metrics
 
     # ------------------------------------------------------------------

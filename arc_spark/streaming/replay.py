@@ -75,9 +75,18 @@ class StreamingReplay:
         return df
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.observation import Observation
+
         bad = ~F.col("op").isin(*self.valid_ops)
         for k in [*KEYS, "seq"]:
             bad = bad | ((F.col("op") != "schema-change") & F.col(k).isNull())
+        obs_read = Observation(f"sread-{batch_id}")
+        batch = batch.observe(
+            obs_read,
+            F.count(F.lit(1)).alias("events_read"),
+            F.count_if(F.col("op") == "schema-change").alias("schema_changes"),
+            F.count_if(bad).alias("events_bad"),
+        )
         if self.on_bad == "error":
             batch = batch.withColumn(
                 "op",
@@ -97,6 +106,12 @@ class StreamingReplay:
         deduped = last_writer_wins(row_ops, KEYS, "seq", strategy=self.strategy)
         if self.fingerprint:
             deduped = normalize_and_fingerprint(deduped)
+        obs_applied = Observation(f"sapplied-{batch_id}")
+        deduped = deduped.observe(
+            obs_applied,
+            F.count(F.lit(1)).alias("keys_applied"),
+            F.count_if(F.col("op") == "delete").alias("deletes"),
+        )
         bounds = batch.agg(
             F.min("seq").alias("lo"), F.max("seq").alias("hi")
         ).first()
@@ -110,7 +125,17 @@ class StreamingReplay:
             end_seq=int(bounds["hi"]),
             mode=self.merge_mode,
         )
-        self.batches.append({"batch_id": batch_id, **result})
+        counters = {}
+        if result.get("status") == "committed":
+            counters = {**obs_read.get, **obs_applied.get}
+            if counters.get("events_read") is not None:
+                counters["events_deduped"] = (
+                    counters["events_read"]
+                    - counters["schema_changes"]
+                    - counters["keys_applied"]
+                    - (counters["events_bad"] if self.on_bad != "error" else 0)
+                )
+        self.batches.append({"batch_id": batch_id, **counters, **result})
 
     def start(self):
         """Start the streaming query; caller awaits/stops it."""

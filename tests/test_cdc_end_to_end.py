@@ -388,3 +388,19 @@ def test_bad_events_quarantine_and_ignore(spark, tmp_path):
     }
     assert got_i == want
     assert mi[0]["events_bad"] == 2
+
+
+def test_metrics_path_any_scheme(spark, stream_path, tmp_path):
+    """metrics_path goes through arc_spark.fs — an in-memory object-store
+    URI works, proving cloud parity for the metrics sink."""
+    import json as _json
+
+    from arc_spark.fs import get_fs
+
+    uri = "memory://metrics/replay_run.jsonl"
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake_m"))
+    ReplayRunner(spark, stream_path, table, batch_size=2000, metrics_path=uri).run()
+    lines = get_fs(uri).read_bytes(uri).decode().splitlines()
+    ms = [_json.loads(l) for l in lines]
+    assert len(ms) == 2 and all(m["event"] == "epoch.complete" for m in ms)
+    assert sum(m["events_read"] for m in ms) == N_EVENTS

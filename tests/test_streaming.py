@@ -39,6 +39,13 @@ def test_streaming_replay_matches_reference(spark, stream_path, expected, tmp_pa
     )
     batches = replay.run_available()
     assert len(batches) >= 2  # multiple micro-batches
+    # per-micro-batch observe counters mirror the batch runner's
+    committed = [b for b in batches if b["status"] == "committed"]
+    assert sum(b["events_read"] for b in committed) == N
+    for b in committed:
+        assert b["events_read"] == (
+            b["schema_changes"] + b["keys_applied"] + b["events_deduped"]
+        )
     got = {
         (r["repo"], r["path"]): r["content_sha256"]
         for r in table.read(spark).collect()
