@@ -114,7 +114,10 @@ class ReplayRunner:
     # ------------------------------------------------------------------
 
     def _events(self) -> DataFrame:
-        return self.spark.read.parquet(self.events_path)
+        # mergeSchema: a binlog's later files may carry columns earlier
+        # files lack (the schema-evolution case); without it Spark infers
+        # the schema from ONE footer and can silently drop the new column
+        return self.spark.read.option("mergeSchema", "true").parquet(self.events_path)
 
     def max_seq(self) -> int:
         row = self._events().agg(F.max(self.seq_col)).first()

@@ -404,3 +404,34 @@ def test_metrics_path_any_scheme(spark, stream_path, tmp_path):
     ms = [_json.loads(l) for l in lines]
     assert len(ms) == 2 and all(m["event"] == "epoch.complete" for m in ms)
     assert sum(m["events_read"] for m in ms) == N_EVENTS
+
+
+def test_stream_gains_column_midway(spark, tmp_path):
+    """Schema evolution THROUGH THE BINLOG ITSELF: the stream's early
+    parquet files lack `lang`; later files (after a schema-change event)
+    carry it. The runner must see the merged stream schema (mergeSchema)
+    and the table must evolve additively — early keys read back with
+    lang NULL, later winners carry their lang."""
+    from pyspark.sql import functions as F
+
+    ev_dir = tmp_path / "gain_ev"
+    early = spark.createDataFrame(
+        [(0, "update", "r", "a", "c0", "v0"), (1, "update", "r", "b", "c1", "v1")],
+        "seq long, op string, repo string, path string, commit string, content string",
+    )
+    early.repartition(1).write.mode("append").parquet(str(ev_dir))
+    late = spark.createDataFrame(
+        [
+            (2, "schema-change", "r", None, "c2", None, None),
+            (3, "update", "r", "b", "c3", "v1b", "py"),
+        ],
+        "seq long, op string, repo string, path string, commit string, content string, lang string",
+    )
+    late.repartition(1).write.mode("append").parquet(str(ev_dir))
+
+    table, _ = create_table_for_stream(spark, str(ev_dir), str(tmp_path / "gain_lake"))
+    ReplayRunner(spark, str(ev_dir), table, batch_size=10**9).run()
+    snap = table.snapshot()
+    assert "lang" in {f.name for f in snap.schema.fields}
+    got = {r["path"]: (r["content"], r["lang"]) for r in table.read(spark).collect()}
+    assert got == {"a": ("v0", None), "b": ("v1b", "py")}
