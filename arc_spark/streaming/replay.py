@@ -65,7 +65,11 @@ class StreamingReplay:
         self.batches: list[dict] = []
 
     def _stream(self) -> DataFrame:
-        schema = self.spark.read.parquet(self.events_path).schema
+        # mergeSchema for the same reason as ReplayRunner._events: later
+        # stream files may carry evolved columns earlier files lack
+        schema = (
+            self.spark.read.option("mergeSchema", "true").parquet(self.events_path).schema
+        )
         reader = self.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)

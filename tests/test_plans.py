@@ -146,3 +146,33 @@ def test_mor_clean_read_has_no_window(spark, tmp_path):
     t.merge(spark, d, epoch=1, start_seq=99, end_seq=99, mode="delta")
     dirty_plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in dirty_plan and "Union" in dirty_plan
+
+
+def test_replay_epoch_plan_shape(spark, tmp_path):
+    """The full epoch pipeline (guard -> LWW window -> fingerprint) keeps
+    the 100TB-shape invariants: seq range pushed to the scan, the partial
+    WindowGroupLimit collapses rows map-side, and exactly ONE Python
+    stage (the mapInArrow fingerprint kernel) touches the data — the
+    bad-event guard and dedup stay in codegen."""
+    from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
+    from arc_spark.cdc.generator import write_change_stream
+
+    stream = write_change_stream(
+        spark, str(tmp_path / "plan_ev"), 2000, seed=1, num_partitions=4
+    )
+    ev = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(stream)
+        .filter((F.col("seq") >= 0) & (F.col("seq") <= 999))
+        .filter(F.col("op") != "schema-change")
+    )
+    deduped = normalize_and_fingerprint(
+        last_writer_wins(ev, ["repo", "path"], "seq")
+    )
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    filters = " ".join(pushed_filters(deduped))
+    assert "seq" in filters  # epoch range reaches the parquet scan
+    assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
+    # exactly one Python-eval stage in the whole epoch plan
+    assert plan.count("MapInArrow") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
