@@ -121,6 +121,13 @@ def _normalize_sha_record_batches(batches, content_idx: int):
     import pyarrow.compute as pc
 
     for batch in batches:
+        if batch.num_rows == 0:
+            # empty batch: buffers may be None — append an empty sha column
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array([], type=pa.string())],
+                names=list(batch.schema.names) + ["content_sha256"],
+            )
+            continue
         arr = batch.column(content_idx)
         arr = pc.replace_substring(arr, pattern="\r\n", replacement="\n")
         arr = pc.replace_substring_regex(arr, pattern="[ \t]+\n", replacement="\n")

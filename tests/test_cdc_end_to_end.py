@@ -435,3 +435,19 @@ def test_stream_gains_column_midway(spark, tmp_path):
     assert "lang" in {f.name for f in snap.schema.fields}
     got = {r["path"]: (r["content"], r["lang"]) for r in table.read(spark).collect()}
     assert got == {"a": ("v0", None), "b": ("v1b", "py")}
+
+
+def test_fingerprint_kernel_empty_and_allnull_batches(spark):
+    """The mapInArrow kernel handles empty DataFrames and all-null content
+    batches (None Arrow buffers)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from arc_spark.cdc.apply import normalize_and_fingerprint
+
+    schema = StructType([StructField("content", StringType(), True)])
+    empty = spark.createDataFrame([], schema)
+    assert normalize_and_fingerprint(empty).collect() == []
+
+    allnull = spark.createDataFrame([(None,), (None,)], schema)
+    rows = normalize_and_fingerprint(allnull).collect()
+    assert [r["content_sha256"] for r in rows] == [None, None]
