@@ -782,6 +782,7 @@ class LakeTable:
 
         counters = {
             "epoch": epoch,
+            "mode": "cow",
             "rows_written": rows_written,
             "buckets_rewritten": len(touched),
             "buckets_total": snap.num_buckets,

@@ -1642,7 +1642,8 @@ class LakeMergeLoad(PipelineStage):
 
     stage_type = "LakeMergeLoad"
     REQUIRED = ("inputView", "tableURI", "epoch", "startSeq", "endSeq")
-    OPTIONAL = ("keys", "seqColumn", "numBuckets", "opColumn")
+    OPTIONAL = ("keys", "seqColumn", "numBuckets", "opColumn", "mode",
+                "bucketLineage")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         from arc_spark.lake.table import LakeTable
@@ -1666,6 +1667,8 @@ class LakeMergeLoad(PipelineStage):
             start_seq=int(self.params["startSeq"]),
             end_seq=int(self.params["endSeq"]),
             op_col=self.params.get("opColumn", "op"),
+            mode=self.params.get("mode", "cow"),
+            bucket_lineage=bool(self.params.get("bucketLineage", False)),
         )
         ctx.user_data[f"{self.name}.merge"] = result
         return df

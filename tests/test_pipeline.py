@@ -270,3 +270,43 @@ def test_schema_view_typing(spark):
     rows = {r["label"]: r for r in df.collect()}
     assert rows["x"]["n"] == 42 and rows["x"]["_errors"] == []
     assert rows["y"]["n"] is None and len(rows["y"]["_errors"]) == 1
+
+
+def test_lake_merge_load_mode_and_lineage(spark, tmp_path):
+    """LakeMergeLoad exposes merge mode + per-bucket lineage from config:
+    epoch 0 bootstraps copy-on-write, epoch 1 lands as a merge-on-read
+    delta, and bucketLineage counters reach ctx.user_data."""
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.pipeline import run_config
+
+    root = str(tmp_path / "lml")
+    spark.createDataFrame(
+        [("r", f"p{i}", i, "update", f"v{i}") for i in range(20)],
+        "repo string, path string, seq long, op string, content string",
+    ).createOrReplaceTempView("lml_changes")
+    cfg0 = {"stages": [
+        {"type": "LakeMergeLoad", "name": "m0", "inputView": "lml_changes",
+         "tableURI": root, "epoch": 0, "startSeq": 0, "endSeq": 19,
+         "numBuckets": 4, "bucketLineage": True},
+    ]}
+    _, ctx0 = run_config(spark, cfg0)
+    r0 = ctx0.user_data["m0.merge"]
+    assert r0["status"] == "committed" and r0["mode"] == "cow"
+    assert sum(v["keys_applied"] for v in r0["bucket_lineage"].values()) == 20
+
+    spark.createDataFrame(
+        [("r", "p1", 100, "update", "v1b")],
+        "repo string, path string, seq long, op string, content string",
+    ).createOrReplaceTempView("lml_tail")
+    cfg1 = {"stages": [
+        {"type": "LakeMergeLoad", "name": "m1", "inputView": "lml_tail",
+         "tableURI": root, "epoch": 1, "startSeq": 100, "endSeq": 100,
+         "mode": "delta", "bucketLineage": True},
+    ]}
+    _, ctx1 = run_config(spark, cfg1)
+    r1 = ctx1.user_data["m1.merge"]
+    assert r1["status"] == "committed" and r1["mode"] == "delta"
+    assert sum(v["keys_applied"] for v in r1["bucket_lineage"].values()) == 1
+
+    rows = {r["path"]: r["content"] for r in LakeTable(root).read(spark).collect()}
+    assert rows["p1"] == "v1b" and len(rows) == 20
