@@ -1688,7 +1688,7 @@ class CDCReplayExecute(PipelineStage):
     REQUIRED = ("eventsURI", "tableURI")
     OPTIONAL = ("batchSize", "strategy", "saltBuckets", "mergeMode",
                 "numBuckets", "maxEpochs", "outputView", "commitLockURI",
-                "lineage", "onBad", "quarantineURI")
+                "lineage", "onBad", "quarantineURI", "metricsURI")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1729,6 +1729,7 @@ class CDCReplayExecute(PipelineStage):
             lineage=self.params.get("lineage", "global"),
             on_bad=self.params.get("onBad", "error"),
             quarantine_path=self.params.get("quarantineURI"),
+            metrics_path=self.params.get("metricsURI"),
         )
         max_epochs = self.params.get("maxEpochs")
         metrics = runner.run(max_epochs=int(max_epochs) if max_epochs else None)

@@ -172,3 +172,51 @@ def test_concurrent_merge_conflict_retries_and_preserves_both(spark, tmp_path, m
     assert set(snap.committed_epochs) == {"0", "1", "2"}
     rows = {row["k"]: row["v"] for row in t.read(spark).collect()}
     assert rows == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_quarantine_is_idempotent_across_retry(spark, tmp_path):
+    """A crash AFTER the quarantine write but BEFORE the merge commit must
+    not duplicate quarantined rows on retry: the per-epoch quarantine dir
+    is overwritten, and the epoch itself is fenced."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.cdc.runner import InjectedFailure, ReplayRunner
+
+    clean = write_change_stream(
+        spark, str(tmp_path / "qr_ev0"), 600, seed=17, num_partitions=4
+    )
+    base = spark.read.parquet(clean)
+    donor = base.filter(F.col("op") == "update").limit(1)
+    bad = donor.withColumn("seq", F.lit(600).cast("long")).withColumn(
+        "op", F.lit("junk")
+    )
+    mixed = str(tmp_path / "qr_ev")
+    base.union(bad).repartition(4).write.parquet(mixed)
+
+    qdir = str(tmp_path / "qr_quarantine")
+    table, _ = create_table_for_stream(spark, mixed, str(tmp_path / "qr_lake"))
+
+    def crash_before_merge(epoch, phase):
+        if phase == "before_merge":
+            raise InjectedFailure(f"crash at epoch {epoch}")
+
+    runner = ReplayRunner(
+        spark, mixed, table, batch_size=10**9,
+        on_bad="quarantine", quarantine_path=qdir,
+    )
+    with _pytest.raises(InjectedFailure):
+        runner.run(failure_injector=crash_before_merge)
+    # quarantine written, nothing committed
+    assert spark.read.parquet(f"{qdir}/epoch=0").count() == 1
+    assert table.snapshot().end_seq == -1
+
+    # retry without injection: same epoch id, quarantine dir overwritten
+    ReplayRunner(
+        spark, mixed, table, batch_size=10**9,
+        on_bad="quarantine", quarantine_path=qdir,
+    ).run()
+    assert spark.read.parquet(f"{qdir}/epoch=0").count() == 1  # no dup
+    assert table.snapshot().end_seq == 600
