@@ -328,3 +328,35 @@ def test_compact_sorts_within_buckets(spark, stream, tmp_path):
     keys = [(r["repo"], r["path"], r["seq"]) for r in rows]
     assert keys == sorted(keys)
     assert len(rows) > 1
+
+
+def test_time_travel_read(spark, tmp_path):
+    """read(version=) reconstructs any committed snapshot; expiry removes
+    old versions and a travel read to an expired version fails cleanly
+    rather than returning partial data."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "tt")
+    table = LakeTable(root)
+    b0 = spark.createDataFrame(
+        [("r", "a", 1, "v1", "update"), ("r", "b", 2, "v2", "update")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    table.create(b0.drop("op").schema, ["repo", "path"], num_buckets=4)
+    table.merge(spark, b0, epoch=0, start_seq=1, end_seq=2, mode="cow")
+    v1 = table.current_version()
+    b1 = spark.createDataFrame(
+        [("r", "a", 5, "v1b", "update"), ("r", "b", 6, None, "delete")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    table.merge(spark, b1, epoch=1, start_seq=5, end_seq=6, mode="delta")
+
+    now = {r["path"]: r["content"] for r in table.read(spark).collect()}
+    assert now == {"a": "v1b"}  # b deleted
+    then = {r["path"]: r["content"] for r in table.read(spark, version=v1).collect()}
+    assert then == {"a": "v1", "b": "v2"}
+    assert table.snapshot(v1).end_seq == 2
+
+    table.expire_snapshots(keep_last=1)
+    with _pytest.raises(Exception):
+        table.read(spark, version=v1).collect()
