@@ -207,6 +207,11 @@ def parse_pipeline(
         envs = raw.get("environments") or []
         if envs and ctx.environment not in envs:
             continue  # filtered out at parse time (config/Plugins.scala:61-72)
+        if raw.get("resolution") == "lazy":
+            # LazyEvaluator: validation + instantiation deferred to execute
+            # time so runtime-computed ${params} can resolve (see _LazyStage)
+            stages.append(_LazyStage(cls, raw, where))
+            continue
         stage_errors = _validate_keys(cls, raw, where)
         if stage_errors:
             errors.extend(stage_errors)
@@ -261,6 +266,47 @@ def _validate_keys(cls: type[PipelineStage], raw: dict, where: str) -> list[str]
                 f"{where} ({cls.stage_type}): exactly one of {list(grp)} required, got {present}"
             )
     return errs
+
+
+class _LazyStage(PipelineStage):
+    """``resolution: lazy`` — the reference's LazyEvaluator
+    (plugins/pipeline/LazyEvaluator.scala:70-95): config resolution, key
+    validation AND instantiation are deferred to execute time, so
+    ``${param}`` placeholders may be filled by runtime-computed args (a
+    preceding ConfigExecute) that do not exist at parse time."""
+
+    stage_type = "LazyEvaluator"
+
+    def __init__(self, cls: type[PipelineStage], raw: dict, where: str):
+        super().__init__(
+            name=raw.get("name", where),
+            description=raw.get("description"),
+            environments=raw.get("environments"),
+        )
+        self._cls = cls
+        self._raw = raw
+        self._where = where
+
+    @staticmethod
+    def _subst_tree(node, args: dict[str, str]):
+        # substitute string LEAVES only — arg values containing quotes or
+        # braces must not be able to corrupt surrounding structure
+        if isinstance(node, str):
+            return substitute_params(node, args, strict=True)
+        if isinstance(node, list):
+            return [_LazyStage._subst_tree(x, args) for x in node]
+        if isinstance(node, dict):
+            return {k: _LazyStage._subst_tree(v, args) for k, v in node.items()}
+        return node
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        resolved = self._subst_tree(self._raw, ctx.args)
+        resolved.pop("resolution", None)  # so validate_config runs now
+        errs = _validate_keys(self._cls, resolved, self._where)
+        if errs:
+            raise ConfigError(errs)
+        stage = _instantiate(self._cls, resolved, ctx)
+        return stage.execute(ctx)
 
 
 def _instantiate(cls: type[PipelineStage], raw: dict, ctx: PipelineContext) -> PipelineStage:

@@ -310,3 +310,43 @@ def test_lake_merge_load_mode_and_lineage(spark, tmp_path):
 
     rows = {r["path"]: r["content"] for r in LakeTable(root).read(spark).collect()}
     assert rows["p1"] == "v1b" and len(rows) == 20
+
+
+def test_lazy_evaluator_resolution(spark, tmp_path):
+    """resolution: lazy defers config resolution to execute time — a
+    ${param} computed by a PRECEDING ConfigExecute (and unknown at parse
+    time) resolves; the same config without lazy fails at parse/execute."""
+    import pytest as _pytest
+
+    from arc_spark.pipeline import run_config
+    from arc_spark.pipeline.config import ConfigError
+
+    src = str(tmp_path / "lazy_in")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(src)
+
+    cfg = {"stages": [
+        {"type": "ConfigExecute", "name": "compute",
+         "sql": f"""SELECT to_json(named_struct('dyn.uri', '{src}'))"""},
+        {"type": "ParquetExtract", "name": "e", "resolution": "lazy",
+         "inputURI": "${dyn.uri}", "outputView": "lazy_out"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    assert df.count() == 2
+
+    # without lazy the placeholder survives to execute and the read fails
+    eager = {"stages": [
+        {"type": "ConfigExecute", "name": "compute",
+         "sql": f"""SELECT to_json(named_struct('dyn.uri', '{src}'))"""},
+        {"type": "ParquetExtract", "name": "e",
+         "inputURI": "${dyn.uri}", "outputView": "eager_out"},
+    ]}
+    with _pytest.raises(Exception):
+        run_config(spark, eager)
+
+    # lazy still validates: an unknown key surfaces at execute time
+    bad = {"stages": [
+        {"type": "ParquetExtract", "name": "e", "resolution": "lazy",
+         "inputURI": src, "outputView": "x", "noSuchKey": 1},
+    ]}
+    with _pytest.raises(ConfigError, match="noSuchKey"):
+        run_config(spark, bad)
