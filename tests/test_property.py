@@ -44,17 +44,16 @@ def test_integer_typing_matches_python_semantics(spark, values):
     def expected(raw):
         if raw is None:
             return None, 0
-        try:
-            n = int(raw)
-            # Python allows leading +/whitespace differences; emulate Spark
-            # try_cast: plain optional sign + digits only, int32 range
-            if raw.strip() != raw or raw.startswith("+"):
-                pass
-            if -(2**31) <= n < 2**31 and (raw.lstrip("-").isdigit()):
-                return n, 0
-            return None, 1
-        except ValueError:
-            return None, 1
+        # Spark cast accepts optional sign + ASCII digits only, int32
+        # range. Deliberately NOT Python int()/str.isdigit(), which are
+        # Unicode-aware (e.g. int('𑱐') == 0 for MARCHEN DIGIT ZERO) —
+        # hypothesis found exactly that divergence. Same ASCII-pinning
+        # rationale as the normalization kernels (cdc/apply.py).
+        import re as _re
+
+        if _re.fullmatch(r"-?[0-9]+", raw) and -(2**31) <= int(raw) < 2**31:
+            return int(raw), 0
+        return None, 1
 
     got = sorted(
         ((r["v"], len(r["_errors"])) for r in rows),
