@@ -182,20 +182,31 @@ def test_stage_authentication_reaches_hadoop_conf(spark, tmp_path):
 
 class RacyFS(MemoryFS):
     """Simulates an object store whose create-if-absent is check-then-act
-    (the S3A rename): a deliberate sleep inside the window makes the race
-    reliable in a test."""
+    (the S3A rename). A barrier inside the window makes the race
+    DETERMINISTIC: two in-flight writers both pass the absence check
+    before either acts, regardless of scheduler load (a sleep-based
+    window flaked under a saturated full-suite run — one thread could
+    finish check+act before the other ever checked). A lone writer
+    times the window out and proceeds; only paths that pass the check
+    ever reach the barrier, so a loser that already sees the object
+    raises immediately and never blocks a future writer."""
 
-    def __init__(self, delay=0.05):
+    def __init__(self, window=1.0):
+        import threading
+
         super().__init__()
-        self._delay = delay
+        self._race = threading.Barrier(2, timeout=window)
 
     def create_exclusive(self, path, data):
-        import time
+        import threading
 
         p = self._norm(path)
         if p in self._objects:            # check ...
             raise FileExistsError(path)
-        time.sleep(self._delay)           # ... window ...
+        try:                              # ... window: wait for the racer ...
+            self._race.wait()
+        except threading.BrokenBarrierError:
+            self._race.reset()            # lone writer: window expired
         with self._lock:
             self._objects[p] = bytes(data)  # ... act (clobbers the racer)
 
