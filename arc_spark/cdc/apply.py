@@ -343,6 +343,10 @@ def _lww_sort_partitions(
     cols = df.columns
     key_idx = [cols.index(k) for k in keys]
 
+    def _key_tuple(row) -> tuple:
+        # normalize nulls so cross-batch comparison matches the mask below
+        return tuple(None if pd.isna(v) else v for v in row)
+
     def drop_dupes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Rows arrive sorted by (keys, seq desc) within the partition; keep
         # the first row of each key run, carrying the last-seen key across
@@ -352,13 +356,18 @@ def _lww_sort_partitions(
             if pdf.empty:
                 continue
             keymat = pdf.iloc[:, key_idx]
-            # boundary mask: row differs from the previous row's key
+            # boundary mask: row differs from the previous row's key.
+            # NULL keys group like every other strategy's (window/max_by
+            # treat nulls as one group): a bare `!=` calls NaN != NaN True
+            # — Arrow hands nullable ints to pandas as float NaN — and a
+            # null-keyed run would then never collapse, so mask out the
+            # both-null case explicitly.
             shifted = keymat.shift(1)
-            firsts = (keymat != shifted).any(axis=1)
+            firsts = (keymat.ne(shifted) & ~(keymat.isna() & shifted.isna())).any(axis=1)
             firsts.iloc[0] = True
-            if prev_key is not None and tuple(keymat.iloc[0]) == prev_key:
+            if prev_key is not None and _key_tuple(keymat.iloc[0]) == prev_key:
                 firsts.iloc[0] = False
-            prev_key = tuple(keymat.iloc[-1])
+            prev_key = _key_tuple(keymat.iloc[-1])
             out = pdf[firsts.values]
             if not out.empty:
                 yield out

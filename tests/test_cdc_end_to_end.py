@@ -451,3 +451,33 @@ def test_fingerprint_kernel_empty_and_allnull_batches(spark):
     allnull = spark.createDataFrame([(None,), (None,)], schema)
     rows = normalize_and_fingerprint(allnull).collect()
     assert [r["content_sha256"] for r in rows] == [None, None]
+
+
+@pytest.mark.parametrize(
+    "strategy", ["max_by", "thin", "window", "thin_window", "sort_partitions"]
+)
+def test_lww_null_keys_collapse_identically(spark, strategy):
+    """NULL keys form ONE group in every strategy (the window/max_by SQL
+    semantics). Regression: sort_partitions' boundary mask used a bare
+    `!=`, and Arrow hands nullable ints to pandas as float NaN — NaN !=
+    NaN is True, so a null-keyed run never collapsed and every null-key
+    row survived. Covers both a nullable-int and a string key column."""
+    from arc_spark.cdc.apply import last_writer_wins
+
+    int_rows = [(None, 1, "a"), (None, 2, "b"), (None, 3, "c"), (7, 4, "d"), (7, 5, "e")]
+    df = spark.createDataFrame(int_rows, "k int, seq long, payload string")
+    got = sorted(
+        [(r.k, r.seq, r.payload) for r in
+         last_writer_wins(df, ["k"], "seq", strategy=strategy).collect()],
+        key=lambda t: (t[0] is None, t[1]),
+    )
+    assert got == [(7, 5, "e"), (None, 3, "c")]
+
+    str_rows = [("r1", None, 1, "a"), ("r1", None, 2, "b"), ("r1", "p", 3, "c")]
+    df2 = spark.createDataFrame(str_rows, "repo string, path string, seq long, payload string")
+    got2 = sorted(
+        [(r.repo, r.path, r.seq) for r in
+         last_writer_wins(df2, ["repo", "path"], "seq", strategy=strategy).collect()],
+        key=lambda t: (t[1] is None, t[2]),
+    )
+    assert got2 == [("r1", "p", 3), ("r1", None, 2)]
