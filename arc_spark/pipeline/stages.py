@@ -1143,8 +1143,15 @@ class LakeChangesExtract(PipelineStage):
             )
         else:
             since = -1
-        out = table.changes_since(ctx.spark, since)
-        new_seq = table.snapshot().end_seq
+        # ONE pinned snapshot for both the read and the cursor: a merge
+        # committing between a changes_since() and a separate
+        # snapshot().end_seq read would advance the cursor past changes
+        # the emitted frame never contained — silently dropped forever,
+        # breaking at-least-once under a concurrent writer (the exact
+        # deployment this stage exists for).
+        snap = table.snapshot()
+        out = table.changes_since(ctx.spark, since, version=snap.version)
+        new_seq = snap.end_seq
         if cursor_uri:
             if self.params.get("advanceCursor") == "immediate":
                 get_fs(cursor_uri, ctx.spark).write_bytes(

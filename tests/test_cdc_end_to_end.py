@@ -481,3 +481,55 @@ def test_lww_null_keys_collapse_identically(spark, strategy):
         key=lambda t: (t[1] is None, t[2]),
     )
     assert got2 == [("r1", "p", 3), ("r1", None, 2)]
+
+
+def test_lake_changes_extract_pins_one_snapshot(spark, tmp_path, monkeypatch):
+    """A merge committing CONCURRENTLY with the extract must not advance
+    the cursor past changes the emitted frame doesn't contain.
+    Regression: the stage read the manifest twice (changes_since, then a
+    separate snapshot().end_seq) — a merge landing in between was skipped
+    forever. Now one pinned snapshot feeds both, so the racing merge's
+    events surface in the NEXT window."""
+    import json as _json
+
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.pipeline import run_config
+
+    t = LakeTable(str(tmp_path / "race_lake"))
+    df0 = spark.createDataFrame(
+        [(1, "a", 0, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=4)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=0)
+
+    racer = spark.createDataFrame(
+        [(2, "b", 1, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    orig = LakeTable.changes_since
+    state = {"raced": False}
+
+    def racing_changes_since(self, spark_, since_seq, **kw):
+        out = orig(self, spark_, since_seq, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent writer lands AFTER the extract's snapshot read
+            LakeTable(t.root).merge(
+                spark_, racer, epoch=1, start_seq=1, end_seq=1
+            )
+        return out
+
+    monkeypatch.setattr(LakeTable, "changes_since", racing_changes_since)
+    cursor = str(tmp_path / "race_cursor.json")
+    cfg = {"stages": [
+        {"type": "LakeChangesExtract", "name": "c", "tableURI": t.root,
+         "cursorURI": cursor, "outputView": "changes"},
+        {"type": "LakeCursorCommitExecute", "name": "commit"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    assert {r["k"] for r in df.collect()} == {1}  # pre-race window only
+    # cursor must NOT cover the racer's seq
+    assert _json.loads(open(cursor).read())["seq"] == 0
+    # the racer's event is delivered in the next window, not dropped
+    df2, _ = run_config(spark, cfg)
+    assert {(r["k"], r["op"]) for r in df2.collect()} == {(2, "upsert")}
+    assert _json.loads(open(cursor).read())["seq"] == 1
