@@ -153,29 +153,85 @@ class ConditionalPutLocker(CommitLocker):
     winner); losers poll until it disappears. MemoryFS backs the tests;
     a production S3 deployment points this at a consistent side-store
     (the DynamoDB pattern Iceberg's S3 committers use) — the LOCK store
-    needs atomicity, the data store does not."""
+    needs atomicity, the data store does not.
 
-    def __init__(self, fs: ArcFileSystem, root: str, poll_interval: float = 0.05):
+    ``lease_seconds``: opt-in crash recovery. Without it a writer that
+    dies while holding the lock deadlocks every future commit until an
+    operator deletes the lock object. With it the lock carries an
+    expiry; an acquirer finding an EXPIRED lock verifies it unchanged,
+    deletes it, and races ``create_exclusive`` again (exactly one
+    stealer wins — the create is atomic). Standard lease caveats apply,
+    same as a DynamoDB lock without fencing tokens: expiry compares the
+    HOLDER's clock at write time to the STEALER's at read time (keep
+    leases ≫ plausible clock skew), and a holder paused longer than its
+    lease can wake believing it still owns the lock — size the lease
+    well above the longest plausible commit, not at its average."""
+
+    def __init__(
+        self,
+        fs: ArcFileSystem,
+        root: str,
+        poll_interval: float = 0.05,
+        lease_seconds: float | None = None,
+    ):
         self.fs = fs
         self.root = root
         self.poll_interval = poll_interval
+        self.lease_seconds = lease_seconds
 
     def _lock_path(self, key: str) -> str:
         import hashlib
 
         return join(self.root, hashlib.sha256(key.encode()).hexdigest() + ".lock")
 
+    def _steal_if_expired(self, path: str) -> bool:
+        """True if the caller should immediately retry create_exclusive:
+        the lock vanished, or it carried an expiry in the past and was
+        deleted (after a verify-unchanged re-read that shrinks — not
+        closes — the read/delete window; the atomic create after the
+        delete is what guarantees a single winner among stealers)."""
+        import json as _json
+        import time
+
+        try:
+            raw = self.fs.read_bytes(path)
+        except FileNotFoundError:
+            return True
+        try:
+            exp = _json.loads(raw.decode())["expires_at"]
+        except (ValueError, KeyError, TypeError, UnicodeDecodeError):
+            return False  # lease-less payload: never steal
+        if time.time() < float(exp):
+            return False
+        try:
+            if self.fs.read_bytes(path) != raw:
+                return False  # re-locked since we read it
+            self.fs.delete(path)
+        except FileNotFoundError:
+            pass
+        return True
+
     def acquire(self, key: str, timeout: float = 30.0) -> str:
+        import json as _json
         import time
 
         token = os.urandom(8).hex()
         path = self._lock_path(key)
         deadline = time.monotonic() + timeout
         while True:
+            payload = (
+                _json.dumps(
+                    {"token": token, "expires_at": time.time() + self.lease_seconds}
+                ).encode()
+                if self.lease_seconds
+                else token.encode()
+            )
             try:
-                self.fs.create_exclusive(path, token.encode())
+                self.fs.create_exclusive(path, payload)
                 return token
             except FileExistsError:
+                if self.lease_seconds and self._steal_if_expired(path):
+                    continue
                 if time.monotonic() >= deadline:
                     raise TimeoutError(
                         f"commit lock for {key!r} still held after {timeout}s"
@@ -183,12 +239,19 @@ class ConditionalPutLocker(CommitLocker):
                 time.sleep(self.poll_interval)
 
     def release(self, key: str, token: str) -> None:
+        import json as _json
+
         path = self._lock_path(key)
         try:
-            if self.fs.read_bytes(path).decode() == token:
-                self.fs.delete(path)
+            held = self.fs.read_bytes(path).decode()
         except FileNotFoundError:
-            pass
+            return
+        try:
+            held = _json.loads(held)["token"]
+        except (ValueError, KeyError, TypeError):
+            pass  # lease-less payload: the bare token
+        if held == token:
+            self.fs.delete(path)
 
 
 class LocalFS(ArcFileSystem):

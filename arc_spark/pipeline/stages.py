@@ -1695,7 +1695,8 @@ class CDCReplayExecute(PipelineStage):
     REQUIRED = ("eventsURI", "tableURI")
     OPTIONAL = ("batchSize", "strategy", "saltBuckets", "mergeMode",
                 "numBuckets", "maxEpochs", "outputView", "commitLockURI",
-                "lineage", "onBad", "quarantineURI", "metricsURI")
+                "commitLockLeaseSeconds", "lineage", "onBad",
+                "quarantineURI", "metricsURI")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1711,7 +1712,15 @@ class CDCReplayExecute(PipelineStage):
             from arc_spark.fs import ConditionalPutLocker, get_fs
 
             lock_root = self.params["commitLockURI"]
-            locker = ConditionalPutLocker(get_fs(lock_root, ctx.spark), lock_root)
+            # commitLockLeaseSeconds: crash recovery — a writer dying
+            # mid-commit stops blocking successors once the lease expires
+            # (see ConditionalPutLocker's lease caveats)
+            lease = self.params.get("commitLockLeaseSeconds")
+            locker = ConditionalPutLocker(
+                get_fs(lock_root, ctx.spark),
+                lock_root,
+                lease_seconds=float(lease) if lease is not None else None,
+            )
         table = LakeTable(self.params["tableURI"], locker=locker)
         if not table.exists():
             table, _ = create_table_for_stream(

@@ -167,9 +167,26 @@ def test_cdc_replay_execute_with_commit_lock(spark, tmp_path):
     cfg = {"stages": [
         {"type": "CDCReplayExecute", "name": "replay", "eventsURI": stream,
          "tableURI": str(tmp_path / "lk_lake"), "batchSize": 1000,
-         "commitLockURI": lock_root, "outputView": "lk_state"},
+         "commitLockURI": lock_root, "commitLockLeaseSeconds": 120,
+         "outputView": "lk_state"},
     ]}
-    df, ctx = run_config(spark, cfg)
+    # the lease config must reach the constructed locker
+    import arc_spark.fs as _afs
+
+    orig_locker = _afs.ConditionalPutLocker
+    seen: dict = {}
+
+    class _Spy(orig_locker):
+        def __init__(self, *a, **kw):
+            seen.update(kw)
+            super().__init__(*a, **kw)
+
+    _afs.ConditionalPutLocker = _Spy
+    try:
+        df, ctx = run_config(spark, cfg)
+    finally:
+        _afs.ConditionalPutLocker = orig_locker
+    assert seen.get("lease_seconds") == 120.0
     assert df.count() > 0
     epochs = [e for e in ctx.events if e.get("event") == "epoch.complete"]
     assert len(epochs) == 2 and all(e["status"] == "committed" for e in epochs)

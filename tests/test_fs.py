@@ -357,3 +357,42 @@ def test_concurrent_merge_conflict_through_lock_path(spark, tmp_path, monkeypatc
     assert set(snap.committed_epochs) == {"0", "1", "2"}
     rows = {row["k"]: row["v"] for row in t.read(spark).collect()}
     assert rows == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_commit_lock_lease_recovers_crashed_holder():
+    """lease_seconds: a holder that never releases (crashed writer) no
+    longer deadlocks — the next acquirer steals the lock once the lease
+    expires; an UNEXPIRED lease is never stolen; release with a stale
+    token never frees the new holder's lock; lease-less locks keep the
+    old never-steal behavior."""
+    import time
+
+    from arc_spark.fs import ConditionalPutLocker
+
+    store = MemoryFS()
+    locker = ConditionalPutLocker(
+        store, "memory://locks", poll_interval=0.01, lease_seconds=0.3
+    )
+    crashed_token = locker.acquire("memory://t/table")  # never released
+
+    # unexpired: a short-timeout acquire still times out
+    with pytest.raises(TimeoutError):
+        locker.acquire("memory://t/table", timeout=0.1)
+
+    # expired: stolen without operator intervention
+    time.sleep(0.35)
+    tok2 = locker.acquire("memory://t/table", timeout=2.0)
+    assert tok2 != crashed_token
+
+    # the crashed holder waking up cannot free the NEW holder's lock
+    locker.release("memory://t/table", crashed_token)
+    with pytest.raises(TimeoutError):
+        locker.acquire("memory://t/table", timeout=0.1)
+    locker.release("memory://t/table", tok2)
+
+    # lease-less locker: never steals, even from a lease-less stale lock
+    plain = ConditionalPutLocker(store, "memory://locks2", poll_interval=0.01)
+    plain.acquire("memory://t/other")  # held forever
+    time.sleep(0.1)
+    with pytest.raises(TimeoutError):
+        plain.acquire("memory://t/other", timeout=0.2)
