@@ -1041,9 +1041,10 @@ class ANNQueryExtract(PipelineStage):
     every read partition-pruned to the probed bucket/cluster
     directories. The index kind is auto-detected from the meta object
     next to the data (LshIndex vs IVFIndex — both write one). The query
-    comes from ``queryView`` (ANY number of rows: a multi-row view runs
-    the BATCH retrieval path — one pruned index scan answers the whole
-    view, output gains ``query_id``/``rank``) or an inline ``queryVector``
+    comes from ``queryView`` (ANY number of rows — always the BATCH
+    retrieval path: one pruned index scan answers the whole view, output
+    (query_id, rank, id, cosine_sim); the schema depends on the input
+    KIND, never on the view's row count) or an inline ``queryVector``
     list (single-query output: id, cosine_sim)."""
 
     stage_type = "ANNQueryExtract"
@@ -1093,13 +1094,15 @@ class ANNQueryExtract(PipelineStage):
             )
             if not rows:
                 raise ValueError(f"{self.name}: queryView is empty")
-            if len(rows) == 1:
-                out = _single([float(x) for x in rows[0][1]])
-            else:
-                queries = [(r[0], [float(x) for x in r[1]]) for r in rows]
-                out = idx.topk_batch(
-                    ctx.spark, queries, k=k, max_queries=max_q, **kw
-                )
+            # ALWAYS the batch path for a view — the output schema
+            # (query_id, rank, id, cosine_sim) must depend on the input
+            # KIND, not on how many rows the view happened to have today;
+            # a 1-row view silently switching to the single-query shape
+            # would break downstream consumers of query_id/rank.
+            queries = [(r[0], [float(x) for x in r[1]]) for r in rows]
+            out = idx.topk_batch(
+                ctx.spark, queries, k=k, max_queries=max_q, **kw
+            )
         else:
             raise ValueError(f"{self.name}: queryVector or queryView required")
         return self.register_output(ctx, out, self.params["outputView"])

@@ -206,6 +206,10 @@ def test_ann_index_stages_end_to_end(spark, emb, qvec, brute_ids, tmp_path):
     ]}
     df, _ = run_config(spark, cfg)
     assert [r["vec_id"] for r in df.orderBy(F.col("cosine_sim").desc(), "vec_id").collect()] == brute_ids
+    # schema stability: a queryView ALWAYS yields the batch shape, even
+    # with one row — downstream consumers of query_id/rank must not break
+    # when the view shrinks to a single query
+    assert {"query_id", "rank"} <= set(df.columns)
 
 
 def test_lsh_index_multi_probe_recall(spark, emb, qvec, brute_ids, tmp_path):
