@@ -91,6 +91,22 @@ def add_internal_columns(df: DataFrame, *, contiguous_index: bool = True) -> Dat
 
 
 
+def _locker_from_params(params: dict, spark):
+    """commitLockURI/commitLockLeaseSeconds → ConditionalPutLocker (or
+    None) — shared by every stage that commits to a LakeTable."""
+    if not params.get("commitLockURI"):  # absent OR unresolved ${?...}
+        return None
+    from arc_spark.fs import ConditionalPutLocker, get_fs
+
+    lock_root = params["commitLockURI"]
+    lease = params.get("commitLockLeaseSeconds")
+    return ConditionalPutLocker(
+        get_fs(lock_root, spark),
+        lock_root,
+        lease_seconds=float(lease) if lease is not None else None,
+    )
+
+
 def _missing_datasource(e: Exception) -> bool:
     s = str(e)
     return (
@@ -1653,13 +1669,18 @@ class LakeMergeLoad(PipelineStage):
     stage_type = "LakeMergeLoad"
     REQUIRED = ("inputView", "tableURI", "epoch", "startSeq", "endSeq")
     OPTIONAL = ("keys", "seqColumn", "numBuckets", "opColumn", "mode",
-                "bucketLineage")
+                "bucketLineage", "commitLockURI", "commitLockLeaseSeconds")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         from arc_spark.lake.table import LakeTable
 
         df = ctx.spark.table(self.params["inputView"])
-        table = LakeTable(self.params["tableURI"])
+        # same multi-writer safety knobs as CDCReplayExecute — the
+        # single-epoch primitive must not be the one unlockable path
+        table = LakeTable(
+            self.params["tableURI"],
+            locker=_locker_from_params(self.params, ctx.spark),
+        )
         if not table.exists():
             schema = T.StructType(
                 [f for f in df.schema.fields if f.name != self.params.get("opColumn", "op")]
@@ -1706,24 +1727,13 @@ class CDCReplayExecute(PipelineStage):
         from arc_spark.cdc.runner import ReplayRunner
         from arc_spark.lake.table import LakeTable
 
-        locker = None
-        if self.params.get("commitLockURI"):  # absent OR unresolved ${?...}
-            # multi-writer safety on object stores: route the manifest CAS
-            # through a ConditionalPutLocker rooted at a store whose
-            # create-if-absent IS atomic (memory:// in tests, a consistent
-            # side-store in production — see arc_spark.fs.CommitLocker)
-            from arc_spark.fs import ConditionalPutLocker, get_fs
-
-            lock_root = self.params["commitLockURI"]
-            # commitLockLeaseSeconds: crash recovery — a writer dying
-            # mid-commit stops blocking successors once the lease expires
-            # (see ConditionalPutLocker's lease caveats)
-            lease = self.params.get("commitLockLeaseSeconds")
-            locker = ConditionalPutLocker(
-                get_fs(lock_root, ctx.spark),
-                lock_root,
-                lease_seconds=float(lease) if lease is not None else None,
-            )
+        # multi-writer safety on object stores: route the manifest CAS
+        # through a ConditionalPutLocker rooted at a store whose
+        # create-if-absent IS atomic (memory:// in tests, a consistent
+        # side-store in production — see arc_spark.fs.CommitLocker);
+        # commitLockLeaseSeconds adds crash recovery (lease caveats on
+        # ConditionalPutLocker)
+        locker = _locker_from_params(self.params, ctx.spark)
         table = LakeTable(self.params["tableURI"], locker=locker)
         if not table.exists():
             table, _ = create_table_for_stream(

@@ -43,6 +43,7 @@ class StreamingReplay:
         watermark: tuple[str, str] | None = None,  # (eventTime col, delay)
         merge_mode: str = "auto",
         on_bad: str = "error",
+        quarantine_path: str | None = None,
         valid_ops: tuple[str, ...] = ("insert", "update", "delete", "schema-change"),
     ):
         self.spark = spark
@@ -56,11 +57,19 @@ class StreamingReplay:
         # micro-batches from a file tail are usually small vs the table —
         # exactly the merge-on-read regime (see LakeTable.merge)
         self.merge_mode = merge_mode
-        # same malformed-event policy as ReplayRunner (error/ignore; the
-        # batch runner additionally offers quarantine)
-        if on_bad not in ("error", "ignore"):
-            raise ValueError(f"on_bad must be error/ignore, got {on_bad!r}")
+        # same malformed-event policy as ReplayRunner: error fails the
+        # micro-batch before its merge commits; quarantine diverts bad
+        # rows to {quarantine_path}/batch={id} (overwrite — idempotent on
+        # Spark's micro-batch retry, same shape as the batch runner's
+        # per-epoch dirs); ignore drops and counts
+        if on_bad not in ("error", "quarantine", "ignore"):
+            raise ValueError(
+                f"on_bad must be error/quarantine/ignore, got {on_bad!r}"
+            )
+        if on_bad == "quarantine" and not quarantine_path:
+            raise ValueError("on_bad='quarantine' requires quarantine_path")
         self.on_bad = on_bad
+        self.quarantine_path = quarantine_path
         self.valid_ops = tuple(valid_ops)
         self.batches: list[dict] = []
 
@@ -105,6 +114,10 @@ class StreamingReplay:
                 ).otherwise(F.col("op")),
             )
         else:
+            if self.on_bad == "quarantine":
+                batch.filter(bad).write.mode("overwrite").parquet(
+                    f"{self.quarantine_path}/batch={batch_id}"
+                )
             batch = batch.filter(~bad)
         row_ops = batch.filter(F.col("op") != "schema-change")
         deduped = last_writer_wins(row_ops, KEYS, "seq", strategy=self.strategy)
@@ -120,6 +133,17 @@ class StreamingReplay:
             F.min("seq").alias("lo"), F.max("seq").alias("hi")
         ).first()
         if bounds["lo"] is None:
+            # nothing mergeable — but the batch may still have READ events
+            # (e.g. every row was quarantined/ignored as malformed): emit
+            # the counters instead of letting those events vanish from the
+            # metrics log. The bounds action above ran through the observe
+            # node, so obs_read is populated.
+            counters = {**obs_read.get}
+            if counters.get("events_read"):
+                self.batches.append(
+                    {"batch_id": batch_id, "status": "no_mergeable_events",
+                     **counters}
+                )
             return
         result = self.table.merge(
             self.spark,

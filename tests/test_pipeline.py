@@ -298,15 +298,23 @@ def test_lake_merge_load_mode_and_lineage(spark, tmp_path):
         [("r", "p1", 100, "update", "v1b")],
         "repo string, path string, seq long, op string, content string",
     ).createOrReplaceTempView("lml_tail")
+    # epoch 1 also exercises the commit-lock knobs on the single-epoch
+    # primitive (same surface as CDCReplayExecute): commit succeeds
+    # through the locker and the lock is released afterwards
+    lock_root = "memory://locks/lml_test"
     cfg1 = {"stages": [
         {"type": "LakeMergeLoad", "name": "m1", "inputView": "lml_tail",
          "tableURI": root, "epoch": 1, "startSeq": 100, "endSeq": 100,
-         "mode": "delta", "bucketLineage": True},
+         "mode": "delta", "bucketLineage": True,
+         "commitLockURI": lock_root, "commitLockLeaseSeconds": 60},
     ]}
     _, ctx1 = run_config(spark, cfg1)
     r1 = ctx1.user_data["m1.merge"]
     assert r1["status"] == "committed" and r1["mode"] == "delta"
     assert sum(v["keys_applied"] for v in r1["bucket_lineage"].values()) == 1
+    from arc_spark.fs import get_fs
+
+    assert get_fs(lock_root).listdir(lock_root) == []  # released
 
     rows = {r["path"]: r["content"] for r in LakeTable(root).read(spark).collect()}
     assert rows["p1"] == "v1b" and len(rows) == 20

@@ -139,3 +139,72 @@ def test_watermark_windowed_aggregation(spark, stream_path, tmp_path):
     q.awaitTermination()
     got = spark.table("win_counts").agg(F.sum("n")).first()[0]
     assert got == N
+
+
+def test_streaming_quarantine_diverts_bad_events(spark, tmp_path):
+    """on_bad='quarantine' parity with the batch runner: malformed events
+    (unknown op / NULL key on a row op) land under quarantine_path per
+    micro-batch, good events apply, and the counter invariant holds with
+    events_bad excluded from the applied set."""
+    from pyspark.sql import functions as F
+
+    good = [("r", f"p{i}", f"c{i}", i, "update", f"v{i}") for i in range(10)]
+    bad = [("r", None, "cx", 100, "update", "vx"), ("r", "px", "cy", 101, "bogus-op", "vy")]
+    df = spark.createDataFrame(
+        good + bad,
+        "repo string, path string, commit string, seq long, op string, content string",
+    )
+    stream = str(tmp_path / "q_events")
+    df.repartition(2).write.parquet(stream)
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "q_lake"))
+    qdir = str(tmp_path / "quarantine")
+    replay = StreamingReplay(
+        spark, stream, table,
+        checkpoint_dir=str(tmp_path / "q_ckpt"),
+        on_bad="quarantine", quarantine_path=qdir,
+    )
+    batches = replay.run_available()
+    committed = [b for b in batches if b["status"] == "committed"]
+    assert sum(b.get("events_bad", 0) for b in committed) == 2
+    for b in committed:
+        assert b["events_read"] == (
+            b["schema_changes"] + b["keys_applied"] + b["events_deduped"]
+            + b["events_bad"]
+        )
+    qrows = spark.read.parquet(qdir)
+    assert qrows.count() == 2
+    assert {r["seq"] for r in qrows.collect()} == {100, 101}
+    applied = {r["path"] for r in table.read(spark).collect()}
+    assert applied == {f"p{i}" for i in range(10)}  # bad rows never applied
+
+    with pytest.raises(ValueError, match="quarantine_path"):
+        StreamingReplay(
+            spark, stream, table, checkpoint_dir=str(tmp_path / "x"),
+            on_bad="quarantine",
+        )
+
+
+def test_streaming_all_bad_batch_still_reports_counters(spark, tmp_path):
+    """A micro-batch whose every row is malformed has nothing to merge,
+    but its events must not vanish: the batch record carries the read/bad
+    counters (status no_mergeable_events) and the rows land in
+    quarantine."""
+    bad_only = spark.createDataFrame(
+        [("r", None, "c1", 7, "update", "v"), ("r", "p", "c2", 8, "bogus", "v")],
+        "repo string, path string, commit string, seq long, op string, content string",
+    )
+    stream = str(tmp_path / "ab_events")
+    bad_only.coalesce(1).write.parquet(stream)
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "ab_lake"))
+    qdir = str(tmp_path / "ab_quar")
+    replay = StreamingReplay(
+        spark, stream, table, checkpoint_dir=str(tmp_path / "ab_ckpt"),
+        on_bad="quarantine", quarantine_path=qdir,
+    )
+    batches = replay.run_available()
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["status"] == "no_mergeable_events"
+    assert b["events_read"] == 2 and b["events_bad"] == 2
+    assert spark.read.parquet(qdir).count() == 2
+    assert table.read(spark).count() == 0
