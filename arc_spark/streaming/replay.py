@@ -88,81 +88,90 @@ class StreamingReplay:
         return df
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql.observation import Observation
-
+        # NO df.observe/Observation in this path. Inside foreachBatch the
+        # micro-batch DataFrame is bound to a CLONED SparkSession; the
+        # merge's write actions execute on the MAIN session (their plans
+        # are rooted at the table's base read), so an Observation
+        # registered via the batch frame waits on a listener bus the
+        # write never posts to and Observation.get blocks FOREVER — it
+        # only ever worked when the merge's bucket-pruning path happened
+        # to run a discovery action directly on the clone-session frame.
+        # Explicit aggregates are deterministic on any session: the read
+        # counters fuse into the bounds job (one action, not two), and
+        # the applied counters run over the persisted winner set, which
+        # the merge then reuses instead of recomputing the dedup.
         bad = ~F.col("op").isin(*self.valid_ops)
         for k in [*KEYS, "seq"]:
             bad = bad | ((F.col("op") != "schema-change") & F.col(k).isNull())
-        obs_read = Observation(f"sread-{batch_id}")
-        batch = batch.observe(
-            obs_read,
+        good_seq = F.when(~bad, F.col("seq"))
+        stats = batch.agg(
             F.count(F.lit(1)).alias("events_read"),
             F.count_if(F.col("op") == "schema-change").alias("schema_changes"),
             F.count_if(bad).alias("events_bad"),
-        )
-        if self.on_bad == "error":
-            batch = batch.withColumn(
-                "op",
-                F.when(
-                    bad,
-                    F.raise_error(
-                        F.concat(
-                            F.lit("malformed change event, op="),
-                            F.coalesce(F.col("op"), F.lit("NULL")),
-                        )
-                    ).cast("string"),
-                ).otherwise(F.col("op")),
+            F.min(good_seq).alias("lo"),
+            F.max(good_seq).alias("hi"),
+        ).first()
+        if stats["events_bad"] and self.on_bad == "error":
+            raise ValueError(
+                f"batch {batch_id}: {stats['events_bad']} malformed change "
+                f"event(s) (op outside {self.valid_ops} or NULL key/seq on "
+                f"a row op); nothing committed — fix the stream and rerun, "
+                f"or use on_bad='quarantine'/'ignore'"
             )
-        else:
-            if self.on_bad == "quarantine":
-                batch.filter(bad).write.mode("overwrite").parquet(
-                    f"{self.quarantine_path}/batch={batch_id}"
+        if self.on_bad == "quarantine" and stats["events_bad"]:
+            batch.filter(bad).write.mode("overwrite").parquet(
+                f"{self.quarantine_path}/batch={batch_id}"
+            )
+        batch = batch.filter(~bad)
+        if stats["lo"] is None:
+            # nothing mergeable — but the batch may still have READ events
+            # (e.g. every row was quarantined/ignored as malformed): emit
+            # the counters instead of letting those events vanish
+            if stats["events_read"]:
+                self.batches.append(
+                    {"batch_id": batch_id, "status": "no_mergeable_events",
+                     "events_read": stats["events_read"],
+                     "schema_changes": stats["schema_changes"],
+                     "events_bad": stats["events_bad"]}
                 )
-            batch = batch.filter(~bad)
+            return
         row_ops = batch.filter(F.col("op") != "schema-change")
         deduped = last_writer_wins(row_ops, KEYS, "seq", strategy=self.strategy)
         if self.fingerprint:
             deduped = normalize_and_fingerprint(deduped)
-        obs_applied = Observation(f"sapplied-{batch_id}")
-        deduped = deduped.observe(
-            obs_applied,
-            F.count(F.lit(1)).alias("keys_applied"),
-            F.count_if(F.col("op") == "delete").alias("deletes"),
-        )
-        bounds = batch.agg(
-            F.min("seq").alias("lo"), F.max("seq").alias("hi")
-        ).first()
-        if bounds["lo"] is None:
-            # nothing mergeable — but the batch may still have READ events
-            # (e.g. every row was quarantined/ignored as malformed): emit
-            # the counters instead of letting those events vanish from the
-            # metrics log. The bounds action above ran through the observe
-            # node, so obs_read is populated.
-            counters = {**obs_read.get}
-            if counters.get("events_read"):
-                self.batches.append(
-                    {"batch_id": batch_id, "status": "no_mergeable_events",
-                     **counters}
-                )
-            return
-        result = self.table.merge(
-            self.spark,
-            deduped,
-            epoch=batch_id,
-            start_seq=int(bounds["lo"]),
-            end_seq=int(bounds["hi"]),
-            mode=self.merge_mode,
-        )
+        from pyspark import StorageLevel
+
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        try:
+            applied = deduped.agg(
+                F.count(F.lit(1)).alias("keys_applied"),
+                F.count_if(F.col("op") == "delete").alias("deletes"),
+            ).first()
+            result = self.table.merge(
+                self.spark,
+                deduped,
+                epoch=batch_id,
+                start_seq=int(stats["lo"]),
+                end_seq=int(stats["hi"]),
+                mode=self.merge_mode,
+            )
+        finally:
+            deduped.unpersist()
         counters = {}
         if result.get("status") == "committed":
-            counters = {**obs_read.get, **obs_applied.get}
-            if counters.get("events_read") is not None:
-                counters["events_deduped"] = (
-                    counters["events_read"]
-                    - counters["schema_changes"]
-                    - counters["keys_applied"]
-                    - (counters["events_bad"] if self.on_bad != "error" else 0)
-                )
+            counters = {
+                "events_read": stats["events_read"],
+                "schema_changes": stats["schema_changes"],
+                "events_bad": stats["events_bad"],
+                "keys_applied": applied["keys_applied"],
+                "deletes": applied["deletes"],
+            }
+            counters["events_deduped"] = (
+                counters["events_read"]
+                - counters["schema_changes"]
+                - counters["keys_applied"]
+                - counters["events_bad"]
+            )
         self.batches.append({"batch_id": batch_id, **counters, **result})
 
     def start(self):
