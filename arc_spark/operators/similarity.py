@@ -186,6 +186,48 @@ def _live_rows(spark, path: str, df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _compact_persisted_index(idx, spark, partition_cols: list[str]) -> dict:
+    """Shared compact for persisted ANN indexes (LshIndex / IVFIndex):
+    ONE scan applies the tombstone filter, rewrites every partition at
+    generation 0 and clears ``_tombstones/``. The rewrite stages to a
+    sibling directory and swaps via the driver filesystem, so a crash
+    mid-compact leaves the original index intact (single-writer
+    maintenance op, like build)."""
+    import json
+
+    from arc_spark.fs import get_fs, join as fs_join
+
+    fs = get_fs(idx.path, spark)
+    live = idx._live(spark, spark.read.parquet(idx.path))
+    staging = idx.path.rstrip("/") + ".compact-tmp"
+    (
+        live.withColumn("_gen", F.lit(0))
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    new_meta = {**idx.meta, "gen": 0}
+    get_fs(staging, spark).write_bytes(
+        fs_join(staging, idx.META), json.dumps(new_meta).encode()
+    )
+    fs.rmtree(idx.path)
+    # LocalFS/HadoopFS rename; MemoryFS has no rename — copy keys
+    if hasattr(fs, "_fs"):  # HadoopFS
+        fs._fs.rename(fs._path(staging), fs._path(idx.path))
+    else:
+        import os as _os
+
+        try:
+            _os.rename(staging, idx.path)
+        except OSError:
+            for full, _name in list(fs.walk_files(staging)):
+                rel = full[len(staging):].lstrip("/")
+                fs.write_bytes(fs_join(idx.path, rel), fs.read_bytes(full))
+            fs.rmtree(staging)
+    idx.meta = new_meta
+    return {"status": "compacted", "gen": 0}
+
+
 def _index_sync_from_table(idx, spark, table, since_seq: int | None) -> dict:
     """Resumable index freshness from a LakeTable (shared by LshIndex and
     IVFIndex): pull ``changes_since(cursor)``, apply incrementally, and
@@ -492,39 +534,7 @@ class LshIndex:
         Single-writer maintenance operation (like build): the rewrite
         stages to a sibling directory and swaps via the driver filesystem
         so a crash mid-compact leaves the original index intact."""
-        import json
-
-        from arc_spark.fs import get_fs, join as fs_join
-
-        fs = get_fs(self.path, spark)
-        live = self._live(spark, spark.read.parquet(self.path))
-        staging = self.path.rstrip("/") + ".compact-tmp"
-        (
-            live.withColumn("_gen", F.lit(0))
-            .write.partitionBy("band", "_bucket")
-            .mode("overwrite")
-            .parquet(staging)
-        )
-        new_meta = {**self.meta, "gen": 0}
-        get_fs(staging, spark).write_bytes(
-            fs_join(staging, self.META), json.dumps(new_meta).encode()
-        )
-        fs.rmtree(self.path)
-        # LocalFS/HadoopFS rename; MemoryFS has no rename — copy keys
-        if hasattr(fs, "_fs"):  # HadoopFS
-            fs._fs.rename(fs._path(staging), fs._path(self.path))
-        else:
-            import os as _os
-
-            try:
-                _os.rename(staging, self.path)
-            except OSError:
-                for full, _name in list(fs.walk_files(staging)):
-                    rel = full[len(staging):].lstrip("/")
-                    fs.write_bytes(fs_join(self.path, rel), fs.read_bytes(full))
-                fs.rmtree(staging)
-        self.meta = new_meta
-        return {"status": "compacted", "gen": 0}
+        return _compact_persisted_index(self, spark, ["band", "_bucket"])
 
     def _live(self, spark, df: DataFrame) -> DataFrame:
         return _live_rows(spark, self.path, df, self.meta["id_col"])
@@ -941,6 +951,18 @@ class IVFIndex:
         """Resumable freshness from a LakeTable — shared cursor contract,
         see ``_index_sync_from_table``."""
         return _index_sync_from_table(self, spark, table, since_seq)
+
+    def compact(self, spark) -> dict:
+        """Fold maintenance debt into a clean generation-0 base and clear
+        ``_tombstones/`` — same contract as ``LshIndex.compact`` (each
+        ``apply_changes`` otherwise grows the tombstone table every query
+        anti-filters through). Requires a persisted index."""
+        if self.path is None:
+            raise ValueError("compact requires a persisted index "
+                             "(write_index/load first)")
+        out = _compact_persisted_index(self, spark, ["_cluster"])
+        self.assigned = spark.read.parquet(self.path)  # post-swap base
+        return out
 
     def _live(self, spark, df: DataFrame) -> DataFrame:
         if self.path is None:

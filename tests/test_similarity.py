@@ -672,3 +672,46 @@ def test_ivf_incremental_maintenance_matches_rebuild_assignment(spark, tmp_path)
     # second maintain run: no-op
     df2, _ = run_config(spark, cfg)
     assert df2.first()["status"] == "up_to_date"
+
+
+def test_ivf_index_compact_folds_tombstones(spark, tmp_path):
+    """IVFIndex.compact: same contract as LshIndex.compact — live rows
+    rewritten at gen 0, tombstone table cleared, queries unchanged, and
+    maintenance continues cleanly afterwards."""
+    import numpy as np
+
+    from arc_spark.fs import get_fs
+    from arc_spark.operators.similarity import IVFIndex
+
+    def vec(i, shift=0.0):
+        return [float(x + shift) for x in np.random.RandomState(i).randn(16)]
+
+    rows = [(i, vec(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    path = str(tmp_path / "ivf_cmp")
+    idx = IVFIndex.build(df, k=8, seed=7)
+    idx.write_index(path)
+    changes = spark.createDataFrame(
+        [(0, vec(0, 5.0), "upsert"), (1, None, "delete"), (200, vec(200), "upsert")],
+        "vec_id: long, embedding: array<double>, op: string",
+    )
+    idx.apply_changes(spark, changes)
+    q = vec(0, 5.0)
+    before = [r["vec_id"] for r in idx.topk(q, k=8, nprobe=8).collect()]
+    res = idx.compact(spark)
+    assert res == {"status": "compacted", "gen": 0}
+    fs = get_fs(path, spark)
+    assert not fs.exists(f"{path}/{IVFIndex.TOMBSTONES}")
+    reloaded = IVFIndex.load(spark, path)
+    assert reloaded.meta["gen"] == 0
+    after = [r["vec_id"] for r in reloaded.topk(q, k=8, nprobe=8).collect()]
+    assert after == before
+    assert 1 not in after and 0 in after
+    # the in-memory handle also serves correctly post-swap
+    assert [r["vec_id"] for r in idx.topk(q, k=8, nprobe=8).collect()] == before
+    # maintenance continues cleanly after compact
+    more = spark.createDataFrame(
+        [(2, None, "delete")], "vec_id: long, embedding: array<double>, op: string"
+    )
+    assert reloaded.apply_changes(spark, more)["generation"] == 1
+    assert 2 not in [r["vec_id"] for r in reloaded.topk(vec(2), k=8, nprobe=8).collect()]
