@@ -1222,7 +1222,7 @@ class ANNIndexMaintain(PipelineStage):
 
     stage_type = "ANNIndexMaintain"
     REQUIRED = ("inputURI", "tableURI")
-    OPTIONAL = ("sinceSeq", "outputView")
+    OPTIONAL = ("sinceSeq", "outputView", "compactAfterGenerations")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         from arc_spark.fs import get_fs, join as fs_join
@@ -1242,6 +1242,14 @@ class ANNIndexMaintain(PipelineStage):
         res = idx.sync_from_table(
             ctx.spark, table, since_seq=None if since is None else int(since)
         )
+        # compactAfterGenerations: fold tombstone debt back into a clean
+        # base once enough deltas have accumulated — the declarative loop
+        # then needs no separate maintenance job (each generation grows
+        # the tombstone table every query anti-filters through)
+        cap = self.params.get("compactAfterGenerations")
+        if cap is not None and int(idx.meta.get("gen", 0)) >= int(cap):
+            idx.compact(ctx.spark)
+            res = {**res, "compacted": True, "generation": 0}
         logger.info("%s: %s", self.name, res)
         out = ctx.spark.createDataFrame(
             [(res["status"], int(res["last_seq"]),

@@ -715,3 +715,53 @@ def test_ivf_index_compact_folds_tombstones(spark, tmp_path):
     )
     assert reloaded.apply_changes(spark, more)["generation"] == 1
     assert 2 not in [r["vec_id"] for r in reloaded.topk(vec(2), k=8, nprobe=8).collect()]
+
+
+def test_ann_index_maintain_compacts_after_threshold(spark, tmp_path):
+    """ANNIndexMaintain compactAfterGenerations: once the index has
+    accumulated that many delta generations, the stage folds them into a
+    clean gen-0 base in the same run — queries unchanged, tombstones
+    gone."""
+    import numpy as np
+
+    from arc_spark.fs import get_fs
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.operators.similarity import LshIndex
+    from arc_spark.pipeline import run_config
+
+    def vec(i, shift=0.0):
+        return [float(x + shift) for x in np.random.RandomState(i).randn(16)]
+
+    n = 80
+    t = LakeTable(str(tmp_path / "mc_lake"))
+    df0 = spark.createDataFrame(
+        [(i, vec(i), i) for i in range(n)],
+        "vec_id: long, embedding: array<double>, seq: long",
+    )
+    t.create(df0.schema, ["vec_id"], num_buckets=4)
+    t.merge(spark, df0.withColumn("op", F.lit("upsert")), epoch=0,
+            start_seq=0, end_seq=n - 1)
+    path = str(tmp_path / "mc_idx")
+    LshIndex.build_and_write(
+        t.read(spark), path, num_planes=32, bands=16,
+        last_seq=t.snapshot().end_seq,
+    )
+    delta = spark.createDataFrame(
+        [(1, None, n, "delete")],
+        "vec_id: long, embedding: array<double>, seq: long, op: string",
+    )
+    t.merge(spark, delta, epoch=1, start_seq=n, end_seq=n)
+    cfg = {"stages": [
+        {"type": "ANNIndexMaintain", "name": "sync", "inputURI": path,
+         "tableURI": t.root, "compactAfterGenerations": 1,
+         "outputView": "mc_sync"},
+    ]}
+    df, _ = run_config(spark, cfg)
+    row = df.first()
+    assert row["status"] == "applied" and row["generation"] == 0
+    fs = get_fs(path, spark)
+    assert not fs.exists(f"{path}/{LshIndex.TOMBSTONES}")
+    idx = LshIndex.load(spark, path)
+    assert idx.meta["gen"] == 0 and idx.meta["last_seq"] == n
+    got = {r["vec_id"] for r in idx.topk(spark, vec(1), k=8).collect()}
+    assert 1 not in got  # the delete survived the compact
