@@ -105,6 +105,24 @@ class ArcFileSystem:
         """Remove a file (no error if already gone)."""
         raise NotImplementedError
 
+    def delete_if_unchanged(self, path: str, expected: bytes) -> bool:
+        """Conditional delete: remove ``path`` only if its content still
+        equals ``expected``. Returns True if the object is gone (deleted
+        here, or already absent), False if it is present but changed.
+
+        Backends modeling a conditional-write side-store (MemoryFS — the
+        DynamoDB pattern, which has conditional deletes) override this
+        with a genuinely atomic compare-and-delete; this default is
+        read-compare-delete, which SHRINKS but cannot close the window
+        (the same caveat as any lock store without CAS primitives)."""
+        try:
+            if self.read_bytes(path) != bytes(expected):
+                return False
+        except FileNotFoundError:
+            return True
+        self.delete(path)
+        return True
+
     def rmdir_if_empty(self, path: str) -> None:
         raise NotImplementedError
 
@@ -187,9 +205,14 @@ class ConditionalPutLocker(CommitLocker):
     def _steal_if_expired(self, path: str) -> bool:
         """True if the caller should immediately retry create_exclusive:
         the lock vanished, or it carried an expiry in the past and was
-        deleted (after a verify-unchanged re-read that shrinks — not
-        closes — the read/delete window; the atomic create after the
-        delete is what guarantees a single winner among stealers)."""
+        conditionally deleted. The delete compares against the exact
+        payload whose lease we judged expired (fs.delete_if_unchanged):
+        on an atomic-compare store (MemoryFS / a DynamoDB-style side
+        store) a stealer holding a stale read can NEVER remove a lock
+        that was re-acquired after that read; on plain filesystems the
+        fallback shrinks the window without closing it. The atomic
+        create after the delete guarantees a single winner among
+        stealers either way."""
         import json as _json
         import time
 
@@ -203,13 +226,7 @@ class ConditionalPutLocker(CommitLocker):
             return False  # lease-less payload: never steal
         if time.time() < float(exp):
             return False
-        try:
-            if self.fs.read_bytes(path) != raw:
-                return False  # re-locked since we read it
-            self.fs.delete(path)
-        except FileNotFoundError:
-            pass
-        return True
+        return self.fs.delete_if_unchanged(path, raw)
 
     def acquire(self, key: str, timeout: float = 30.0) -> str:
         import json as _json
@@ -401,6 +418,19 @@ class MemoryFS(ArcFileSystem):
     def delete(self, path):
         with self._lock:
             self._objects.pop(self._norm(path), None)
+
+    def delete_if_unchanged(self, path, expected):
+        # true atomic compare-and-delete (the DynamoDB conditional-delete
+        # pattern) — closes the lease-steal read/delete window entirely
+        p = self._norm(path)
+        with self._lock:
+            cur = self._objects.get(p)
+            if cur is None:
+                return True
+            if cur != bytes(expected):
+                return False
+            del self._objects[p]
+            return True
 
     def rmdir_if_empty(self, path):
         pass  # directories are implicit

@@ -396,3 +396,41 @@ def test_commit_lock_lease_recovers_crashed_holder():
     time.sleep(0.1)
     with pytest.raises(TimeoutError):
         plain.acquire("memory://t/other", timeout=0.2)
+
+
+def test_lease_steal_cannot_delete_reacquired_lock():
+    """The TOCTOU the conditional delete closes: stealer S reads an
+    EXPIRED lock payload; before S deletes, another stealer removes the
+    lock and a new writer re-acquires it (live lease). S's delete must
+    then be a no-op — on MemoryFS delete_if_unchanged is an atomic
+    compare-and-delete, so the live lock survives S's stale snapshot.
+    (The old verify-then-delete re-read only shrank this window.)"""
+    import json
+    import time
+
+    from arc_spark.fs import ConditionalPutLocker
+
+    store = MemoryFS()
+    locker = ConditionalPutLocker(
+        store, "memory://locks3", poll_interval=0.01, lease_seconds=30.0
+    )
+    path = locker._lock_path("memory://t/table")
+
+    # the stale snapshot S holds: an expired lease from a crashed writer
+    stale = json.dumps(
+        {"token": "deadbeef", "expires_at": time.time() - 5.0}
+    ).encode()
+    # the store has since been re-acquired by a LIVE writer
+    live_token = locker.acquire("memory://t/table")
+    live_payload = store.read_bytes(path)
+    assert live_payload != stale
+
+    # S wakes up and issues the conditional delete with its stale read
+    assert store.delete_if_unchanged(path, stale) is False
+    assert store.read_bytes(path) == live_payload  # live lock intact
+
+    # and the fs-level contract itself: equal → deleted, absent → True
+    assert store.delete_if_unchanged(path, live_payload) is True
+    assert not store.exists(path)
+    assert store.delete_if_unchanged(path, live_payload) is True
+    locker.release("memory://t/table", live_token)  # no-op, already gone
