@@ -45,6 +45,7 @@ class StreamingReplay:
         on_bad: str = "error",
         quarantine_path: str | None = None,
         valid_ops: tuple[str, ...] = ("insert", "update", "delete", "schema-change"),
+        metrics_path: str | None = None,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -71,7 +72,37 @@ class StreamingReplay:
         self.on_bad = on_bad
         self.quarantine_path = quarantine_path
         self.valid_ops = tuple(valid_ops)
+        # batch-runner parity (ReplayRunner.metrics_path): persist the
+        # per-micro-batch counter records so a long-running stream's
+        # metrics survive a driver restart. Rewritten after every batch
+        # (records are small JSON lines; any arc_spark.fs scheme).
+        self.metrics_path = metrics_path
+        self._prior_metrics: str | None = None  # pre-restart file content
         self.batches: list[dict] = []
+
+    def _record(self, rec: dict) -> None:
+        self.batches.append(rec)
+        if self.metrics_path:
+            import json
+
+            from arc_spark.fs import get_fs
+
+            fs = get_fs(self.metrics_path, self.spark)
+            if self._prior_metrics is None:
+                # first flush of this run: keep records a PREVIOUS run of
+                # the same checkpointed stream already persisted (restart
+                # must extend the log, not clobber it)
+                try:
+                    self._prior_metrics = fs.read_bytes(self.metrics_path).decode()
+                except FileNotFoundError:
+                    self._prior_metrics = ""
+            fs.write_bytes(
+                self.metrics_path,
+                (
+                    self._prior_metrics
+                    + "".join(json.dumps(m) + "\n" for m in self.batches)
+                ).encode(),
+            )
 
     def _stream(self) -> DataFrame:
         # mergeSchema for the same reason as ReplayRunner._events: later
@@ -128,7 +159,7 @@ class StreamingReplay:
             # (e.g. every row was quarantined/ignored as malformed): emit
             # the counters instead of letting those events vanish
             if stats["events_read"]:
-                self.batches.append(
+                self._record(
                     {"batch_id": batch_id, "status": "no_mergeable_events",
                      "events_read": stats["events_read"],
                      "schema_changes": stats["schema_changes"],
@@ -172,7 +203,7 @@ class StreamingReplay:
                 - counters["keys_applied"]
                 - counters["events_bad"]
             )
-        self.batches.append({"batch_id": batch_id, **counters, **result})
+        self._record({"batch_id": batch_id, **counters, **result})
 
     def start(self):
         """Start the streaming query; caller awaits/stops it."""

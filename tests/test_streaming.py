@@ -208,3 +208,38 @@ def test_streaming_all_bad_batch_still_reports_counters(spark, tmp_path):
     assert b["events_read"] == 2 and b["events_bad"] == 2
     assert spark.read.parquet(qdir).count() == 2
     assert table.read(spark).count() == 0
+
+
+def test_streaming_metrics_persist_and_survive_restart(spark, stream_path, tmp_path):
+    """metrics_path parity with the batch runner: per-micro-batch counter
+    records land as JSON lines on an arc_spark.fs scheme after EVERY
+    batch (crash-safe up to the last committed record), and a restarted
+    run on the same checkpoint EXTENDS the log instead of clobbering the
+    first run's records."""
+    import json
+
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lakem"))
+    ckpt = str(tmp_path / "ckptm")
+    mpath = str(tmp_path / "metrics.jsonl")
+    r1 = StreamingReplay(
+        spark, stream_path, table, checkpoint_dir=ckpt,
+        max_files_per_trigger=4, metrics_path=mpath,
+    )
+    batches = r1.run_available()
+    lines = [json.loads(x) for x in open(mpath).read().splitlines()]
+    assert lines == batches and len(lines) >= 2
+    committed = [b for b in lines if b["status"] == "committed"]
+    assert sum(b["events_read"] for b in committed) == N
+
+    # restart on the same checkpoint: nothing new to process, but if a
+    # record IS produced later, it must append after the first run's
+    r2 = StreamingReplay(
+        spark, stream_path, table, checkpoint_dir=ckpt, metrics_path=mpath,
+    )
+    r2.run_available()
+    assert [json.loads(x) for x in open(mpath).read().splitlines()] == lines
+    # simulate a post-restart record: the prior log is preserved
+    r2._record({"batch_id": 99, "status": "committed", "events_read": 0})
+    lines2 = [json.loads(x) for x in open(mpath).read().splitlines()]
+    assert lines2[: len(lines)] == lines
+    assert lines2[-1]["batch_id"] == 99
