@@ -1778,6 +1778,61 @@ class CDCReplayExecute(PipelineStage):
         return None
 
 
+@register_stage
+class CDCStreamExecute(PipelineStage):
+    """Engine-specific: the streaming twin of ``CDCReplayExecute`` — a
+    Structured-Streaming file tail over the change-event directory,
+    applied per micro-batch through foreachBatch into the epoch-fenced
+    lake MERGE (arc_spark.streaming.StreamingReplay). ``availableNow``
+    semantics: process everything currently present, then stop — rerun
+    the job (same checkpointURI) to pick up new files exactly-once. The
+    reference switches the same pipeline to streaming via
+    ``etl.config.streaming`` (ConfigUtils.scala:643-660); here the
+    streaming replay is its own stage because the checkpoint, not the
+    manifest alone, carries the source offsets."""
+
+    stage_type = "CDCStreamExecute"
+    REQUIRED = ("eventsURI", "tableURI", "checkpointURI")
+    OPTIONAL = ("strategy", "mergeMode", "numBuckets", "maxFilesPerTrigger",
+                "outputView", "commitLockURI", "commitLockLeaseSeconds",
+                "onBad", "quarantineURI", "metricsURI")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from arc_spark.cdc.bootstrap import create_table_for_stream
+        from arc_spark.lake.table import LakeTable
+        from arc_spark.streaming.replay import StreamingReplay
+
+        locker = _locker_from_params(self.params, ctx.spark)
+        table = LakeTable(self.params["tableURI"], locker=locker)
+        if not table.exists():
+            table, _ = create_table_for_stream(
+                ctx.spark,
+                self.params["eventsURI"],
+                self.params["tableURI"],
+                num_buckets=int(self.params.get("numBuckets", 32)),
+            )
+            table.locker = locker  # bootstrap constructs its own LakeTable
+        mft = self.params.get("maxFilesPerTrigger")
+        replay = StreamingReplay(
+            ctx.spark,
+            self.params["eventsURI"],
+            table,
+            checkpoint_dir=self.params["checkpointURI"],
+            strategy=self.params.get("strategy", "window"),
+            max_files_per_trigger=int(mft) if mft else None,
+            merge_mode=self.params.get("mergeMode", "auto"),
+            on_bad=self.params.get("onBad", "error"),
+            quarantine_path=self.params.get("quarantineURI"),
+            metrics_path=self.params.get("metricsURI"),
+        )
+        for b in replay.run_available():
+            ctx.events.append({"stage": self.name, **b})
+        out = self.params.get("outputView")
+        if out:
+            return self.register_output(ctx, table.read(ctx.spark), out)
+        return None
+
+
 # ---------------------------------------------------------------------------
 # validate / execute
 # ---------------------------------------------------------------------------

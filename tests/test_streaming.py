@@ -243,3 +243,41 @@ def test_streaming_metrics_persist_and_survive_restart(spark, stream_path, tmp_p
     lines2 = [json.loads(x) for x in open(mpath).read().splitlines()]
     assert lines2[: len(lines)] == lines
     assert lines2[-1]["batch_id"] == 99
+
+
+def test_cdc_stream_execute_stage(spark, stream_path, expected, tmp_path):
+    """Declarative streaming replay: CDCStreamExecute bootstraps the
+    table, tails the event directory with availableNow, merges per
+    micro-batch, and surfaces the per-batch counters as pipeline events.
+    A second run on the same checkpoint finds nothing new (exactly-once);
+    final state matches the single-process reference replay."""
+    from arc_spark.pipeline import run_config
+
+    cfg = {"stages": [{
+        "type": "CDCStreamExecute", "name": "stream",
+        "eventsURI": stream_path,
+        "tableURI": str(tmp_path / "slake"),
+        "checkpointURI": str(tmp_path / "sckpt"),
+        "maxFilesPerTrigger": 4,
+        "metricsURI": str(tmp_path / "smetrics.jsonl"),
+        "outputView": "final",
+    }]}
+    df, ctx = run_config(spark, cfg)
+    batch_events = [e for e in ctx.events if e.get("stage") == "stream"]
+    committed = [e for e in batch_events if e.get("status") == "committed"]
+    assert len(committed) >= 2
+    assert sum(e["events_read"] for e in committed) == N
+    got = {(r["repo"], r["path"]): r["content_sha256"] for r in df.collect()}
+    assert got == expected
+    import os
+
+    assert os.path.exists(str(tmp_path / "smetrics.jsonl"))
+
+    # second run, same checkpoint: no new files -> no new commits
+    from arc_spark.lake.table import LakeTable
+
+    v1 = LakeTable(str(tmp_path / "slake")).current_version()
+    df2, ctx2 = run_config(spark, cfg)
+    assert LakeTable(str(tmp_path / "slake")).current_version() == v1
+    assert not [e for e in ctx2.events
+                if e.get("stage") == "stream" and e.get("status") == "committed"]
