@@ -1026,6 +1026,41 @@ class LakeTable:
         }
 
 
+    def rollback(self, to_version: int) -> dict:
+        """Restore the table to snapshot ``to_version`` by publishing a
+        NEW manifest with that snapshot's state verbatim (files, deltas,
+        committed epochs, schema, counters) — Iceberg's rollback: history
+        stays linear and append-only, the undone versions remain
+        time-travel-readable until ``expire_snapshots``, and no data
+        files move. Because ``committed_epochs`` (and so ``end_seq``)
+        revert too, a replay runner pointed at corrected upstream events
+        resumes from the rolled-back position and re-applies — the
+        bad-batch recovery story for a CDC table.
+
+        Safe whenever the target manifest still exists: expire_snapshots
+        only deletes files referenced by NO surviving manifest, so a
+        surviving manifest's files are always intact. Downstream
+        ``changes_since`` consumers that already saw the undone changes
+        must handle the re-delivery (at-least-once, as ever).
+
+        Goes through the same locked/CAS ``_commit`` as merge; a
+        concurrent writer racing this version raises CommitConflict."""
+        cur = self.current_version()
+        if to_version == cur:
+            return {"status": "noop", "version": cur}
+        # snapshot() raises FileNotFoundError if the manifest was expired
+        m = json.loads(self.fs.read_bytes(self._manifest_path(to_version)))
+        m["version"] = cur + 1
+        m["parent_version"] = cur
+        m["rollback_of"] = to_version
+        v = self._commit(m)
+        return {
+            "status": "rolled_back",
+            "version": v,
+            "restored_version": to_version,
+            "undone_versions": list(range(to_version + 1, cur + 1)),
+        }
+
     def expire_snapshots(self, *, keep_last: int = 2) -> dict:
         """Drop all but the newest ``keep_last`` manifests, then delete data
         files referenced by no surviving manifest (Iceberg

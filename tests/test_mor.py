@@ -360,3 +360,59 @@ def test_time_travel_read(spark, tmp_path):
     table.expire_snapshots(keep_last=1)
     with _pytest.raises(Exception):
         table.read(spark, version=v1).collect()
+
+
+def test_rollback_restores_state_and_resumes_replay(spark, tmp_path):
+    """rollback(v) publishes a NEW manifest with v's state: reads revert,
+    end_seq/epoch revert (so a replay re-applies corrected events from
+    there), the undone version stays time-travel-readable, and a
+    post-rollback merge with a previously-committed epoch id is NOT
+    fenced (committed_epochs reverted with the snapshot)."""
+    root = str(tmp_path / "rb")
+    table = LakeTable(root)
+    b0 = spark.createDataFrame(
+        [("r", "a", 1, "v1", "update"), ("r", "b", 2, "v2", "update")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    table.create(b0.drop("op").schema, ["repo", "path"], num_buckets=4)
+    table.merge(spark, b0, epoch=0, start_seq=1, end_seq=2, mode="cow")
+    v1 = table.current_version()
+
+    # the "bad" batch to undo
+    bad = spark.createDataFrame(
+        [("r", "a", 5, "CORRUPT", "update"), ("r", "b", 6, None, "delete")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    table.merge(spark, bad, epoch=1, start_seq=5, end_seq=6, mode="delta")
+    v2 = table.current_version()
+
+    res = table.rollback(v1)
+    assert res["status"] == "rolled_back" and res["restored_version"] == v1
+    assert res["undone_versions"] == [v2]
+    # linear history: rollback is a NEW version, not a deletion
+    assert table.current_version() == v2 + 1
+
+    now = {r["path"]: r["content"] for r in table.read(spark).collect()}
+    assert now == {"a": "v1", "b": "v2"}
+    snap = table.snapshot()
+    assert snap.end_seq == 2 and snap.epoch == 0
+    # the undone version is still time-travel-readable until expiry
+    undone = {r["path"]: r["content"] for r in table.read(spark, version=v2).collect()}
+    assert undone == {"a": "CORRUPT"}
+
+    # corrected events re-apply with the SAME epoch id — not fenced,
+    # because committed_epochs reverted with the snapshot
+    fixed = spark.createDataFrame(
+        [("r", "a", 5, "v1b", "update"), ("r", "b", 6, None, "delete")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    out = table.merge(spark, fixed, epoch=1, start_seq=5, end_seq=6, mode="delta")
+    assert out["status"] == "committed"
+    assert {r["path"]: r["content"] for r in table.read(spark).collect()} == {"a": "v1b"}
+
+    # rollback to the current version is a no-op
+    assert table.rollback(table.current_version())["status"] == "noop"
+
+    # expiry keeps the files the (surviving) rollback manifest references
+    table.expire_snapshots(keep_last=2)
+    assert {r["path"]: r["content"] for r in table.read(spark).collect()} == {"a": "v1b"}
