@@ -2522,6 +2522,35 @@ class LakeExpireExecute(PipelineStage):
         return None
 
 
+@register_stage
+class LakeRollbackExecute(PipelineStage):
+    """Engine-specific maintenance stage: restore the table to a prior
+    snapshot as a NEW manifest version (LakeTable.rollback) — the
+    declarative bad-batch undo. ``toVersion`` picks the snapshot;
+    ``commitLockURI``/``commitLockLeaseSeconds`` route the commit through
+    the same lock the writers use (required under concurrent writers on
+    object stores)."""
+
+    stage_type = "LakeRollbackExecute"
+    REQUIRED = ("tableURI", "toVersion")
+    OPTIONAL = ("commitLockURI", "commitLockLeaseSeconds", "outputView")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from arc_spark.lake.table import LakeTable
+
+        table = LakeTable(
+            self.params["tableURI"],
+            locker=_locker_from_params(self.params, ctx.spark),
+        )
+        res = table.rollback(int(self.params["toVersion"]))
+        ctx.user_data[f"{self.name}.result"] = res
+        ctx.events.append({"stage": self.name, **res})
+        out = self.params.get("outputView")
+        if out:
+            return self.register_output(ctx, table.read(ctx.spark), out)
+        return None
+
+
 # lifecycle plugins resolvable from `plugins.lifecycle` config entries
 # (config/ArcPipeline.scala:86 resolveConfigPlugins on "plugins.lifecycle")
 from arc_spark.pipeline.config import register_lifecycle  # noqa: E402

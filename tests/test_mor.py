@@ -416,3 +416,32 @@ def test_rollback_restores_state_and_resumes_replay(spark, tmp_path):
     # expiry keeps the files the (surviving) rollback manifest references
     table.expire_snapshots(keep_last=2)
     assert {r["path"]: r["content"] for r in table.read(spark).collect()} == {"a": "v1b"}
+
+
+def test_lake_rollback_execute_stage(spark, tmp_path):
+    """Declarative rollback: LakeRollbackExecute restores toVersion and
+    returns the restored table through outputView."""
+    from arc_spark.pipeline import run_config
+
+    root = str(tmp_path / "rbstage")
+    table = LakeTable(root)
+    b0 = spark.createDataFrame(
+        [("r", "a", 1, "good", "update")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    table.create(b0.drop("op").schema, ["repo", "path"], num_buckets=2)
+    table.merge(spark, b0, epoch=0, start_seq=1, end_seq=1, mode="cow")
+    v1 = table.current_version()
+    bad = spark.createDataFrame(
+        [("r", "a", 2, "BAD", "update")],
+        "repo string, path string, seq long, content string, op string",
+    )
+    table.merge(spark, bad, epoch=1, start_seq=2, end_seq=2, mode="cow")
+
+    df, ctx = run_config(spark, {"stages": [
+        {"type": "LakeRollbackExecute", "name": "undo",
+         "tableURI": root, "toVersion": v1, "outputView": "restored"},
+    ]})
+    assert [r["content"] for r in df.collect()] == ["good"]
+    ev = [e for e in ctx.events if e.get("stage") == "undo"]
+    assert ev and ev[0]["status"] == "rolled_back"
