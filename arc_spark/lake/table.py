@@ -1061,6 +1061,44 @@ class LakeTable:
             "undone_versions": list(range(to_version + 1, cur + 1)),
         }
 
+    def undone_since(
+        self, cursor_seq: int, cursor_version: int, *, current_version: int | None = None
+    ) -> int | None:
+        """Rollback detection for incremental consumers: if a rollback
+        published AFTER ``cursor_version`` restored the table to an
+        end_seq BELOW ``cursor_seq``, the consumer has already consumed
+        changes that were undone — and because the re-applied corrected
+        events reuse the same seq range, a plain seq cursor would skip
+        them forever. Returns the lowest restored end_seq to reset the
+        cursor to (re-deliver from there, at-least-once), or None if the
+        consumer's position was never undone.
+
+        Walks the manifest parent chain from ``current_version`` down to
+        ``cursor_version``; if expiry broke the chain, verification stops
+        there (best-effort, same as any log-retention guarantee)."""
+        v = self.current_version() if current_version is None else current_version
+        reset_to: int | None = None
+        while v > cursor_version:
+            try:
+                m = json.loads(self.fs.read_bytes(self._manifest_path(v)))
+            except FileNotFoundError:
+                break  # chain expired before cursor_version — unverifiable
+            if m.get("rollback_of") is not None:
+                # the rollback manifest carries the RESTORED state, so its
+                # own committed_epochs give the restored end_seq directly
+                restored_end = max(
+                    (int(e["end_seq"]) for e in m["committed_epochs"].values()),
+                    default=-1,
+                )
+                if restored_end < cursor_seq:
+                    reset_to = (
+                        restored_end
+                        if reset_to is None
+                        else min(reset_to, restored_end)
+                    )
+            v = m.get("parent_version", -1)
+        return reset_to
+
     def expire_snapshots(self, *, keep_last: int = 2) -> dict:
         """Drop all but the newest ``keep_last`` manifests, then delete data
         files referenced by no surviving manifest (Iceberg

@@ -1134,16 +1134,24 @@ class LakeChangesExtract(PipelineStage):
     pruned read).
 
     Cursor protocol: ``sinceSeq`` overrides; else the JSON object at
-    ``cursorURI`` ({"seq": N}, any arc_spark.fs scheme; absent → -1 =
-    full history). The ADVANCED cursor is staged in ctx.user_data and
-    only written by a later ``LakeCursorCommitExecute`` stage — placed
-    AFTER the loads, this gives at-least-once delivery (a failed run
-    replays the same window; consumers dedup by key+seq).
-    ``advanceCursor: immediate`` writes it here instead (at-most-once)."""
+    ``cursorURI`` ({"seq": N, "version": V}, any arc_spark.fs scheme;
+    absent → -1 = full history). The ADVANCED cursor is staged in
+    ctx.user_data and only written by a later ``LakeCursorCommitExecute``
+    stage — placed AFTER the loads, this gives at-least-once delivery (a
+    failed run replays the same window; consumers dedup by key+seq).
+    ``advanceCursor: immediate`` writes it here instead (at-most-once).
+
+    Rollback safety: re-applied corrected events reuse the undone seq
+    range, so a plain seq cursor taken before a rollback would skip the
+    corrections forever. The cursor therefore records the pinned
+    manifest version, and on the next read ``LakeTable.undone_since``
+    walks the manifest chain for rollbacks past it. ``onRollback``:
+    ``error`` (default) fails loudly; ``reset`` re-delivers from the
+    restored position (at-least-once, consumers dedup by key+seq)."""
 
     stage_type = "LakeChangesExtract"
     REQUIRED = ("tableURI", "outputView")
-    OPTIONAL = ("cursorURI", "sinceSeq", "advanceCursor")
+    OPTIONAL = ("cursorURI", "sinceSeq", "advanceCursor", "onRollback")
 
     def execute(self, ctx: PipelineContext) -> DataFrame:
         from arc_spark.fs import get_fs
@@ -1151,15 +1159,17 @@ class LakeChangesExtract(PipelineStage):
 
         table = LakeTable(self.params["tableURI"])
         cursor_uri = self.params.get("cursorURI")
+        cursor_version = None
         if "sinceSeq" in self.params:
             since = int(self.params["sinceSeq"])
         elif cursor_uri:
             fs = get_fs(cursor_uri, ctx.spark)
-            since = (
-                int(json.loads(fs.read_bytes(cursor_uri))["seq"])
-                if fs.exists(cursor_uri)
-                else -1
-            )
+            if fs.exists(cursor_uri):
+                cur = json.loads(fs.read_bytes(cursor_uri))
+                since = int(cur["seq"])
+                cursor_version = cur.get("version")  # absent in old cursors
+            else:
+                since = -1
         else:
             since = -1
         # ONE pinned snapshot for both the read and the cursor: a merge
@@ -1169,17 +1179,35 @@ class LakeChangesExtract(PipelineStage):
         # breaking at-least-once under a concurrent writer (the exact
         # deployment this stage exists for).
         snap = table.snapshot()
+        if cursor_version is not None:
+            reset_to = table.undone_since(
+                since, int(cursor_version), current_version=snap.version
+            )
+            if reset_to is not None:
+                if self.params.get("onRollback") == "reset":
+                    logger.warning(
+                        "%s: table was rolled back past cursor seq %d — "
+                        "resetting to %d and re-delivering (consumers "
+                        "dedup by key+seq)", self.name, since, reset_to,
+                    )
+                    since = reset_to
+                else:
+                    raise ValueError(
+                        f"{self.name}: the table was rolled back below the "
+                        f"cursor (seq {since}); the re-applied corrected "
+                        f"events reuse those seqs, so continuing would skip "
+                        f"them forever. Set onRollback: reset to re-deliver "
+                        f"from seq {reset_to}, or repoint the cursor."
+                    )
         out = table.changes_since(ctx.spark, since, version=snap.version)
-        new_seq = snap.end_seq
+        new_cursor = {"seq": int(snap.end_seq), "version": int(snap.version)}
         if cursor_uri:
             if self.params.get("advanceCursor") == "immediate":
                 get_fs(cursor_uri, ctx.spark).write_bytes(
-                    cursor_uri, json.dumps({"seq": int(new_seq)}).encode()
+                    cursor_uri, json.dumps(new_cursor).encode()
                 )
             else:
-                ctx.user_data.setdefault("lake_cursors", {})[cursor_uri] = int(
-                    new_seq
-                )
+                ctx.user_data.setdefault("lake_cursors", {})[cursor_uri] = new_cursor
         return self.register_output(ctx, out, self.params["outputView"])
 
 
@@ -1198,13 +1226,11 @@ class LakeCursorCommitExecute(PipelineStage):
 
         pending = ctx.user_data.get("lake_cursors", {})
         only = self.params.get("cursorURI")
-        for uri, seq in list(pending.items()):
+        for uri, cur in list(pending.items()):
             if only and uri != only:
                 continue
-            get_fs(uri, ctx.spark).write_bytes(
-                uri, json.dumps({"seq": int(seq)}).encode()
-            )
-            logger.info("%s: cursor %s -> seq %d", self.name, uri, seq)
+            get_fs(uri, ctx.spark).write_bytes(uri, json.dumps(cur).encode())
+            logger.info("%s: cursor %s -> %s", self.name, uri, cur)
             del pending[uri]
         return None
 

@@ -550,3 +550,61 @@ def test_lake_changes_extract_pins_one_snapshot(spark, tmp_path, monkeypatch):
     df2, _ = run_config(spark, cfg)
     assert {(r["k"], r["op"]) for r in df2.collect()} == {(2, "upsert")}
     assert _json.loads(open(cursor).read())["seq"] == 1
+
+
+def test_lake_changes_extract_detects_rollback(spark, tmp_path):
+    """A rollback republishes seqs the consumer already advanced past —
+    with a plain seq cursor the corrected events would be skipped
+    forever. The versioned cursor + undone_since walk detect it: the
+    default errors loudly; onRollback: reset re-delivers from the
+    restored position (at-least-once)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.pipeline import run_config
+
+    t = LakeTable(str(tmp_path / "rb_cons_lake"))
+    df0 = spark.createDataFrame(
+        [(1, "a", 0, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=4)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=0)
+    v_good = t.current_version()
+    bad = spark.createDataFrame(
+        [(2, "BAD", 1, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    t.merge(spark, bad, epoch=1, start_seq=1, end_seq=1)
+
+    cursor = str(tmp_path / "rb_cursor.json")
+    cfg = {"stages": [
+        {"type": "LakeChangesExtract", "name": "c", "tableURI": t.root,
+         "cursorURI": cursor, "outputView": "changes"},
+        {"type": "LakeCursorCommitExecute", "name": "commit"},
+    ]}
+    run_config(spark, cfg)  # consumer saw the bad event, cursor -> seq 1
+    cur = _json.loads(open(cursor).read())
+    assert cur == {"seq": 1, "version": t.current_version()}
+
+    # operator undoes the bad batch and re-applies a corrected seq 1
+    t.rollback(v_good)
+    fixed = spark.createDataFrame(
+        [(2, "good", 1, "upsert")], "k: long, v: string, seq: long, op: string"
+    )
+    t.merge(spark, fixed, epoch=1, start_seq=1, end_seq=1)
+
+    # default: loud failure (continuing would skip the correction forever)
+    with _pytest.raises(ValueError, match="rolled back"):
+        run_config(spark, cfg)
+
+    # onRollback: reset → the corrected event is re-delivered
+    cfg["stages"][0]["onRollback"] = "reset"
+    df, _ = run_config(spark, cfg)
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert (2, "good") in got
+    assert _json.loads(open(cursor).read())["seq"] == 1
+
+    # and the now-clean cursor passes the walk: next window is empty
+    df2, _ = run_config(spark, cfg)
+    assert df2.count() == 0
