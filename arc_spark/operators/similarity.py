@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+import logging
+
+_log = logging.getLogger(__name__)
+
 _USE_DEFAULT_CAP = -1  # sentinel: resolve to dedup.DEFAULT_MAX_BUCKET_SIZE
 
 
@@ -243,12 +247,36 @@ def _index_sync_from_table(idx, spark, table, since_seq: int | None) -> dict:
             "index meta carries no last_seq cursor — build/write with "
             "last_seq=<snapshot end_seq> or pass since_seq explicitly"
         )
+    cursor = int(cursor)
     snap = table.snapshot()
-    if snap.end_seq <= int(cursor):
-        return {"status": "up_to_date", "last_seq": int(cursor)}
-    changes = table.changes_since(spark, int(cursor))
+    # rollback safety: a rollback re-publishes the undone seq range with
+    # corrected content, which a plain seq cursor would skip forever.
+    # The meta also records the manifest version the cursor was taken at;
+    # if a rollback undid the index's position, reset the cursor to the
+    # restored end_seq and re-apply — apply_changes is IDEMPOTENT
+    # (re-tombstone + re-append leaves one live winner per id), so the
+    # index self-heals without operator action.
+    cursor_version = idx.meta.get("last_version")
+    if cursor_version is not None:
+        reset_to = table.undone_since(
+            cursor, int(cursor_version), current_version=snap.version
+        )
+        if reset_to is not None:
+            _log.warning(
+                "index at %s synced past a table rollback (cursor seq %d) "
+                "— resetting to %d and re-applying the corrected range",
+                idx.path, cursor, reset_to,
+            )
+            cursor = reset_to
+    if snap.end_seq <= cursor:
+        # covers the rollback-then-reapplied case too: the reset above
+        # already pulled the cursor below the re-published range
+        return {"status": "up_to_date", "last_seq": cursor}
+    changes = table.changes_since(spark, cursor, version=snap.version)
     stats = idx.apply_changes(
-        spark, changes, extra_meta={"last_seq": int(snap.end_seq)}
+        spark,
+        changes,
+        extra_meta={"last_seq": int(snap.end_seq), "last_version": int(snap.version)},
     )
     return {"status": "applied", "last_seq": int(snap.end_seq), **stats}
 

@@ -765,3 +765,68 @@ def test_ann_index_maintain_compacts_after_threshold(spark, tmp_path):
     assert idx.meta["gen"] == 0 and idx.meta["last_seq"] == n
     got = {r["vec_id"] for r in idx.topk(spark, vec(1), k=8).collect()}
     assert 1 not in got  # the delete survived the compact
+
+
+def test_ann_index_sync_self_heals_after_rollback(spark, tmp_path):
+    """A table rollback re-publishes the undone seq range with corrected
+    vectors; an index synced past that range must NOT stay stale behind
+    a plain seq cursor. The versioned cursor detects the rollback and
+    re-applies the corrected range — apply_changes is idempotent, so the
+    index self-heals to match a rebuild."""
+    import numpy as np
+
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.operators.similarity import LshIndex
+
+    def vec(i, shift=0.0):
+        return [float(x + shift) for x in np.random.RandomState(i).randn(16)]
+
+    t = LakeTable(str(tmp_path / "rb_lake"))
+    n = 60
+    df0 = spark.createDataFrame(
+        [(i, vec(i), i) for i in range(n)],
+        "vec_id: long, embedding: array<double>, seq: long",
+    )
+    t.create(df0.schema, ["vec_id"], num_buckets=4)
+    t.merge(spark, df0.withColumn("op", F.lit("upsert")), epoch=0,
+            start_seq=0, end_seq=n - 1)
+    v_good = t.current_version()
+    path = str(tmp_path / "rb_idx")
+    LshIndex.build_and_write(
+        t.read(spark), path, num_planes=32, bands=16,
+        last_seq=t.snapshot().end_seq,
+    )
+
+    # bad batch lands and the index syncs past it
+    bad = spark.createDataFrame(
+        [(0, vec(999), n, "upsert")],
+        "vec_id: long, embedding: array<double>, seq: long, op: string",
+    )
+    t.merge(spark, bad, epoch=1, start_seq=n, end_seq=n)
+    idx = LshIndex.load(spark, path)
+    assert idx.sync_from_table(spark, t)["status"] == "applied"
+    assert idx.meta["last_version"] == t.current_version()
+
+    # operator rolls back and re-applies the corrected vector (same seq)
+    t.rollback(v_good)
+    fixed = spark.createDataFrame(
+        [(0, vec(0, 2.0), n, "upsert")],
+        "vec_id: long, embedding: array<double>, seq: long, op: string",
+    )
+    t.merge(spark, fixed, epoch=1, start_seq=n, end_seq=n)
+
+    # plain seq comparison would say up_to_date (end_seq unchanged);
+    # the rollback walk forces the re-apply instead
+    res = LshIndex.load(spark, path).sync_from_table(spark, t)
+    assert res["status"] == "applied"
+
+    healed = LshIndex.load(spark, path)
+    rebuilt = LshIndex.build_and_write(
+        t.read(spark), str(tmp_path / "rb_rebuilt"), num_planes=32, bands=16
+    )
+    q = vec(0, 2.0)
+    got = [r["vec_id"] for r in healed.topk(spark, q, k=5).collect()]
+    want = [r["vec_id"] for r in rebuilt.topk(spark, q, k=5).collect()]
+    assert got == want
+    # and a further sync with nothing new is a clean no-op
+    assert LshIndex.load(spark, path).sync_from_table(spark, t)["status"] == "up_to_date"
