@@ -611,6 +611,58 @@ def _cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("repo", "path", "seq", "value", "content_sha256")
 
 
+def _cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-batch undo through the REAL manifest machinery: epoch 0
+    applies the first half of the stream; a corrupted second half is
+    then merged, ROLLED BACK (LakeTable.rollback — new manifest version
+    restoring the epoch-0 snapshot), and the corrected second half
+    re-applied over the SAME seq range. The final table must hash-match
+    a plain LWW oracle that never saw the corruption — if rollback
+    leaked any undone row (files, tombstones, committed_epochs), the
+    content hashes diverge."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="cdcrb_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    cutoff = max_seq // 2
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
+    # epoch 0: good first half
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=cutoff + 1).run(max_epochs=1)
+    v_good = table.current_version()
+    # the bad interlude: second half with corrupted content
+    bad = changes.filter(F.col("seq") > F.lit(cutoff)).withColumn(
+        "content", F.concat(F.lit("CORRUPT "), F.coalesce(F.col("content"), F.lit("")))
+    )
+    bad.repartitionByRange(4, "seq").write.mode("overwrite").parquet(f"{d}/evbad")
+    ReplayRunner(spark, f"{d}/evbad", table, batch_size=max_seq + 1).run()
+    # undo it and re-apply the corrected events over the same seq range
+    table.rollback(v_good)
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=max_seq + 1).run()
+    return table.read(spark).select("repo", "path", "seq", "value", "content_sha256")
+
+
 def _cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-epoch merge where the ``metric`` column arrives as INT in the
     first half of the stream and as BIGINT (with values needing 64 bits)
@@ -1008,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statistics_lineitem": _statistics_lineitem,
         "cdc_replay_mini": _cdc_replay_mini,
         "cdc_quarantine": _cdc_quarantine,
+        "cdc_rollback": _cdc_rollback,
         "cdc_type_widening": _cdc_type_widening,
         "language_id_documents": _language_id_documents,
         "doc_quality": _doc_quality,
@@ -1487,6 +1540,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM c GROUP BY repo, path
             )
             SELECT repo, path, seq, "commit", value,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w WHERE op <> 'delete'
+        """,
+        "cdc_rollback": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       value, props AS content
+                FROM events
+            ), w AS (
+                SELECT repo, path, max(seq) AS seq,
+                       arg_max(op, seq) AS op,
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM c GROUP BY repo, path
+            )
+            SELECT repo, path, seq, value,
                    sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
             FROM w WHERE op <> 'delete'
         """,
