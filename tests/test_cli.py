@@ -172,3 +172,46 @@ def test_example_replay_config_runs(tmp_path):
     assert any(e.get("event") == "exit" and e.get("status") == "success" for e in events)
     epochs = [e for e in events if e.get("event") == "epoch.complete"]
     assert epochs and all("bucket_lineage" in e for e in epochs)
+
+
+def test_example_consumer_config_runs(tmp_path):
+    """examples/lake_consumer.conf: two incremental windows via the CLI —
+    the first drains full history and commits the cursor, the second (after
+    a delta merge) emits only the delta and appends it to the derived
+    dataset."""
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.cdc.runner import ReplayRunner
+    from arc_spark.session import get_spark
+
+    spark = get_spark("exgen2", master="local[4]", shuffle_partitions=8)
+    stream = write_change_stream(
+        spark, str(tmp_path / "ev"), 1200, seed=31, num_partitions=4
+    )
+    table, _ = create_table_for_stream(spark, stream, str(tmp_path / "lake"))
+    ReplayRunner(spark, stream, table, batch_size=800).run(max_epochs=1)
+
+    args = (
+        "--etl.config.uri=examples/lake_consumer.conf",
+        "--etl.config.environment=test",
+        "--etl.config.master=local[4]",
+        f"--table.uri={tmp_path / 'lake'}",
+        f"--cursor.uri={tmp_path / 'cursor.json'}",
+        f"--out.uri={tmp_path / 'derived'}",
+    )
+    r = _run(*args)
+    assert r.returncode == 0, r.stderr[-3000:]
+    cur = json.loads((tmp_path / "cursor.json").read_text())
+    assert cur["seq"] == 799 and "version" in cur
+    n1 = spark.read.parquet(str(tmp_path / "derived")).count()
+    assert n1 > 0
+
+    ReplayRunner(spark, stream, table, batch_size=800).run()  # the rest
+    r2 = _run(*args)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert json.loads((tmp_path / "cursor.json").read_text())["seq"] == 1199
+    derived = spark.read.parquet(str(tmp_path / "derived"))
+    n2 = derived.count()
+    assert n2 > n1
+    # the second window carried only post-cursor seqs
+    assert derived.where("seq > 799").count() == n2 - n1
