@@ -74,10 +74,9 @@ class StreamingReplay:
         self.valid_ops = tuple(valid_ops)
         # batch-runner parity (ReplayRunner.metrics_path): persist the
         # per-micro-batch counter records so a long-running stream's
-        # metrics survive a driver restart. Rewritten after every batch
-        # (records are small JSON lines; any arc_spark.fs scheme).
+        # metrics survive a driver restart. One JSON line appended per
+        # batch (any arc_spark.fs scheme).
         self.metrics_path = metrics_path
-        self._prior_metrics: str | None = None  # pre-restart file content
         self.batches: list[dict] = []
 
     def _record(self, rec: dict) -> None:
@@ -87,22 +86,15 @@ class StreamingReplay:
 
             from arc_spark.fs import get_fs
 
-            fs = get_fs(self.metrics_path, self.spark)
-            if self._prior_metrics is None:
-                # first flush of this run: keep records a PREVIOUS run of
-                # the same checkpointed stream already persisted (restart
-                # must extend the log, not clobber it)
-                try:
-                    self._prior_metrics = fs.read_bytes(self.metrics_path).decode()
-                except FileNotFoundError:
-                    self._prior_metrics = ""
-            fs.write_bytes(
-                self.metrics_path,
-                (
-                    self._prior_metrics
-                    + "".join(json.dumps(m) + "\n" for m in self.batches)
-                ).encode(),
-            )
+            # one appended line per batch — O(total records) bytes over
+            # the stream's lifetime, and a restart naturally extends the
+            # previous run's log. Backends without native append fall
+            # back to read+rewrite inside open_append (documented cost on
+            # object storage; point metrics at HDFS/local there).
+            with get_fs(self.metrics_path, self.spark).open_append(
+                self.metrics_path
+            ) as out:
+                out.write((json.dumps(rec) + "\n").encode())
 
     def _stream(self) -> DataFrame:
         # mergeSchema for the same reason as ReplayRunner._events: later
