@@ -304,6 +304,56 @@ def _cdc_lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium wire-format round trip: events serialized as Debezium
+    change-event envelopes (before/after/op/source.lsn JSON — the binlog
+    connector wire format), parsed back through the pure-codegen envelope
+    adapter (arc_spark/cdc/debezium.py), LWW-applied. Final state must
+    equal a plain arg_max LWW over the source rows — proving the
+    serialize→parse→apply path loses nothing (op side selection, delete
+    from `before`, seq from source.lsn, double/string JSON round trip)."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.apply import last_writer_wins
+    from arc_spark.cdc.debezium import parse_debezium
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    payload = F.struct(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+    is_del = F.col("event_type") == "error"
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.when(is_del, payload).alias("before"),
+                    F.when(~is_del, payload).alias("after"),
+                    F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                    (F.col("event_id") * 1000).alias("ts_ms"),
+                    F.struct(
+                        F.col("event_id").cast("long").alias("lsn"),
+                        F.lit(None).cast("long").alias("pos"),
+                    ).alias("source"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+    parsed = parse_debezium(
+        raw, "user_id bigint, event_type string, value double, props string"
+    ).drop("_ts_ms")
+    winners = last_writer_wins(parsed, ["user_id"], "seq", strategy="thin")
+    return winners.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def _diff_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DiffTransform analogue: left-only rows between two projections of
     orders (reference: transform/DiffTransform.scala:116-171)."""
@@ -1043,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_summary": _lang_quality_summary,
         "knn_brute": _knn_brute,
         "cdc_lww_events": _cdc_lww_events,
+        "cdc_debezium": _cdc_debezium,
         "diff_views": _diff_views,
         "rollup_order_stats": _rollup_order_stats,
         "customers_without_orders": _customers_without_orders,
@@ -1427,6 +1478,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, last_seq, event_type, value,
                    regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '') AS props,
                    sha256(regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w WHERE event_type <> 'error'
+        """,
+        "cdc_debezium": """
+            WITH w AS (
+                SELECT user_id,
+                       max(event_id) AS last_seq,
+                       arg_max(event_type, event_id) AS event_type,
+                       arg_max(value, event_id) AS value,
+                       arg_max(props, event_id) AS props
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, last_seq, event_type, value, props
             FROM w WHERE event_type <> 'error'
         """,
         "diff_views": """

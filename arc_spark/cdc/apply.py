@@ -215,6 +215,13 @@ def normalize_and_fingerprint(
 # ---------------------------------------------------------------------------
 
 
+# Winner sets up to this many rows broadcast in the thin strategies'
+# join-back ("auto" mode). ~1M (key, seq) rows ≈ 100-200 MB of hash
+# relation per executor — inside a normal 4-8 GB executor budget; above
+# it the join falls back to AQE's shuffle/broadcast decision.
+DEFAULT_MAX_BROADCAST_WINNERS = 1_000_000
+
+
 def last_writer_wins(
     df: DataFrame,
     keys: list[str],
@@ -223,6 +230,8 @@ def last_writer_wins(
     strategy: str = "window",
     num_partitions: int | None = None,
     salt_buckets: int | None = None,
+    broadcast_winners: bool | str = "auto",
+    max_broadcast_winners: int = DEFAULT_MAX_BROADCAST_WINNERS,
 ) -> DataFrame:
     """Collapse ``df`` to one row per ``keys`` — the row with max ``seq_col``.
 
@@ -233,26 +242,59 @@ def last_writer_wins(
     already collapses every key to ≤1 row per MAP task, so a hot key
     reaches the reducer with at most P rows (P = upstream partitions) —
     the pathological single-key-dominates-a-reducer case cannot occur.
+
+    ``broadcast_winners`` (thin / thin_window only) controls the
+    join-back build side: ``True`` = always ``F.broadcast(winners)``,
+    ``False`` = leave it to AQE, ``"auto"`` (default) = count the winner
+    set (one thin, column-pruned job) and broadcast iff ≤
+    ``max_broadcast_winners``. Measured (2M events, 2 epochs): relying
+    on AQE the semi join ran as SMJ and the replay shuffled 656 MB;
+    explicit broadcast cut it to 156 MB vs window's 438 MB — the fat
+    rows never cross the wire at all.
     """
     if strategy == "max_by":
         return _lww_max_by(df, keys, seq_col, salt_buckets)
     if strategy == "thin":
-        return _lww_thin(df, keys, seq_col, salt_buckets)
+        return _lww_thin(
+            df, keys, seq_col, salt_buckets,
+            broadcast=broadcast_winners, max_broadcast=max_broadcast_winners,
+        )
     if strategy == "window":
         return _lww_window(df, keys, seq_col)
     if strategy == "thin_window":
-        return _lww_thin_window(df, keys, seq_col)
+        return _lww_thin_window(
+            df, keys, seq_col,
+            broadcast=broadcast_winners, max_broadcast=max_broadcast_winners,
+        )
     if strategy == "sort_partitions":
         return _lww_sort_partitions(df, keys, seq_col, num_partitions)
     raise ValueError(f"unknown LWW strategy: {strategy!r}")
 
 
-def _lww_semi_join_back(df: DataFrame, winners: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+def _lww_semi_join_back(
+    df: DataFrame,
+    winners: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    broadcast: bool | str = False,
+    max_broadcast: int = DEFAULT_MAX_BROADCAST_WINNERS,
+) -> DataFrame:
     """Null-safe LEFT SEMI join of the full rows onto the winning
     (keys, seq) set. A null-unsafe join would silently drop NULL-keyed
     rows, while max_by/window keep them as a group — every strategy must
-    produce identical output. AQE broadcasts the winner set when small,
-    so the fat side never shuffles."""
+    produce identical output.
+
+    ``broadcast="auto"`` counts the winner set first: the count job reads
+    only the thin (keys, seq) projection (Parquet column pruning), and a
+    winner set under ``max_broadcast`` rows is broadcast explicitly —
+    AQE alone was measured leaving this join as SMJ (the pre-shuffle
+    size estimate of an aggregate output is not trusted for the
+    conversion), which re-shuffles every fat row and erases the whole
+    point of late materialization."""
+    if broadcast == "auto":
+        broadcast = winners.count() <= max_broadcast
+    if broadcast:
+        winners = F.broadcast(winners)
     d, w = df.alias("_d"), winners.alias("_w")
     cond = None
     for k in [*keys, seq_col]:
@@ -261,7 +303,14 @@ def _lww_semi_join_back(df: DataFrame, winners: DataFrame, keys: list[str], seq_
     return d.join(w, cond, "left_semi")
 
 
-def _lww_thin(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:
+def _lww_thin(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    salt_buckets: int | None,
+    broadcast: bool | str = "auto",
+    max_broadcast: int = DEFAULT_MAX_BROADCAST_WINNERS,
+) -> DataFrame:
     """Late-materialization LWW — the scale default.
 
     ``max_by(struct(*))`` drags the full payload (content ~KBs/row) through
@@ -287,7 +336,7 @@ def _lww_thin(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | 
         )
     else:
         winners = thin.groupBy(*keys).agg(F.max(seq_col).alias(seq_col))
-    return _lww_semi_join_back(df, winners, keys, seq_col)
+    return _lww_semi_join_back(df, winners, keys, seq_col, broadcast, max_broadcast)
 
 
 def _lww_max_by(df: DataFrame, keys: list[str], seq_col: str, salt_buckets: int | None) -> DataFrame:
@@ -316,7 +365,13 @@ def _lww_window(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
     )
 
 
-def _lww_thin_window(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+def _lww_thin_window(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    broadcast: bool | str = "auto",
+    max_broadcast: int = DEFAULT_MAX_BROADCAST_WINNERS,
+) -> DataFrame:
     """Window LWW over ONLY (keys, seq), then null-safe semi join back.
 
     ``window`` shuffles the surviving FULL rows (≤1 per key per map task,
@@ -334,7 +389,7 @@ def _lww_thin_window(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return _lww_semi_join_back(df, winners, keys, seq_col)
+    return _lww_semi_join_back(df, winners, keys, seq_col, broadcast, max_broadcast)
 
 
 def _lww_sort_partitions(
