@@ -7,3 +7,8 @@ from arc_spark.cdc.generator import change_stream, write_change_stream  # noqa: 
 from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint  # noqa: F401
 from arc_spark.cdc.reference import reference_replay  # noqa: F401
 from arc_spark.cdc.runner import ReplayRunner  # noqa: F401
+from arc_spark.cdc.debezium import (  # noqa: F401
+    parse_debezium,
+    stage_debezium,
+    to_debezium_json,
+)

@@ -20,8 +20,24 @@ def create_table_for_stream(
     fingerprint: bool = True,
     drop_cols: tuple[str, ...] = ("op",),
     overwrite: bool = True,
+    events_format: str = "parquet",
+    payload_schema=None,
 ) -> tuple[LakeTable, Snapshot]:
-    stream_schema = spark.read.parquet(events_path).schema
+    if events_format == "debezium":
+        # the table shape is the parsed envelope's canonical frame:
+        # payload columns + seq (op is dropped below like any stream)
+        from pyspark.sql.types import LongType
+
+        from arc_spark.cdc.debezium import _payload_struct
+
+        if payload_schema is None:
+            raise ValueError("events_format='debezium' requires payload_schema")
+        stream_schema = StructType(
+            [*_payload_struct(payload_schema).fields,
+             StructField(seq_col, LongType(), True)]
+        )
+    else:
+        stream_schema = spark.read.parquet(events_path).schema
     fields = [f for f in stream_schema.fields if f.name not in drop_cols]
     if fingerprint and "content_sha256" not in {f.name for f in fields}:
         fields.append(StructField("content_sha256", StringType(), True))

@@ -42,7 +42,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["debezium_envelope_schema", "parse_debezium", "OP_MAP"]
+__all__ = [
+    "debezium_envelope_schema",
+    "parse_debezium",
+    "stage_debezium",
+    "to_debezium_json",
+    "OP_MAP",
+]
 
 # Debezium op -> engine op. "r" (snapshot read) and "c" (create) both
 # materialize as upserts; LWW seq ordering makes the distinction moot
@@ -181,4 +187,106 @@ def parse_debezium(
         F.coalesce(op, envc["op"]).alias("op"),
         seq.cast("long").alias("seq"),
         envc["ts_ms"].alias("_ts_ms"),
+    )
+
+
+# Debezium serializes deletes with the row image in `before` and
+# `after=null`; everything else carries `after`. The inverse of the
+# op→engine mapping used by parse (schema-change has no Debezium row-op —
+# DDL travels on the connector's separate schema-change topic, so the
+# serializer rejects it rather than inventing a wire format).
+_ENGINE_OP_TO_DBZ = {"insert": "c", "update": "u", "delete": "d"}
+
+
+def to_debezium_json(df: DataFrame, *, seq_col: str = "seq") -> DataFrame:
+    """Serialize a canonical change frame (payload cols + ``op`` +
+    ``seq``) into one-column ``value: string`` Debezium envelopes —
+    the test/demo inverse of :func:`parse_debezium` (pure ``to_json``
+    codegen; the log position lands in ``source.lsn`` so the default
+    seq derivation round-trips).
+
+    Rows whose op has no Debezium row-op equivalent (``schema-change``)
+    raise at execution: Debezium publishes DDL on a separate
+    schema-change topic, so a caller must route those rows elsewhere
+    (``df.filter(op != 'schema-change')``) before serializing.
+    """
+    payload_cols = [c for c in df.columns if c not in ("op", seq_col)]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    dbz_op = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _ENGINE_OP_TO_DBZ.items() for x in kv]
+        ),
+        F.col("op"),
+    )
+    dbz_op = F.when(dbz_op.isNotNull(), dbz_op).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("op has no Debezium row-op equivalent: "),
+                F.coalesce(F.col("op"), F.lit("NULL")),
+            )
+        )
+    )
+    is_del = F.col("op") == "delete"
+    return df.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.when(is_del, payload).alias("before"),
+                    F.when(~is_del, payload).alias("after"),
+                    dbz_op.alias("op"),
+                    (F.col(seq_col).cast("long")).alias("ts_ms"),
+                    F.struct(
+                        F.col(seq_col).cast("long").alias("lsn"),
+                        F.lit(None).cast("long").alias("pos"),
+                    ).alias("source"),
+                ).alias("payload")
+            )
+        ).alias("value")
+    )
+
+
+def stage_debezium(
+    spark,
+    json_path: str,
+    out_path: str,
+    payload_schema: T.StructType | str,
+    *,
+    seq_expr: Column | str | None = None,
+    wrapper: str = "auto",
+    drop_unparseable: bool = False,
+    num_files: int | None = None,
+) -> None:
+    """One-pass staging: a raw Debezium JSON tail → seq-range-clustered
+    parquet that :class:`~arc_spark.cdc.runner.ReplayRunner` replays with
+    full pushdown.
+
+    WHY a separate pass: the batch runner filters each epoch by a seq
+    range. On parquet that filter prunes row groups via min/max stats —
+    each epoch reads O(epoch) bytes. On raw JSON there are no stats and
+    no column pruning, so replaying a tail of E events in K epochs
+    directly would parse the FULL tail K times (O(E·K) — quadratic in
+    stream length for fixed batch size). Staging parses once and
+    ``repartitionByRange(seq)`` clusters the output so every later
+    seq-window read prunes to the few files covering it. At 10^10 events
+    this is the difference between one linear pass and re-parsing
+    petabytes per epoch.
+
+    ``num_files`` defaults to one file per ~512k events (bounded below
+    at the session's shuffle parallelism) — big enough for efficient
+    scans, small enough that an epoch touches few files.
+    """
+    raw = spark.read.text(json_path)
+    parsed = parse_debezium(
+        raw,
+        payload_schema,
+        seq_expr=seq_expr,
+        wrapper=wrapper,
+        drop_unparseable=drop_unparseable,
+    ).drop("_ts_ms")
+    if num_files is None:
+        n_events = raw.count()
+        default_par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_files = max(min(default_par, 32), n_events // 512_000 + 1)
+    parsed.repartitionByRange(num_files, "seq").write.mode("overwrite").parquet(
+        out_path
     )

@@ -61,12 +61,30 @@ class ReplayRunner:
         on_bad: str = "error",
         quarantine_path: str | None = None,
         valid_ops: tuple[str, ...] = ("insert", "update", "delete", "schema-change"),
+        events_format: str = "parquet",
+        payload_schema=None,
     ):
         self.spark = spark
         self.keys = list(keys) if keys else list(KEYS)
         self.seq_col = seq_col
         self.events_path = events_path
         self.table = table
+        # "parquet" (default): staged change events, seq-range filters
+        # prune row groups — each epoch reads O(epoch) bytes.
+        # "debezium": a raw Debezium JSON tail parsed inline
+        # (arc_spark.cdc.debezium.parse_debezium; payload_schema required).
+        # JSON has no stats to prune by, so EVERY epoch re-parses the full
+        # tail — fine for small tails and tests, O(stream · epochs) at
+        # scale: stage big tails once with stage_debezium() and replay
+        # the parquet.
+        if events_format not in ("parquet", "debezium"):
+            raise ValueError(
+                f"events_format must be parquet/debezium, got {events_format!r}"
+            )
+        if events_format == "debezium" and payload_schema is None:
+            raise ValueError("events_format='debezium' requires payload_schema")
+        self.events_format = events_format
+        self.payload_schema = payload_schema
         self.batch_size = batch_size
         self.strategy = strategy
         self.salt_buckets = salt_buckets
@@ -114,6 +132,11 @@ class ReplayRunner:
     # ------------------------------------------------------------------
 
     def _events(self) -> DataFrame:
+        if self.events_format == "debezium":
+            from arc_spark.cdc.debezium import parse_debezium
+
+            raw = self.spark.read.text(self.events_path)
+            return parse_debezium(raw, self.payload_schema).drop("_ts_ms")
         # mergeSchema: a binlog's later files may carry columns earlier
         # files lack (the schema-evolution case); without it Spark infers
         # the schema from ONE footer and can silently drop the new column

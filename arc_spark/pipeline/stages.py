@@ -1754,12 +1754,30 @@ class CDCReplayExecute(PipelineStage):
     OPTIONAL = ("batchSize", "strategy", "saltBuckets", "mergeMode",
                 "numBuckets", "maxEpochs", "outputView", "commitLockURI",
                 "commitLockLeaseSeconds", "lineage", "onBad",
-                "quarantineURI", "metricsURI")
+                "quarantineURI", "metricsURI", "eventsFormat",
+                "payloadSchema", "stageURI")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
         from arc_spark.cdc.runner import ReplayRunner
         from arc_spark.lake.table import LakeTable
+
+        events_uri = self.params["eventsURI"]
+        events_format = self.params.get("eventsFormat", "parquet")
+        payload_schema = self.params.get("payloadSchema")
+        if events_format == "debezium" and self.params.get("stageURI"):
+            # scale path for a raw JSON tail: parse ONCE into
+            # seq-clustered parquet (see stage_debezium's rescan
+            # rationale), then replay the parquet with full pushdown.
+            # Without stageURI the runner parses the tail inline per
+            # epoch — fine for small tails.
+            from arc_spark.cdc.debezium import stage_debezium
+
+            stage_debezium(
+                ctx.spark, events_uri, self.params["stageURI"], payload_schema
+            )
+            events_uri = self.params["stageURI"]
+            events_format = "parquet"
 
         # multi-writer safety on object stores: route the manifest CAS
         # through a ConditionalPutLocker rooted at a store whose
@@ -1772,15 +1790,19 @@ class CDCReplayExecute(PipelineStage):
         if not table.exists():
             table, _ = create_table_for_stream(
                 ctx.spark,
-                self.params["eventsURI"],
+                events_uri,
                 self.params["tableURI"],
                 num_buckets=int(self.params.get("numBuckets", 32)),
+                events_format=events_format,
+                payload_schema=payload_schema,
             )
             table.locker = locker  # bootstrap constructs its own LakeTable
         runner = ReplayRunner(
             ctx.spark,
-            self.params["eventsURI"],
+            events_uri,
             table,
+            events_format=events_format,
+            payload_schema=payload_schema,
             batch_size=int(self.params.get("batchSize", 100_000)),
             strategy=self.params.get("strategy", "window"),
             salt_buckets=(
@@ -1821,13 +1843,16 @@ class CDCStreamExecute(PipelineStage):
     REQUIRED = ("eventsURI", "tableURI", "checkpointURI")
     OPTIONAL = ("strategy", "mergeMode", "numBuckets", "maxFilesPerTrigger",
                 "outputView", "commitLockURI", "commitLockLeaseSeconds",
-                "onBad", "quarantineURI", "metricsURI")
+                "onBad", "quarantineURI", "metricsURI", "eventsFormat",
+                "payloadSchema")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
         from arc_spark.lake.table import LakeTable
         from arc_spark.streaming.replay import StreamingReplay
 
+        events_format = self.params.get("eventsFormat", "parquet")
+        payload_schema = self.params.get("payloadSchema")
         locker = _locker_from_params(self.params, ctx.spark)
         table = LakeTable(self.params["tableURI"], locker=locker)
         if not table.exists():
@@ -1836,6 +1861,8 @@ class CDCStreamExecute(PipelineStage):
                 self.params["eventsURI"],
                 self.params["tableURI"],
                 num_buckets=int(self.params.get("numBuckets", 32)),
+                events_format=events_format,
+                payload_schema=payload_schema,
             )
             table.locker = locker  # bootstrap constructs its own LakeTable
         mft = self.params.get("maxFilesPerTrigger")
@@ -1843,6 +1870,8 @@ class CDCStreamExecute(PipelineStage):
             ctx.spark,
             self.params["eventsURI"],
             table,
+            events_format=events_format,
+            payload_schema=payload_schema,
             checkpoint_dir=self.params["checkpointURI"],
             strategy=self.params.get("strategy", "window"),
             max_files_per_trigger=int(mft) if mft else None,

@@ -46,10 +46,26 @@ class StreamingReplay:
         quarantine_path: str | None = None,
         valid_ops: tuple[str, ...] = ("insert", "update", "delete", "schema-change"),
         metrics_path: str | None = None,
+        events_format: str = "parquet",
+        payload_schema=None,
     ):
         self.spark = spark
         self.events_path = events_path
         self.table = table
+        # "parquet" (default) tails staged change files; "debezium" tails
+        # raw Debezium JSON envelopes and parses them inline
+        # (arc_spark.cdc.debezium.parse_debezium — pure from_json codegen,
+        # legal on a streaming frame). Unlike the batch runner there is NO
+        # rescan penalty here: each micro-batch reads only its new files,
+        # so inline parse is the natural home for a live connector tail.
+        if events_format not in ("parquet", "debezium"):
+            raise ValueError(
+                f"events_format must be parquet/debezium, got {events_format!r}"
+            )
+        if events_format == "debezium" and payload_schema is None:
+            raise ValueError("events_format='debezium' requires payload_schema")
+        self.events_format = events_format
+        self.payload_schema = payload_schema
         self.checkpoint_dir = checkpoint_dir
         self.strategy = strategy
         self.fingerprint = fingerprint
@@ -97,15 +113,32 @@ class StreamingReplay:
                 out.write((json.dumps(rec) + "\n").encode())
 
     def _stream(self) -> DataFrame:
-        # mergeSchema for the same reason as ReplayRunner._events: later
-        # stream files may carry evolved columns earlier files lack
-        schema = (
-            self.spark.read.option("mergeSchema", "true").parquet(self.events_path).schema
-        )
-        reader = self.spark.readStream.schema(schema)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        df = reader.parquet(self.events_path)
+        if self.events_format == "debezium":
+            from arc_spark.cdc.debezium import parse_debezium
+
+            reader = self.spark.readStream
+            if self.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            df = parse_debezium(
+                reader.text(self.events_path), self.payload_schema
+            ).drop("_ts_ms")
+        else:
+            # mergeSchema for the same reason as ReplayRunner._events:
+            # later stream files may carry evolved columns earlier files
+            # lack
+            schema = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.events_path)
+                .schema
+            )
+            reader = self.spark.readStream.schema(schema)
+            if self.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            df = reader.parquet(self.events_path)
         if self.watermark:
             df = df.withWatermark(*self.watermark)
         return df

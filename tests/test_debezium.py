@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from arc_spark.cdc.apply import last_writer_wins
-from arc_spark.cdc.debezium import debezium_envelope_schema, parse_debezium
+from arc_spark.cdc.debezium import (
+    debezium_envelope_schema,
+    parse_debezium,
+    to_debezium_json,
+)
 
 PAYLOAD = "repo string, path string, commit string, lang string, content string"
 
@@ -100,3 +104,154 @@ def test_payload_column_collision_raises(spark):
         parse_debezium(
             spark.createDataFrame([("{}",)], "value string"), "repo string, seq long"
         )
+
+
+# ---------------------------------------------------------------------------
+# serializer + staging + runner/stream integration over a real change stream
+# ---------------------------------------------------------------------------
+
+STREAM_PAYLOAD = (
+    "repo string, path string, commit string, lang string, "
+    "content string, ts timestamp"
+)
+
+
+def _row_ops(spark, n=1500, seed=7):
+    from arc_spark.cdc.generator import change_stream
+
+    # Debezium envelopes carry row ops only (DDL travels on the
+    # connector's schema-change topic) — the equivalence fixtures
+    # exclude schema-change on BOTH sides
+    return change_stream(spark, n, seed=seed, num_partitions=8).filter(
+        F.col("op") != "schema-change"
+    )
+
+
+def test_to_debezium_json_round_trip(spark):
+    src = _row_ops(spark, n=600)
+    back = parse_debezium(to_debezium_json(src), STREAM_PAYLOAD).drop("_ts_ms")
+    # ops collapse (insert/update both → upsert semantics) but
+    # insert→insert, update→update, delete→delete here by construction
+    a = {tuple(r) for r in src.select(*sorted(src.columns)).collect()}
+    b = {tuple(r) for r in back.select(*sorted(src.columns)).collect()}
+    assert a == b
+
+
+def test_to_debezium_json_rejects_schema_change(spark):
+    from arc_spark.cdc.generator import change_stream
+
+    ddl = change_stream(spark, 2000, seed=7, num_partitions=8).filter(
+        F.col("op") == "schema-change"
+    )
+    assert ddl.count() > 0
+    with pytest.raises(Exception, match="no Debezium row-op"):
+        to_debezium_json(ddl).collect()
+
+
+@pytest.fixture()
+def dbz_tail(spark, tmp_path):
+    """A change stream materialized BOTH ways: staged parquet and a raw
+    Debezium JSON tail, row ops only."""
+    src = _row_ops(spark)
+    pq = str(tmp_path / "events_pq")
+    js = str(tmp_path / "events_dbz")
+    src.repartitionByRange(4, "seq").write.parquet(pq)
+    to_debezium_json(src).write.text(js)
+    return pq, js
+
+
+def _same(a, b):
+    # column ORDER differs between the two bootstraps (parquet keeps the
+    # stream's layout, debezium appends seq) — compare set-wise
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a, b = a.select(*cols), b.select(*cols)
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def _replay(spark, events, root, **kw):
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    table, _ = create_table_for_stream(
+        spark, events, root, num_buckets=8,
+        events_format=kw.get("events_format", "parquet"),
+        payload_schema=kw.get("payload_schema"),
+    )
+    ReplayRunner(spark, events, table, batch_size=400, **kw).run()
+    return table.read(spark)
+
+
+def test_runner_debezium_tail_matches_parquet_replay(spark, tmp_path, dbz_tail):
+    pq, js = dbz_tail
+    ref = _replay(spark, pq, str(tmp_path / "lake_pq"))
+    got = _replay(
+        spark, js, str(tmp_path / "lake_dbz"),
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+    )
+    assert _same(got, ref)
+    assert ref.count() > 0
+
+
+def test_stage_debezium_then_replay(spark, tmp_path, dbz_tail):
+    import glob
+
+    from arc_spark.cdc.debezium import stage_debezium
+
+    pq, js = dbz_tail
+    staged = str(tmp_path / "staged")
+    stage_debezium(spark, js, staged, STREAM_PAYLOAD, num_files=4)
+    files = glob.glob(f"{staged}/*.parquet")
+    assert len(files) == 4  # seq-range-clustered output for pushdown
+    ref = _replay(spark, pq, str(tmp_path / "lake_pq2"))
+    got = _replay(spark, staged, str(tmp_path / "lake_staged"))
+    assert _same(got, ref)
+
+
+def test_streaming_replay_debezium_tail(spark, tmp_path, dbz_tail):
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.streaming.replay import StreamingReplay
+
+    pq, js = dbz_tail
+    ref = _replay(spark, pq, str(tmp_path / "lake_pq3"))
+    table, _ = create_table_for_stream(
+        spark, js, str(tmp_path / "lake_stream"), num_buckets=8,
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+    )
+    batches = StreamingReplay(
+        spark, js, table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+        max_files_per_trigger=2,
+    ).run_available()
+    assert len(batches) >= 1
+    got = table.read(spark)
+    assert _same(got, ref)
+
+
+def test_cdc_replay_stage_debezium_config(spark, tmp_path, dbz_tail):
+    """Config-driven: CDCReplayExecute over a raw Debezium tail with a
+    stageURI (parse once → seq-clustered parquet → pushdown replay)."""
+    from arc_spark.pipeline import run_config
+
+    pq, js = dbz_tail
+    ref = _replay(spark, pq, str(tmp_path / "lake_pq4"))
+    cfg = {
+        "stages": [
+            {
+                "type": "CDCReplayExecute",
+                "name": "replay dbz",
+                "environments": ["test"],
+                "eventsURI": js,
+                "tableURI": str(tmp_path / "lake_cfg"),
+                "eventsFormat": "debezium",
+                "payloadSchema": STREAM_PAYLOAD,
+                "stageURI": str(tmp_path / "staged_cfg"),
+                "batchSize": "500",
+                "numBuckets": "8",
+                "outputView": "final",
+            }
+        ]
+    }
+    got, _ctx = run_config(spark, cfg, environment="test")
+    assert _same(got, ref)
