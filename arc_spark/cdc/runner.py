@@ -239,6 +239,13 @@ class ReplayRunner:
 
         snap_cols = {f.name for f in self.table.snapshot().schema.fields}
         extra_cols = [c for c in row_ops.columns if c not in snap_cols and c != "op"]
+        if extra_cols and self.events_format == "debezium":
+            # Debezium row streams never carry a schema-change op — DDL
+            # travels on the connector's separate schema-change topic.
+            # The caller widening payload_schema IS the DDL declaration
+            # (that's how registry-aware consumers learn new columns), so
+            # extra columns are DDL-approved; merge() widens additively.
+            extra_cols = []
         if extra_cols:
             has_ddl = (
                 self._events()

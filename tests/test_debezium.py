@@ -229,6 +229,46 @@ def test_streaming_replay_debezium_tail(spark, tmp_path, dbz_tail):
     assert _same(got, ref)
 
 
+def test_debezium_schema_widening_without_ddl_event(spark, tmp_path):
+    """Debezium row streams carry no schema-change op (DDL rides the
+    connector's schema-change topic) — widening payload_schema IS the
+    DDL declaration, so new columns must land instead of being silently
+    dropped by the runner's has-DDL gate."""
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    src = _row_ops(spark, n=400)
+    js = str(tmp_path / "tail")
+    to_debezium_json(src).write.text(js)
+    table, _ = create_table_for_stream(
+        spark, js, str(tmp_path / "lake"), num_buckets=4,
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+    )
+    ReplayRunner(
+        spark, js, table, batch_size=500,
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+    ).run()
+    assert "branch" not in [f.name for f in table.snapshot().schema.fields]
+
+    # upstream ALTER TABLE: later envelopes carry a new payload column
+    more = _row_ops(spark, n=900).filter(F.col("seq") >= 400).withColumn(
+        "branch", F.concat(F.lit("b-"), F.col("commit"))
+    )
+    to_debezium_json(more).write.mode("append").text(js)
+    wide = STREAM_PAYLOAD + ", branch string"
+    ReplayRunner(
+        spark, js, table, batch_size=500,
+        events_format="debezium", payload_schema=wide,
+    ).run()
+    final = table.read(spark)
+    assert "branch" in final.columns
+    # post-widening winners carry the value, pre-widening rows are NULL
+    assert final.filter(F.col("branch").isNotNull()).count() > 0
+    assert final.filter(
+        F.col("branch").isNotNull() & (F.col("branch") != F.concat(F.lit("b-"), F.col("commit")))
+    ).count() == 0
+
+
 def test_cdc_replay_stage_debezium_config(spark, tmp_path, dbz_tail):
     """Config-driven: CDCReplayExecute over a raw Debezium tail with a
     stageURI (parse once → seq-clustered parquet → pushdown replay)."""
