@@ -304,6 +304,38 @@ def _cdc_lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 over the same synthetic change interpretation as
+    cdc_lww_events: full version history with [valid_from_seq,
+    valid_to_seq) intervals; deletes (event_type='error') close their
+    predecessor and emit no row (arc_spark/cdc/apply.py apply_scd2 —
+    one lead() window = one shuffle by key; history output ≈ input rows,
+    so late materialization cannot beat this plan)."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.apply import apply_scd2
+
+    events = _load(spark, sf_dir, "events")["events"]
+    changes = events.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    hist = apply_scd2(changes, ["user_id"], "seq")
+    return hist.select(
+        "user_id",
+        "valid_from_seq",
+        "valid_to_seq",
+        "is_current",
+        "event_type",
+        "value",
+    )
+
+
 def _cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium wire-format round trip: events serialized as Debezium
     change-event envelopes (before/after/op/source.lsn JSON — the binlog
@@ -1093,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_summary": _lang_quality_summary,
         "knn_brute": _knn_brute,
         "cdc_lww_events": _cdc_lww_events,
+        "cdc_scd2": _cdc_scd2,
         "cdc_debezium": _cdc_debezium,
         "diff_views": _diff_views,
         "rollup_order_stats": _rollup_order_stats,
@@ -1479,6 +1512,25 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '') AS props,
                    sha256(regexp_replace(regexp_replace(regexp_replace(props, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
             FROM w WHERE event_type <> 'error'
+        """,
+        "cdc_scd2": """
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete'
+                            ELSE 'upsert' END AS op,
+                       user_id, event_type, value
+                FROM events
+            ), h AS (
+                SELECT user_id, event_type, value, op,
+                       seq AS valid_from_seq,
+                       LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq)
+                           AS valid_to_seq
+                FROM c
+            )
+            SELECT user_id, valid_from_seq, valid_to_seq,
+                   (valid_to_seq IS NULL) AS is_current,
+                   event_type, value
+            FROM h WHERE op <> 'delete'
         """,
         "cdc_debezium": """
             WITH w AS (

@@ -7,22 +7,35 @@ seq)`` + ``row_number()==1`` or ``repartition(keys)+sortWithinPartitions+
 mapPartitions`` (the shape BASELINE.json's north_rule mandates). We
 implement three interchangeable strategies and verify they agree:
 
-``window``  (default)   row_number over (partitionBy keys, orderBy seq desc).
+``thin``    (default)   thin (keys, seq) max-aggregate + explicit-broadcast
+    null-safe semi join back (late materialization). The winner set is
+    computed over ONLY the key/seq columns — Parquet column pruning means
+    the thin pass never reads the multi-KB content from disk — and with
+    ``broadcast_winners="auto"`` the join-back broadcasts the winner set,
+    so the fat rows NEVER cross the wire at all. Measured (2M events, 2
+    epochs, interleaved best-of-2): 179 MB total replay shuffle vs
+    window's 422 MB (2.36x fewer bytes), throughput equal-or-better in
+    every paired sample (155.7k vs 151.6k ev/s at local[8], 144.6k vs
+    141.3k at local[32]). Fewer bus bytes is also the scaling lever on
+    membw-ceilinged hosts (see BASELINE.md's strong-scaling closure).
+    REQUIRES unique (keys, seq) — verbatim duplicate rows both survive
+    the semi join; at-least-once sources must run
+    :func:`collapse_redelivered` first (the debezium paths do, by
+    default).
+
+``window``              row_number over (partitionBy keys, orderBy seq desc).
     This IS the north_rule's repartition-by-key + sortWithinPartitions +
     LWW shape, and Spark ≥3.5 executes it with a WindowGroupLimit: each
     map task keeps only its local top-1 row per key BEFORE the shuffle,
-    so like max_by only ~min(E, K·P) rows cross the wire — but the
-    surviving rows flow through a spillable sort instead of a fat
-    hash-agg state. Measured best at BOTH parallelism levels (2M events,
-    interleaved best-of-2: 127k/220k ev/s at local[4]/[16], vs thin
-    121k/197k, max_by 117k/204k).
+    so like max_by only ~min(E, K·P) rows cross the wire — but every
+    surviving row's full payload still crosses it. Duplicate-safe (ties
+    collapse to one row) — the right choice when (keys, seq) uniqueness
+    cannot be guaranteed and a pre-collapse is unwanted.
 
 ``thin_window``         window over (keys, seq) only + null-safe semi join back.
-    Cuts the window exchange to thin rows; measured (4M events,
-    interleaved best-of-3) 175k vs window's 171k ev/s at local[4] but
-    309k vs 375k at local[16] — the second pass over the batch costs
-    more than the thin shuffle saves once WindowGroupLimit has already
-    collapsed the fat rows map-side, so ``window`` stays the default.
+    Cuts the window exchange to thin rows; superseded by ``thin`` (same
+    late-materialization idea, but the max-aggregate needs no sort).
+    Kept for A/B and low-memory deployments.
 
 ``max_by``              groupBy(keys).agg(max_by(struct(*), seq)).
     Partial aggregation collapses local events per key map-side, but the
@@ -37,7 +50,9 @@ implement three interchangeable strategies and verify they agree:
     iterator drops the rest while carrying the last key across batch
     boundaries (no per-row Python).
 
-All strategies produce identical output (seq is unique → no ties).
+All strategies produce identical output when (keys, seq) is unique (the
+native generator's invariant). At-least-once sources (Debezium) collapse
+verbatim re-deliveries first via :func:`collapse_redelivered`.
 """
 
 from __future__ import annotations
@@ -227,7 +242,7 @@ def last_writer_wins(
     keys: list[str],
     seq_col: str = "seq",
     *,
-    strategy: str = "window",
+    strategy: str = "thin",
     num_partitions: int | None = None,
     salt_buckets: int | None = None,
     broadcast_winners: bool | str = "auto",
@@ -293,14 +308,94 @@ def _lww_semi_join_back(
     point of late materialization."""
     if broadcast == "auto":
         broadcast = winners.count() <= max_broadcast
+    return _key_seq_join(df, winners, keys, seq_col, "left_semi", broadcast)
+
+
+def _key_seq_join(
+    df: DataFrame,
+    other: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    how: str,
+    broadcast: bool,
+) -> DataFrame:
+    """Null-safe semi/anti join of full rows onto a thin (keys, seq) set."""
     if broadcast:
-        winners = F.broadcast(winners)
-    d, w = df.alias("_d"), winners.alias("_w")
+        other = F.broadcast(other)
+    d, w = df.alias("_d"), other.alias("_w")
     cond = None
     for k in [*keys, seq_col]:
         c = F.col(f"_d.{k}").eqNullSafe(F.col(f"_w.{k}"))
         cond = c if cond is None else (cond & c)
-    return d.join(w, cond, "left_semi")
+    return d.join(w, cond, how)
+
+
+def collapse_redelivered(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    *,
+    max_broadcast: int = DEFAULT_MAX_BROADCAST_WINNERS,
+) -> tuple[DataFrame, int]:
+    """Collapse at-least-once redelivery: keep ONE row per (keys, seq).
+
+    The LWW strategies assume a unique seq per key (the native generator
+    guarantees it); a Debezium tail does NOT — the connector's contract is
+    at-least-once, so a restart can re-emit the same change event
+    verbatim (same LSN → same seq), and the ``thin`` strategy's semi
+    join-back would keep every verbatim copy, handing the lake MERGE two
+    rows for one key (its full-outer join then duplicates the key in the
+    table — the same reason Delta's MERGE errors on multi-matching
+    sources). ``seq`` may also collide across DIFFERENT keys when the
+    derivation falls back to ``ts_ms`` (debezium._default_seq) — those
+    rows are distinct events and must survive, which is why the group key
+    here is (keys, seq), never seq alone.
+
+    Pay-for-use design (the 100 TB shape): detection is one THIN aggregate
+    over only (keys, seq) — Parquet column pruning means a staged tail
+    never reads the content column for this pass — and when the batch is
+    clean (the overwhelmingly common case) the fat rows are untouched: no
+    shuffle, no second pass. Only when duplicates exist does the fix run,
+    and it is scoped to the affected groups: a broadcast anti/semi split
+    isolates the few duplicated (keys, seq) groups, a row_number window
+    collapses just those rows, and the clean remainder streams through
+    unshuffled. The full ``dropDuplicates`` shuffle happens only in the
+    pathological case of > ``max_broadcast`` duplicated groups.
+
+    Returns ``(collapsed_df, extra_rows_dropped)`` — the count feeds the
+    per-epoch ``events_redelivered`` metric.
+    """
+    from pyspark.sql.window import Window
+
+    thin = df.select(*keys, F.col(seq_col))
+    groups = (
+        thin.groupBy(*keys, seq_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    stats = groups.agg(
+        F.count(F.lit(1)).alias("_groups"),
+        F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("_extras"),
+    ).first()
+    n_groups, n_extras = int(stats["_groups"]), int(stats["_extras"])
+    if n_groups == 0:
+        return df, 0
+    if n_groups > max_broadcast:
+        # pathological flood of duplicates: one full shuffle beats
+        # broadcasting a huge dup set to every task
+        return df.dropDuplicates([*keys, seq_col]), n_extras
+    dup_keys = groups.drop("_n")
+    clean = _key_seq_join(df, dup_keys, keys, seq_col, "left_anti", True)
+    affected = _key_seq_join(df, dup_keys, keys, seq_col, "left_semi", True)
+    w = Window.partitionBy(*[F.col(k) for k in keys], F.col(seq_col)).orderBy(
+        F.col(seq_col)
+    )
+    fixed = (
+        affected.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return clean.unionByName(fixed), n_extras
 
 
 def _lww_thin(
@@ -430,3 +525,57 @@ def _lww_sort_partitions(
     part = df.repartition(num_partitions, *keys) if num_partitions else df.repartition(*keys)
     ordered = part.sortWithinPartitions(*keys, F.col(seq_col).desc())
     return ordered.mapInPandas(drop_dupes, schema=df.schema)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: change stream -> full version history
+# ---------------------------------------------------------------------------
+
+
+def apply_scd2(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    *,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: derive the full version history
+    from a change stream instead of collapsing to latest state (the LWW
+    strategies above are SCD Type 1).
+
+    Output = one row per surviving version with
+      ``valid_from_seq``  the event's own seq,
+      ``valid_to_seq``    the NEXT event's seq for the key (NULL = open),
+      ``is_current``      open interval (the key's live version).
+
+    A delete event closes its predecessor's interval (its seq becomes the
+    predecessor's ``valid_to_seq``) and emits no row of its own — after a
+    delete the key simply has no current version, matching the LWW
+    tombstone semantics of :meth:`LakeTable.merge`.
+
+    Scale shape: ONE shuffle of the stream by key (the lead() window).
+    Unlike LWW, late materialization buys nothing here — every non-delete
+    event survives into the output, so a thin-window + join-back variant
+    would still move every fat row once AND pay a second pass; the plain
+    window IS minimal data movement. Spark executes lead() with a
+    spillable sort per key group, so hot keys degrade to disk sort, never
+    OOM. Expect output ≈ input rows: SCD2 is a history TABLE, typically
+    written once per epoch window, not a per-key rollup.
+
+    The reference has no history operator (its SQL-first answer would be
+    this same LEAD window in a SQLTransform — SURVEY.md §2.5); provided
+    as a first-class operator because CDC consumers routinely need
+    as-of/history joins over the same tail the engine already ingests.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+    hist = df.filter(F.col(op_col) != "schema-change").withColumn(
+        "valid_to_seq", F.lead(F.col(seq_col)).over(w)
+    )
+    return (
+        hist.filter(F.col(op_col) != delete_op)
+        .withColumn("valid_from_seq", F.col(seq_col))
+        .withColumn("is_current", F.col("valid_to_seq").isNull())
+    )

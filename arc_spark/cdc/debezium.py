@@ -255,6 +255,7 @@ def stage_debezium(
     wrapper: str = "auto",
     drop_unparseable: bool = False,
     num_files: int | None = None,
+    dedup_keys: list[str] | None = None,
 ) -> None:
     """One-pass staging: a raw Debezium JSON tail → seq-range-clustered
     parquet that :class:`~arc_spark.cdc.runner.ReplayRunner` replays with
@@ -274,6 +275,17 @@ def stage_debezium(
     ``num_files`` defaults to one file per ~512k events (bounded below
     at the session's shuffle parallelism) — big enough for efficient
     scans, small enough that an epoch touches few files.
+
+    ``dedup_keys``: when given, at-least-once re-deliveries (verbatim
+    duplicate (keys, seq) events — a connector restart's contract) are
+    collapsed AFTER the staged write, detection running against the
+    staged parquet where it is a thin column-pruned scan. Detecting on
+    the raw JSON instead would re-parse the whole tail (no pruning on
+    JSON), doubling the staging cost for the common clean case; this way
+    a clean tail pays one cheap (keys, seq) pass and the rewrite happens
+    only when duplicates actually exist. Downstream replay then runs with
+    ``redelivery_dedup`` off (staged parquet has unique (keys, seq) by
+    construction).
     """
     raw = spark.read.text(json_path)
     parsed = parse_debezium(
@@ -290,3 +302,21 @@ def stage_debezium(
     parsed.repartitionByRange(num_files, "seq").write.mode("overwrite").parquet(
         out_path
     )
+    if dedup_keys:
+        from arc_spark.cdc.apply import collapse_redelivered
+
+        staged = spark.read.parquet(out_path)
+        collapsed, extras = collapse_redelivered(staged, dedup_keys, "seq")
+        if extras:
+            # rare path: rewrite without the re-delivered copies. The
+            # staged files are the rewrite's own input, so materialize the
+            # collapsed frame first (overwrite would otherwise delete the
+            # files mid-read).
+            tmp = out_path.rstrip("/") + ".dedup.tmp"
+            collapsed.repartitionByRange(num_files, "seq").write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(out_path)
+            from arc_spark.fs import get_fs
+
+            get_fs(tmp, spark).rmtree(tmp)

@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
-from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
+from arc_spark.cdc.apply import (
+    collapse_redelivered,
+    last_writer_wins,
+    normalize_and_fingerprint,
+)
 from arc_spark.lake.table import LakeTable
 
 log = logging.getLogger("arc_spark.cdc")
@@ -50,7 +54,7 @@ class ReplayRunner:
         table: LakeTable,
         *,
         batch_size: int = 100_000,
-        strategy: str = "window",
+        strategy: str = "thin",
         salt_buckets: int | None = None,
         fingerprint: bool | str = True,
         metrics_path: str | None = None,
@@ -63,6 +67,7 @@ class ReplayRunner:
         valid_ops: tuple[str, ...] = ("insert", "update", "delete", "schema-change"),
         events_format: str = "parquet",
         payload_schema=None,
+        redelivery_dedup: bool | str = "auto",
     ):
         self.spark = spark
         self.keys = list(keys) if keys else list(KEYS)
@@ -119,6 +124,15 @@ class ReplayRunner:
         self.on_bad = on_bad
         self.quarantine_path = quarantine_path
         self.valid_ops = tuple(valid_ops)
+        # At-least-once redelivery collapse (see apply.collapse_redelivered):
+        # "auto" = on for debezium tails (the connector's delivery contract
+        # is at-least-once — a restart re-emits events verbatim), off for
+        # the native staged-parquet format (seq unique by construction).
+        # Costs one thin column-pruned aggregate per epoch when on; the
+        # fat rows are untouched unless duplicates actually exist.
+        if redelivery_dedup == "auto":
+            redelivery_dedup = events_format == "debezium"
+        self.redelivery_dedup = bool(redelivery_dedup)
         self.metrics: list[dict] = []
 
     def _bad_event_cond(self):
@@ -258,6 +272,12 @@ class ReplayRunner:
             if not has_ddl:
                 row_ops = row_ops.drop(*extra_cols)
 
+        events_redelivered = 0
+        if self.redelivery_dedup:
+            row_ops, events_redelivered = collapse_redelivered(
+                row_ops, self.keys, self.seq_col
+            )
+
         deduped = last_writer_wins(
             row_ops,
             self.keys,
@@ -325,6 +345,10 @@ class ReplayRunner:
             "write_sec": result.get("write_sec"),
             "finalize_sec": result.get("finalize_sec"),
         }
+        if self.redelivery_dedup:
+            # verbatim at-least-once re-deliveries dropped pre-LWW; these
+            # rows are also inside events_deduped (read but not applied)
+            metric["events_redelivered"] = events_redelivered
         if metric.get("events_read") is not None and metric.get("keys_applied") is not None:
             metric["events_deduped"] = (
                 metric["events_read"]

@@ -883,8 +883,33 @@ class DedupTransform(PipelineStage):
             ctx.spark.table(self.params["inputView"]),
             list(self.params["keys"]),
             self.params.get("seqColumn", "seq"),
-            strategy=self.params.get("strategy", "window"),
+            strategy=self.params.get("strategy", "thin"),
             salt_buckets=self.params.get("saltBuckets"),
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
+class SCD2Transform(PipelineStage):
+    """Engine-specific: Slowly-Changing-Dimension Type 2 history from a
+    change stream — every version with [valid_from_seq, valid_to_seq)
+    interval columns and is_current; deletes close intervals (see
+    arc_spark.cdc.apply.apply_scd2). The Type 1 (latest-state) twin is
+    DedupTransform."""
+
+    stage_type = "SCD2Transform"
+    REQUIRED = ("inputView", "outputView", "keys")
+    OPTIONAL = ("seqColumn", "opColumn", "deleteOp")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.cdc.apply import apply_scd2
+
+        df = apply_scd2(
+            ctx.spark.table(self.params["inputView"]),
+            list(self.params["keys"]),
+            self.params.get("seqColumn", "seq"),
+            op_col=self.params.get("opColumn", "op"),
+            delete_op=self.params.get("deleteOp", "delete"),
         )
         return self.register_output(ctx, df, self.params["outputView"])
 
@@ -1755,7 +1780,7 @@ class CDCReplayExecute(PipelineStage):
                 "numBuckets", "maxEpochs", "outputView", "commitLockURI",
                 "commitLockLeaseSeconds", "lineage", "onBad",
                 "quarantineURI", "metricsURI", "eventsFormat",
-                "payloadSchema", "stageURI")
+                "payloadSchema", "stageURI", "redeliveryDedup")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1773,8 +1798,18 @@ class CDCReplayExecute(PipelineStage):
             # epoch — fine for small tails.
             from arc_spark.cdc.debezium import stage_debezium
 
+            from arc_spark.cdc.runner import KEYS as _CDC_KEYS
+
             stage_debezium(
-                ctx.spark, events_uri, self.params["stageURI"], payload_schema
+                ctx.spark, events_uri, self.params["stageURI"], payload_schema,
+                # collapse at-least-once re-deliveries once, at staging —
+                # every downstream epoch then replays unique (keys, seq)
+                # parquet with redelivery_dedup off
+                dedup_keys=(
+                    list(_CDC_KEYS)
+                    if self.params.get("redeliveryDedup", "auto") in ("auto", True)
+                    else None
+                ),
             )
             events_uri = self.params["stageURI"]
             events_format = "parquet"
@@ -1804,7 +1839,7 @@ class CDCReplayExecute(PipelineStage):
             events_format=events_format,
             payload_schema=payload_schema,
             batch_size=int(self.params.get("batchSize", 100_000)),
-            strategy=self.params.get("strategy", "window"),
+            strategy=self.params.get("strategy", "thin"),
             salt_buckets=(
                 int(self.params["saltBuckets"])
                 if self.params.get("saltBuckets")
@@ -1815,6 +1850,7 @@ class CDCReplayExecute(PipelineStage):
             on_bad=self.params.get("onBad", "error"),
             quarantine_path=self.params.get("quarantineURI"),
             metrics_path=self.params.get("metricsURI"),
+            redelivery_dedup=self.params.get("redeliveryDedup", "auto"),
         )
         max_epochs = self.params.get("maxEpochs")
         metrics = runner.run(max_epochs=int(max_epochs) if max_epochs else None)
@@ -1844,7 +1880,7 @@ class CDCStreamExecute(PipelineStage):
     OPTIONAL = ("strategy", "mergeMode", "numBuckets", "maxFilesPerTrigger",
                 "outputView", "commitLockURI", "commitLockLeaseSeconds",
                 "onBad", "quarantineURI", "metricsURI", "eventsFormat",
-                "payloadSchema")
+                "payloadSchema", "redeliveryDedup")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1873,12 +1909,13 @@ class CDCStreamExecute(PipelineStage):
             events_format=events_format,
             payload_schema=payload_schema,
             checkpoint_dir=self.params["checkpointURI"],
-            strategy=self.params.get("strategy", "window"),
+            strategy=self.params.get("strategy", "thin"),
             max_files_per_trigger=int(mft) if mft else None,
             merge_mode=self.params.get("mergeMode", "auto"),
             on_bad=self.params.get("onBad", "error"),
             quarantine_path=self.params.get("quarantineURI"),
             metrics_path=self.params.get("metricsURI"),
+            redelivery_dedup=self.params.get("redeliveryDedup", "auto"),
         )
         for b in replay.run_available():
             ctx.events.append({"stage": self.name, **b})

@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
+from arc_spark.cdc.apply import (
+    collapse_redelivered,
+    last_writer_wins,
+    normalize_and_fingerprint,
+)
 from arc_spark.cdc.runner import KEYS
 from arc_spark.lake.table import LakeTable
 
@@ -37,7 +41,7 @@ class StreamingReplay:
         table: LakeTable,
         *,
         checkpoint_dir: str,
-        strategy: str = "window",
+        strategy: str = "thin",
         fingerprint: bool = True,
         max_files_per_trigger: int | None = None,
         watermark: tuple[str, str] | None = None,  # (eventTime col, delay)
@@ -48,6 +52,7 @@ class StreamingReplay:
         metrics_path: str | None = None,
         events_format: str = "parquet",
         payload_schema=None,
+        redelivery_dedup: bool | str = "auto",
     ):
         self.spark = spark
         self.events_path = events_path
@@ -93,6 +98,12 @@ class StreamingReplay:
         # metrics survive a driver restart. One JSON line appended per
         # batch (any arc_spark.fs scheme).
         self.metrics_path = metrics_path
+        # At-least-once redelivery collapse (apply.collapse_redelivered):
+        # "auto" = on for debezium tails, off for staged parquet (seq
+        # unique by construction there). Batch-runner parity.
+        if redelivery_dedup == "auto":
+            redelivery_dedup = events_format == "debezium"
+        self.redelivery_dedup = bool(redelivery_dedup)
         self.batches: list[dict] = []
 
     def _record(self, rec: dict) -> None:
@@ -192,6 +203,9 @@ class StreamingReplay:
                 )
             return
         row_ops = batch.filter(F.col("op") != "schema-change")
+        events_redelivered = 0
+        if self.redelivery_dedup:
+            row_ops, events_redelivered = collapse_redelivered(row_ops, KEYS, "seq")
         deduped = last_writer_wins(row_ops, KEYS, "seq", strategy=self.strategy)
         if self.fingerprint:
             deduped = normalize_and_fingerprint(deduped)
@@ -228,6 +242,8 @@ class StreamingReplay:
                 - counters["keys_applied"]
                 - counters["events_bad"]
             )
+            if self.redelivery_dedup:
+                counters["events_redelivered"] = events_redelivered
         self._record({"batch_id": batch_id, **counters, **result})
 
     def start(self):

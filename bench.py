@@ -171,7 +171,7 @@ def _stage_metrics(spark) -> dict | None:
 
 
 def _cdc_replay(
-    master: str, stream_path: str, n_events: int, batches: int, strategy: str = "window",
+    master: str, stream_path: str, n_events: int, batches: int, strategy: str = "thin",
     want_metrics: bool = False, fingerprint: str = "arrow", codec: str | None = None,
 ):
     """Run the full replay job cold at the given parallelism; return
@@ -350,11 +350,13 @@ def main() -> None:
                     _cdc_replay(f"local[{low}]", weak_path, n_events // 4, batches)
                 )
             # strategy A/B at the high parallelism level vs the window
-            # default measured above: max_by (documented anti-scaler) and
-            # thin_window (thin-shuffle variant — the byte-cutting
-            # candidate; see cdc/apply._lww_thin_window)
+            # default measured above: max_by (documented anti-scaler),
+            # thin_window (thin-shuffle window variant), and thin (thin
+            # agg + explicit-broadcast join-back, broadcast_winners=auto —
+            # measured 182 MB shuffled vs window's 438 MB at 2M events;
+            # see cdc/apply._lww_semi_join_back)
             if os.environ.get("ARC_BENCH_SKIP_AB") != "1":
-                for strat in ("max_by", "thin_window"):
+                for strat in ("max_by", "thin_window", "window"):
                     tp, m = _cdc_replay(
                         f"local[{high}]", stream_path, n_events, batches,
                         strategy=strat, want_metrics=True,

@@ -295,3 +295,170 @@ def test_cdc_replay_stage_debezium_config(spark, tmp_path, dbz_tail):
     }
     got, _ctx = run_config(spark, cfg, environment="test")
     assert _same(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# at-least-once redelivery collapse (apply.collapse_redelivered)
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_redelivered_noop_on_clean_batch(spark):
+    from arc_spark.cdc.apply import collapse_redelivered
+
+    df = spark.createDataFrame(
+        [("r1", "a", 1, "x"), ("r1", "a", 2, "y"), ("r2", "b", 3, "z")],
+        "repo string, path string, seq long, content string",
+    )
+    out, extras = collapse_redelivered(df, ["repo", "path"], "seq")
+    assert extras == 0
+    assert out is df  # clean batch: the fat rows are untouched, zero rework
+
+
+def test_collapse_redelivered_keeps_ts_collisions_across_keys(spark):
+    """seq collides across DIFFERENT keys (ts_ms fallback) — those are
+    distinct events and must all survive; only verbatim same-(key, seq)
+    copies collapse."""
+    from arc_spark.cdc.apply import collapse_redelivered
+
+    rows = [
+        ("r1", "a", 100, "v1"),
+        ("r2", "b", 100, "w1"),   # same seq, different key: keep
+        ("r1", "a", 100, "v1"),   # verbatim redelivery: drop
+        ("r1", "a", 100, "v1"),   # verbatim redelivery: drop
+        ("r1", "a", 200, "v2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, seq long, content string"
+    )
+    out, extras = collapse_redelivered(df, ["repo", "path"], "seq")
+    assert extras == 2
+    got = sorted((r["repo"], r["path"], r["seq"]) for r in out.collect())
+    assert got == [("r1", "a", 100), ("r1", "a", 200), ("r2", "b", 100)]
+
+
+def test_collapse_redelivered_null_keys_and_fallback(spark):
+    """NULL keys group null-safely (window partitioning semantics match
+    the eqNullSafe joins); the > max_broadcast path falls back to the
+    full dropDuplicates shuffle with identical output."""
+    from arc_spark.cdc.apply import collapse_redelivered
+
+    rows = [
+        (None, "a", 1, "x"), (None, "a", 1, "x"),
+        ("r", None, 2, "y"), ("r", None, 2, "y"), ("r", None, 2, "y"),
+        ("r", "b", 3, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, seq long, content string"
+    )
+    for mb in (100_000, 0):  # broadcast-scoped path, then the fallback
+        out, extras = collapse_redelivered(
+            df, ["repo", "path"], "seq", max_broadcast=mb
+        )
+        assert extras == 3
+        got = sorted(
+            (r["repo"] or "", r["path"] or "", r["seq"]) for r in out.collect()
+        )
+        assert got == [("", "a", 1), ("r", "", 2), ("r", "b", 3)]
+
+
+def test_thin_lww_motivation_duplicates_survive_without_collapse(spark):
+    """Pins WHY the collapse exists: thin's semi join-back keeps every
+    verbatim (key, seq) copy — the merge contract (one row per key) needs
+    the collapse upstream on at-least-once sources. window collapses
+    them; all strategies agree once collapse_redelivered has run."""
+    from arc_spark.cdc.apply import collapse_redelivered, last_writer_wins
+
+    df = spark.createDataFrame(
+        [("r1", "a", 5, "v"), ("r1", "a", 5, "v")],
+        "repo string, path string, seq long, content string",
+    )
+    keys = ["repo", "path"]
+    assert last_writer_wins(df, keys, "seq", strategy="thin").count() == 2
+    assert last_writer_wins(df, keys, "seq", strategy="window").count() == 1
+    clean, _ = collapse_redelivered(df, keys, "seq")
+    assert last_writer_wins(clean, keys, "seq", strategy="thin").count() == 1
+
+
+def _duplicate_tail(spark, js_in, js_out, frac_files=0.5):
+    """Simulate a connector restart: re-append a slice of the tail's
+    files verbatim (same LSNs → same seqs)."""
+    import glob
+    import shutil
+
+    shutil.copytree(js_in, js_out)
+    files = sorted(glob.glob(f"{js_out}/part-*"))
+    for i, f in enumerate(files[: max(1, int(len(files) * frac_files))]):
+        shutil.copy(f, f"{js_out}/redelivered-{i}.txt")
+
+
+def test_runner_debezium_redelivered_tail(spark, tmp_path, dbz_tail):
+    """A tail with verbatim re-delivered events replays (strategy=thin)
+    to the same final state as the clean tail; the per-epoch metrics
+    count the collapsed copies."""
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    pq, js = dbz_tail
+    dup_js = str(tmp_path / "events_dbz_dup")
+    _duplicate_tail(spark, js, dup_js)
+    ref = _replay(spark, pq, str(tmp_path / "lake_pq_rd"))
+    table, _ = create_table_for_stream(
+        spark, dup_js, str(tmp_path / "lake_dup"), num_buckets=8,
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+    )
+    runner = ReplayRunner(
+        spark, dup_js, table, batch_size=400, strategy="thin",
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+    )
+    assert runner.redelivery_dedup  # auto = on for debezium
+    metrics = runner.run()
+    assert sum(m.get("events_redelivered", 0) for m in metrics) > 0
+    assert _same(table.read(spark), ref)
+
+
+def test_stage_debezium_collapses_redelivered(spark, tmp_path, dbz_tail):
+    """Staging with dedup_keys collapses re-deliveries once; the staged
+    parquet then has unique (keys, seq) and replays clean with the
+    parquet-format default (redelivery_dedup off)."""
+    from arc_spark.cdc.debezium import stage_debezium
+
+    pq, js = dbz_tail
+    dup_js = str(tmp_path / "events_dbz_dup2")
+    _duplicate_tail(spark, js, dup_js)
+    staged = str(tmp_path / "staged_dup")
+    stage_debezium(
+        spark, dup_js, staged, STREAM_PAYLOAD, num_files=4,
+        dedup_keys=["repo", "path"],
+    )
+    st = spark.read.parquet(staged)
+    assert (
+        st.groupBy("repo", "path", "seq").count().filter("count > 1").count() == 0
+    )
+    ref = _replay(spark, pq, str(tmp_path / "lake_pq_st"))
+    got = _replay(spark, staged, str(tmp_path / "lake_staged_dup"), strategy="thin")
+    assert _same(got, ref)
+
+
+def test_streaming_debezium_redelivered_tail(spark, tmp_path, dbz_tail):
+    """Streaming twin: re-delivered envelopes inside micro-batches
+    collapse before the merge (per-batch counters record them)."""
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.streaming.replay import StreamingReplay
+
+    pq, js = dbz_tail
+    dup_js = str(tmp_path / "events_dbz_dup3")
+    # one big batch so duplicate copies land in the SAME micro-batch
+    _duplicate_tail(spark, js, dup_js)
+    ref = _replay(spark, pq, str(tmp_path / "lake_pq_sd"))
+    table, _ = create_table_for_stream(
+        spark, dup_js, str(tmp_path / "lake_stream_dup"), num_buckets=8,
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+    )
+    batches = StreamingReplay(
+        spark, dup_js, table,
+        checkpoint_dir=str(tmp_path / "ckpt_dup"),
+        events_format="debezium", payload_schema=STREAM_PAYLOAD,
+        strategy="thin",
+    ).run_available()
+    assert sum(b.get("events_redelivered", 0) for b in batches) > 0
+    assert _same(table.read(spark), ref)
