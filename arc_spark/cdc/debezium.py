@@ -195,7 +195,10 @@ def parse_debezium(
 # op→engine mapping used by parse (schema-change has no Debezium row-op —
 # DDL travels on the connector's separate schema-change topic, so the
 # serializer rejects it rather than inventing a wire format).
-_ENGINE_OP_TO_DBZ = {"insert": "c", "update": "u", "delete": "d"}
+# "upsert" is what changes_since() emits (a consumer can't tell create
+# from update without history) — Debezium's "u" applies as an upsert on
+# re-ingest (OP_MAP above), so the distinction is lossless for state.
+_ENGINE_OP_TO_DBZ = {"insert": "c", "update": "u", "upsert": "u", "delete": "d"}
 
 
 def to_debezium_json(df: DataFrame, *, seq_col: str = "seq") -> DataFrame:

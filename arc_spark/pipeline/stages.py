@@ -890,6 +890,31 @@ class DedupTransform(PipelineStage):
 
 
 @register_stage
+class DebeziumSerializeTransform(PipelineStage):
+    """Engine-specific: serialize a canonical change frame (payload cols +
+    op + seq) into one-column ``value: string`` Debezium envelopes (pure
+    to_json codegen — arc_spark.cdc.debezium.to_debezium_json). Composed
+    after LakeChangesExtract this turns ANY lake table into a CDC
+    *producer*: downstream systems — including another instance of this
+    engine via CDCReplayExecute(eventsFormat=debezium) — consume the open
+    wire format instead of this engine's manifests. schema-change rows
+    raise (Debezium DDL travels on a separate topic); filter them first."""
+
+    stage_type = "DebeziumSerializeTransform"
+    REQUIRED = ("inputView", "outputView")
+    OPTIONAL = ("seqColumn",)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.cdc.debezium import to_debezium_json
+
+        df = to_debezium_json(
+            ctx.spark.table(self.params["inputView"]),
+            seq_col=self.params.get("seqColumn", "seq"),
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
 class SCD2Transform(PipelineStage):
     """Engine-specific: Slowly-Changing-Dimension Type 2 history from a
     change stream — every version with [valid_from_seq, valid_to_seq)

@@ -462,3 +462,91 @@ def test_streaming_debezium_redelivered_tail(spark, tmp_path, dbz_tail):
     ).run_available()
     assert sum(b.get("events_redelivered", 0) for b in batches) > 0
     assert _same(table.read(spark), ref)
+
+
+# ---------------------------------------------------------------------------
+# lake as CDC producer: publish change feed as Debezium -> replicate
+# ---------------------------------------------------------------------------
+
+
+def _publish_cfg(table_uri, cursor_uri, feed_uri):
+    return {
+        "stages": [
+            {
+                "type": "LakeChangesExtract", "name": "changes",
+                "environments": ["test"], "tableURI": table_uri,
+                "cursorURI": cursor_uri, "outputView": "chg",
+            },
+            {
+                "type": "DebeziumSerializeTransform", "name": "serialize",
+                "environments": ["test"], "inputView": "chg",
+                "outputView": "env",
+            },
+            {
+                "type": "TextLoad", "name": "feed", "environments": ["test"],
+                "inputView": "env", "outputURI": feed_uri,
+                "saveMode": "append",
+            },
+            {
+                "type": "LakeCursorCommitExecute", "name": "cursor",
+                "environments": ["test"], "cursorURI": cursor_uri,
+            },
+        ]
+    }
+
+
+def test_cdc_publish_replication_round_trip(spark, tmp_path):
+    """The full producer->consumer loop over the open wire format:
+    table A's change feed, published incrementally as Debezium envelopes
+    (LakeChangesExtract -> DebeziumSerializeTransform -> TextLoad ->
+    cursor commit), replayed into table B with
+    CDCReplayExecute(eventsFormat=debezium) — B converges to A after the
+    bootstrap publish AND after an incremental one (cursor window only)."""
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.generator import change_stream
+    from arc_spark.cdc.runner import ReplayRunner
+    from arc_spark.pipeline import run_config
+
+    # table A: replay a native stream (row ops only — DDL is off-feed)
+    ev = str(tmp_path / "ev")
+    change_stream(spark, 1200, seed=3, num_partitions=4).filter(
+        F.col("op") != "schema-change"
+    ).write.parquet(ev)
+    a_root = str(tmp_path / "lake_a")
+    table_a, _ = create_table_for_stream(spark, ev, a_root, num_buckets=8)
+    ReplayRunner(spark, ev, table_a, batch_size=700).run()
+
+    feed = str(tmp_path / "feed")
+    cursor = str(tmp_path / "cursor.json")
+    payload = (
+        "repo string, path string, commit string, lang string, "
+        "content string, ts timestamp, content_sha256 string"
+    )
+    consume = {
+        "stages": [
+            {
+                "type": "CDCReplayExecute", "name": "replicate",
+                "environments": ["test"], "eventsURI": feed,
+                "tableURI": str(tmp_path / "lake_b"),
+                "eventsFormat": "debezium", "payloadSchema": payload,
+                "batchSize": "700", "numBuckets": "8",
+                "outputView": "b_state",
+            }
+        ]
+    }
+
+    # bootstrap publish + replicate
+    run_config(spark, _publish_cfg(a_root, cursor, feed), environment="test")
+    got, _ = run_config(spark, consume, environment="test")
+    assert _same(got, table_a.read(spark))
+
+    # more upstream changes -> incremental publish (cursor window only)
+    ev2 = str(tmp_path / "ev2")
+    change_stream(spark, 600, seed=9, num_partitions=4).filter(
+        F.col("op") != "schema-change"
+    ).withColumn("seq", F.col("seq") + 1200).write.parquet(ev2)
+    ReplayRunner(spark, ev2, table_a, batch_size=700).run()
+    run_config(spark, _publish_cfg(a_root, cursor, feed), environment="test")
+    # consumer resumes from B's snapshot end_seq: only new seqs apply
+    got2, _ = run_config(spark, consume, environment="test")
+    assert _same(got2, table_a.read(spark))
