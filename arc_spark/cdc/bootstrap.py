@@ -11,7 +11,7 @@ from arc_spark.lake.table import LakeTable, Snapshot
 
 def create_table_for_stream(
     spark: SparkSession,
-    events_path: str,
+    events_path: str | list[str],
     table_root: str,
     *,
     key_cols: list[str] = ("repo", "path"),
@@ -37,7 +37,12 @@ def create_table_for_stream(
              StructField(seq_col, LongType(), True)]
         )
     else:
-        stream_schema = spark.read.parquet(events_path).schema
+        paths = (
+            list(events_path)
+            if isinstance(events_path, (list, tuple))
+            else [events_path]
+        )
+        stream_schema = spark.read.option("mergeSchema", "true").parquet(*paths).schema
     fields = [f for f in stream_schema.fields if f.name not in drop_cols]
     if fingerprint and "content_sha256" not in {f.name for f in fields}:
         fields.append(StructField("content_sha256", StringType(), True))

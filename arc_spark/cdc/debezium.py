@@ -45,8 +45,10 @@ from pyspark.sql import types as T
 __all__ = [
     "debezium_envelope_schema",
     "parse_debezium",
+    "parse_tx_metadata",
     "stage_debezium",
     "to_debezium_json",
+    "tx_safe_horizon",
     "OP_MAP",
 ]
 
@@ -73,6 +75,17 @@ def _payload_struct(payload_schema: T.StructType | str) -> T.StructType:
     return payload_schema
 
 
+# per-event transaction block (connector setting provide.transaction.metadata:
+# absent → null struct, which parse treats as "non-transactional event")
+_TX_FIELDS = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("total_order", T.LongType()),
+        T.StructField("data_collection_order", T.LongType()),
+    ]
+)
+
+
 def debezium_envelope_schema(payload_schema: T.StructType | str) -> T.StructType:
     """The full envelope schema for a given row-payload schema."""
     payload = _payload_struct(payload_schema)
@@ -83,6 +96,7 @@ def debezium_envelope_schema(payload_schema: T.StructType | str) -> T.StructType
             T.StructField("op", T.StringType()),
             T.StructField("ts_ms", T.LongType()),
             T.StructField("source", _SOURCE_FIELDS),
+            T.StructField("transaction", _TX_FIELDS),
         ]
     )
 
@@ -105,9 +119,13 @@ def parse_debezium(
     seq_expr: Column | str | None = None,
     wrapper: str = "auto",
     drop_unparseable: bool = False,
+    with_tx: bool = False,
 ) -> DataFrame:
     """Parse a DataFrame of Debezium JSON strings into the canonical
     change frame: ``payload columns + op + seq (+ _ts_ms)``.
+    ``with_tx=True`` additionally surfaces the per-event transaction
+    block (``_tx_id``, ``_tx_order``; NULLs = non-transactional event) —
+    the input to :func:`tx_safe_horizon`.
 
     - ``op='d'`` rows take their key/payload columns from ``before``
       (Debezium deletes carry ``after=null``); everything else from
@@ -178,6 +196,14 @@ def parse_debezium(
         F.create_map(*[F.lit(x) for kv in OP_MAP.items() for x in kv]), envc["op"]
     )
     cols = [row[f.name].alias(f.name) for f in payload.fields]
+    tx_cols = (
+        [
+            envc["transaction"]["id"].alias("_tx_id"),
+            envc["transaction"]["total_order"].alias("_tx_order"),
+        ]
+        if with_tx
+        else []
+    )
     return out.select(
         *cols,
         # unknown Debezium ops pass through verbatim so the runner's
@@ -187,6 +213,7 @@ def parse_debezium(
         F.coalesce(op, envc["op"]).alias("op"),
         seq.cast("long").alias("seq"),
         envc["ts_ms"].alias("_ts_ms"),
+        *tx_cols,
     )
 
 
@@ -259,6 +286,7 @@ def stage_debezium(
     drop_unparseable: bool = False,
     num_files: int | None = None,
     dedup_keys: list[str] | None = None,
+    tx_metadata_path: str | None = None,
 ) -> None:
     """One-pass staging: a raw Debezium JSON tail → seq-range-clustered
     parquet that :class:`~arc_spark.cdc.runner.ReplayRunner` replays with
@@ -297,7 +325,20 @@ def stage_debezium(
         seq_expr=seq_expr,
         wrapper=wrapper,
         drop_unparseable=drop_unparseable,
-    ).drop("_ts_ms")
+        with_tx=bool(tx_metadata_path),
+    )
+    if tx_metadata_path:
+        # transaction-boundary gate at staging: truncate the staged tail
+        # at the last COMPLETE transaction (see tx_safe_horizon) — a
+        # partial trailing tx stays in the raw tail and stages on a later
+        # run once its END marker lands. Gating here means replay needs
+        # no tx awareness at all: the staged parquet is boundary-clean.
+        meta = parse_tx_metadata(spark.read.text(tx_metadata_path))
+        horizon = tx_safe_horizon(parsed.select("_tx_id", "seq"), meta)
+        if horizon is not None:
+            parsed = parsed.filter(F.col("seq") <= horizon)
+        parsed = parsed.drop("_tx_id", "_tx_order")
+    parsed = parsed.drop("_ts_ms")
     if num_files is None:
         n_events = raw.count()
         default_par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -323,3 +364,85 @@ def stage_debezium(
             from arc_spark.fs import get_fs
 
             get_fs(tmp, spark).rmtree(tmp)
+
+
+# ---------------------------------------------------------------------------
+# transaction-boundary gating (Debezium transaction metadata topic)
+# ---------------------------------------------------------------------------
+
+_TX_META_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("event_count", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def parse_tx_metadata(df: DataFrame, *, value_col: str = "value") -> DataFrame:
+    """Parse a Debezium *transaction metadata topic* tail (the records the
+    connector emits with ``provide.transaction.metadata=true``:
+    ``{"status": "BEGIN"|"END", "id": tx, "event_count": N, ...}``) into
+    ``(tx_id, status, event_count)``. Wrapped and SMT-flattened records
+    both parse (same auto-wrapper idea as :func:`parse_debezium`); pure
+    from_json codegen."""
+    raw = F.col(value_col)
+    wrapped = F.from_json(
+        raw, T.StructType([T.StructField("payload", _TX_META_SCHEMA)])
+    )["payload"]
+    env = F.coalesce(wrapped, F.from_json(raw, _TX_META_SCHEMA))
+    return (
+        df.where(raw.isNotNull())
+        .select(
+            env["id"].alias("tx_id"),
+            env["status"].alias("status"),
+            env["event_count"].alias("event_count"),
+        )
+        .where(F.col("tx_id").isNotNull())
+    )
+
+
+def tx_safe_horizon(events: DataFrame, tx_meta: DataFrame) -> int | None:
+    """The largest seq that is safe to apply under transaction-boundary
+    atomicity: every event at or below it belongs to a COMPLETE
+    transaction (an END metadata record exists and the tail holds all
+    ``event_count`` of its events) or to no transaction at all.
+
+    A connector crash mid-transaction leaves a partial trailing tx in the
+    tail; applying it would expose a state no upstream reader ever saw.
+    Truncating the replay window at the horizon holds those events back
+    WITHOUT breaking the engine's seq-contiguity resume invariant
+    (resume = snapshot end_seq + 1): the gate only ever shortens the
+    tail, and the held events apply on a later run once their END marker
+    lands. This mirrors how a binlog reader refuses to cross an
+    unterminated transaction rather than buffering per-tx state.
+
+    Returns ``None`` = unbounded (no incomplete transactions).
+
+    Scale shape: two thin aggregates — events are reduced to
+    (_tx_id, seq) before anything groups (on a staged tail, Parquet reads
+    exactly two columns), and tx ids are counted with
+    ``countDistinct(seq)`` so at-least-once re-deliveries don't inflate
+    a transaction's observed size past its END count. The metadata tail
+    is O(transactions) and joins broadcast.
+    """
+    per_tx = (
+        events.where(F.col("_tx_id").isNotNull())
+        .groupBy("_tx_id")
+        .agg(
+            F.min("seq").alias("_first_seq"),
+            F.countDistinct("seq").alias("_n"),
+        )
+    )
+    ends = (
+        tx_meta.where(F.col("status") == "END")
+        .groupBy("tx_id")
+        .agg(F.max("event_count").alias("_expected"))
+    )
+    incomplete = (
+        per_tx.join(F.broadcast(ends), per_tx["_tx_id"] == ends["tx_id"], "left")
+        .where(F.col("_expected").isNull() | (F.col("_n") < F.col("_expected")))
+    )
+    row = incomplete.agg(F.min("_first_seq").alias("_h")).first()
+    return None if row["_h"] is None else int(row["_h"]) - 1

@@ -50,7 +50,7 @@ class ReplayRunner:
     def __init__(
         self,
         spark: SparkSession,
-        events_path: str,
+        events_path: str | list[str],
         table: LakeTable,
         *,
         batch_size: int = 100_000,
@@ -68,6 +68,7 @@ class ReplayRunner:
         events_format: str = "parquet",
         payload_schema=None,
         redelivery_dedup: bool | str = "auto",
+        tx_metadata_path: str | None = None,
     ):
         self.spark = spark
         self.keys = list(keys) if keys else list(KEYS)
@@ -133,6 +134,16 @@ class ReplayRunner:
         if redelivery_dedup == "auto":
             redelivery_dedup = events_format == "debezium"
         self.redelivery_dedup = bool(redelivery_dedup)
+        # Transaction-boundary atomicity (debezium only): a tail of the
+        # connector's transaction METADATA topic. When set, run() caps the
+        # replay window at tx_safe_horizon() — events of transactions with
+        # no END marker (a connector crash mid-tx) are held back until a
+        # later run sees the marker, so the table never exposes a state no
+        # upstream reader ever saw. Held events don't break resume:
+        # the gate only shortens the tail (seq-contiguity preserved).
+        if tx_metadata_path and events_format != "debezium":
+            raise ValueError("tx_metadata_path requires events_format='debezium'")
+        self.tx_metadata_path = tx_metadata_path
         self.metrics: list[dict] = []
 
     def _bad_event_cond(self):
@@ -146,15 +157,25 @@ class ReplayRunner:
     # ------------------------------------------------------------------
 
     def _events(self) -> DataFrame:
+        # events_path may be a LIST of directories (a sharded tail — e.g.
+        # one dir per Debezium topic partition). Epochs window on the
+        # GLOBAL seq, so per-shard ordering needs no alignment here: LWW
+        # resolves by seq wherever the event landed, and each shard's
+        # parquet still prunes row groups by the epoch's seq band.
+        paths = (
+            list(self.events_path)
+            if isinstance(self.events_path, (list, tuple))
+            else [self.events_path]
+        )
         if self.events_format == "debezium":
             from arc_spark.cdc.debezium import parse_debezium
 
-            raw = self.spark.read.text(self.events_path)
+            raw = self.spark.read.text(paths)
             return parse_debezium(raw, self.payload_schema).drop("_ts_ms")
         # mergeSchema: a binlog's later files may carry columns earlier
         # files lack (the schema-evolution case); without it Spark infers
         # the schema from ONE footer and can silently drop the new column
-        return self.spark.read.option("mergeSchema", "true").parquet(self.events_path)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def max_seq(self) -> int:
         row = self._events().agg(F.max(self.seq_col)).first()
@@ -173,6 +194,34 @@ class ReplayRunner:
         phase in {"before_merge", "after_merge"} to simulate crashes.
         """
         stream_end = self.max_seq() if end_seq is None else end_seq
+        if self.tx_metadata_path:
+            from arc_spark.cdc.debezium import (
+                parse_debezium,
+                parse_tx_metadata,
+                tx_safe_horizon,
+            )
+
+            paths = (
+                list(self.events_path)
+                if isinstance(self.events_path, (list, tuple))
+                else [self.events_path]
+            )
+            ev_tx = parse_debezium(
+                self.spark.read.text(paths), self.payload_schema, with_tx=True
+            ).select("_tx_id", "seq")
+            meta = parse_tx_metadata(self.spark.read.text(self.tx_metadata_path))
+            horizon = tx_safe_horizon(ev_tx, meta)
+            if horizon is not None and horizon < stream_end:
+                log.info(
+                    json.dumps(
+                        {
+                            "event": "tx_gate.hold",
+                            "stream_end": stream_end,
+                            "tx_safe_horizon": horizon,
+                        }
+                    )
+                )
+                stream_end = horizon
         epochs_done = 0
         while True:
             snap = self.table.snapshot()

@@ -1805,7 +1805,8 @@ class CDCReplayExecute(PipelineStage):
                 "numBuckets", "maxEpochs", "outputView", "commitLockURI",
                 "commitLockLeaseSeconds", "lineage", "onBad",
                 "quarantineURI", "metricsURI", "eventsFormat",
-                "payloadSchema", "stageURI", "redeliveryDedup")
+                "payloadSchema", "stageURI", "redeliveryDedup",
+                "txMetadataURI")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1835,6 +1836,7 @@ class CDCReplayExecute(PipelineStage):
                     if self.params.get("redeliveryDedup", "auto") in ("auto", True)
                     else None
                 ),
+                tx_metadata_path=self.params.get("txMetadataURI"),
             )
             events_uri = self.params["stageURI"]
             events_format = "parquet"
@@ -1876,6 +1878,13 @@ class CDCReplayExecute(PipelineStage):
             quarantine_path=self.params.get("quarantineURI"),
             metrics_path=self.params.get("metricsURI"),
             redelivery_dedup=self.params.get("redeliveryDedup", "auto"),
+            # inline-tail tx gate; the stageURI branch gates at staging
+            # instead (events_format is 'parquet' by then)
+            tx_metadata_path=(
+                self.params.get("txMetadataURI")
+                if events_format == "debezium"
+                else None
+            ),
         )
         max_epochs = self.params.get("maxEpochs")
         metrics = runner.run(max_epochs=int(max_epochs) if max_epochs else None)

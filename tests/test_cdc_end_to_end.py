@@ -608,3 +608,26 @@ def test_lake_changes_extract_detects_rollback(spark, tmp_path):
     # and the now-clean cursor passes the walk: next window is empty
     df2, _ = run_config(spark, cfg)
     assert df2.count() == 0
+
+
+def test_sharded_tail_replay(spark, stream_path, expected_state, tmp_path):
+    """events_path as a LIST of directories (one per Debezium-style topic
+    partition): epochs window on the GLOBAL seq, so shard layout is
+    irrelevant to the final state — equal to the single-dir replay."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(stream_path)
+    shards = []
+    for i in range(3):
+        p = str(tmp_path / f"shard{i}")
+        # round-robin by seq — each shard holds an interleaved slice,
+        # like a key-hash-partitioned topic would
+        ev.filter(F.pmod(F.col("seq"), F.lit(3)) == i).write.parquet(p)
+        shards.append(p)
+    table, _ = create_table_for_stream(spark, shards, str(tmp_path / "lake_sharded"))
+    ReplayRunner(spark, shards, table, batch_size=1000).run()
+    got = _final_state(spark, table)
+    assert set(got) == set(expected_state)
+    for key, exp in expected_state.items():
+        assert got[key]["content_sha256"] == exp["sha256"], key
+        assert got[key]["seq"] == exp["seq"], key

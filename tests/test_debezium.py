@@ -49,7 +49,9 @@ def raw(spark):
 
 def test_envelope_schema_embeds_payload(spark):
     s = debezium_envelope_schema(PAYLOAD)
-    assert [f.name for f in s.fields] == ["before", "after", "op", "ts_ms", "source"]
+    assert [f.name for f in s.fields] == [
+        "before", "after", "op", "ts_ms", "source", "transaction",
+    ]
     assert s["after"].dataType["content"].dataType.simpleString() == "string"
 
 
@@ -550,3 +552,129 @@ def test_cdc_publish_replication_round_trip(spark, tmp_path):
     # consumer resumes from B's snapshot end_seq: only new seqs apply
     got2, _ = run_config(spark, consume, environment="test")
     assert _same(got2, table_a.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# transaction-boundary gating (tx metadata topic)
+# ---------------------------------------------------------------------------
+
+
+def _tx_event(op, lsn, tx_id, order, *, after=None, before=None):
+    env = {
+        "before": before,
+        "after": after,
+        "op": op,
+        "ts_ms": lsn * 10,
+        "source": {"lsn": lsn, "pos": None, "row": 0, "ts_ms": lsn * 10 - 1},
+        "transaction": {"id": tx_id, "total_order": order,
+                        "data_collection_order": order},
+    }
+    return json.dumps({"payload": env})
+
+
+def _tx_meta(tx_id, status, count):
+    return json.dumps(
+        {"payload": {"status": status, "id": tx_id, "event_count": count,
+                     "ts_ms": 0}}
+    )
+
+
+@pytest.fixture()
+def tx_tail(spark, tmp_path):
+    """3 transactions + 1 non-transactional event; tx-3's END marker is
+    missing (connector crashed mid-tx)."""
+    events = [
+        _tx_event("c", 10, "tx1", 1, after=_row("r1", "a.py", "v1")),
+        _tx_event("c", 11, "tx1", 2, after=_row("r1", "b.py", "w1")),
+        _tx_event("u", 20, "tx2", 1, after=_row("r1", "a.py", "v2")),
+        # non-transactional event (no tx block) between tx2 and tx3
+        _event("c", 25, after=_row("r2", "c.py", "x1")),
+        _tx_event("u", 30, "tx3", 1, after=_row("r1", "b.py", "w2")),
+        _tx_event("c", 31, "tx3", 2, after=_row("r3", "d.py", "y1")),
+    ]
+    ev_dir = str(tmp_path / "tx_events")
+    spark.createDataFrame([(v,) for v in events], "value string").coalesce(
+        1
+    ).write.text(ev_dir)
+    meta_dir = str(tmp_path / "tx_meta")
+    spark.createDataFrame(
+        [(_tx_meta("tx1", "BEGIN", None),), (_tx_meta("tx1", "END", 2),),
+         (_tx_meta("tx2", "END", 1),), (_tx_meta("tx3", "BEGIN", None),)],
+        "value string",
+    ).coalesce(1).write.text(meta_dir)
+    return ev_dir, meta_dir
+
+
+def test_tx_safe_horizon(spark, tx_tail):
+    from arc_spark.cdc.debezium import (
+        parse_debezium, parse_tx_metadata, tx_safe_horizon,
+    )
+
+    ev_dir, meta_dir = tx_tail
+    ev = parse_debezium(spark.read.text(ev_dir), PAYLOAD, with_tx=True)
+    meta = parse_tx_metadata(spark.read.text(meta_dir))
+    # tx3 (first seq 30) has no END marker -> horizon 29: tx1, tx2 and
+    # the non-transactional event at 25 are all safe
+    assert tx_safe_horizon(ev.select("_tx_id", "seq"), meta) == 29
+    # with tx3's END present and all its events in the tail -> unbounded
+    meta_ok = meta.union(
+        spark.createDataFrame([("tx3", "END", 2)], meta.schema)
+    )
+    assert tx_safe_horizon(ev.select("_tx_id", "seq"), meta_ok) is None
+    # END present but the tail holds fewer events than event_count
+    # (torn mid-tx write): still incomplete
+    meta_torn = meta.union(
+        spark.createDataFrame([("tx3", "END", 3)], meta.schema)
+    )
+    assert tx_safe_horizon(ev.select("_tx_id", "seq"), meta_torn) == 29
+
+
+def test_runner_tx_gate_holds_then_applies(spark, tmp_path, tx_tail):
+    """Runner with tx_metadata_path applies only complete transactions;
+    once the END marker lands a new run applies the held tail — resume
+    stays seq-contiguous throughout."""
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    ev_dir, meta_dir = tx_tail
+    table, _ = create_table_for_stream(
+        spark, ev_dir, str(tmp_path / "lake_tx"), num_buckets=4,
+        events_format="debezium", payload_schema=PAYLOAD,
+    )
+    kw = dict(events_format="debezium", payload_schema=PAYLOAD,
+              tx_metadata_path=meta_dir, batch_size=100)
+    ReplayRunner(spark, ev_dir, table, **kw).run()
+    state = {(r["repo"], r["path"]): r["content"] for r in table.read(spark).collect()}
+    # tx3's updates held back: b.py still w1, no r3 row
+    assert state[("r1", "b.py")] == "w1"
+    assert ("r3", "d.py") not in state
+    assert state[("r1", "a.py")] == "v2"
+    assert state[("r2", "c.py")] == "x1"
+    assert table.snapshot().end_seq == 29
+
+    # END marker arrives -> the held events apply on the next run
+    spark.createDataFrame(
+        [(_tx_meta("tx3", "END", 2),)], "value string"
+    ).coalesce(1).write.mode("append").text(meta_dir)
+    ReplayRunner(spark, ev_dir, table, **kw).run()
+    state = {(r["repo"], r["path"]): r["content"] for r in table.read(spark).collect()}
+    assert state[("r1", "b.py")] == "w2"
+    assert state[("r3", "d.py")] == "y1"
+    assert table.snapshot().end_seq == 31
+
+
+def test_stage_debezium_tx_gate(spark, tmp_path, tx_tail):
+    """Staging with tx_metadata_path writes only the boundary-clean
+    prefix; the staged parquet needs no tx awareness downstream."""
+    from arc_spark.cdc.debezium import stage_debezium
+
+    ev_dir, meta_dir = tx_tail
+    staged = str(tmp_path / "staged_tx")
+    stage_debezium(
+        spark, ev_dir, staged, PAYLOAD, num_files=2,
+        tx_metadata_path=meta_dir,
+    )
+    st = spark.read.parquet(staged)
+    assert st.count() == 4  # tx1(2) + tx2(1) + non-tx(1); tx3 held
+    assert st.agg(F.max("seq")).first()[0] == 25
+    assert "_tx_id" not in st.columns
