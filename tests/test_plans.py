@@ -149,11 +149,12 @@ def test_mor_clean_read_has_no_window(spark, tmp_path):
 
 
 def test_replay_epoch_plan_shape(spark, tmp_path):
-    """The full epoch pipeline (guard -> LWW window -> fingerprint) keeps
-    the 100TB-shape invariants: seq range pushed to the scan, the partial
-    WindowGroupLimit collapses rows map-side, and exactly ONE Python
-    stage (the mapInArrow fingerprint kernel) touches the data — the
-    bad-event guard and dedup stay in codegen."""
+    """The full epoch pipeline (guard -> LWW -> fingerprint) keeps the
+    100TB-shape invariants for BOTH dedup strategies: seq range pushed to
+    the scan, the window strategy's partial WindowGroupLimit collapses
+    rows map-side, the thin default plans no Window at all, and exactly
+    ONE Python stage (the mapInArrow fingerprint kernel) touches the
+    data — the bad-event guard and dedup stay in codegen."""
     from arc_spark.cdc.apply import last_writer_wins, normalize_and_fingerprint
     from arc_spark.cdc.generator import write_change_stream
 
@@ -167,7 +168,7 @@ def test_replay_epoch_plan_shape(spark, tmp_path):
         .filter(F.col("op") != "schema-change")
     )
     deduped = normalize_and_fingerprint(
-        last_writer_wins(ev, ["repo", "path"], "seq")
+        last_writer_wins(ev, ["repo", "path"], "seq", strategy="window")
     )
     plan = deduped._jdf.queryExecution().executedPlan().toString()
     filters = " ".join(pushed_filters(deduped))
@@ -176,3 +177,13 @@ def test_replay_epoch_plan_shape(spark, tmp_path):
     # exactly one Python-eval stage in the whole epoch plan
     assert plan.count("MapInArrow") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # the thin default: max(seq) agg + winner join-back, NO window —
+    # fat content rows never enter a sort, and the plan still carries a
+    # single Python stage with the seq filter pushed down
+    thin = normalize_and_fingerprint(last_writer_wins(ev, ["repo", "path"], "seq"))
+    tplan = thin._jdf.queryExecution().executedPlan().toString()
+    assert "seq" in " ".join(pushed_filters(thin))
+    assert "WindowGroupLimit" not in tplan
+    assert tplan.count("MapInArrow") == 1
+    assert "ArrowEvalPython" not in tplan and "BatchEvalPython" not in tplan
