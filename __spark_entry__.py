@@ -745,6 +745,59 @@ def _cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("repo", "path", "seq", "value", "content_sha256")
 
 
+def _cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-database replication through the REAL multi-table machinery:
+    the events table is mapped to ONE interleaved change stream carrying
+    a ``table`` routing column ('files' / 'tags'), replayed via
+    MultiTableReplay into a LakeCatalog — per-table LWW merges published
+    as atomic cross-table version-set commits (arc_spark/lake/catalog.py)
+    — and the union of both tables' final states must hash-match a plain
+    DuckDB arg_max-LWW grouped by (table, repo, path)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.multi import MultiTableReplay, bootstrap_catalog_for_stream
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("tags"))
+        .otherwise(F.lit("files"))
+        .alias("table"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="cdcmulti_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    catalog = bootstrap_catalog_for_stream(
+        spark, f"{d}/ev", f"{d}/cat", num_buckets=8
+    )
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    MultiTableReplay(
+        spark, f"{d}/ev", catalog, batch_size=max(1, max_seq // 3 + 1), num_buckets=8
+    ).run()
+    parts = [
+        catalog.read(spark, name)
+        .select("repo", "path", "seq", "value", "content_sha256")
+        .withColumn("table_name", F.lit(name))
+        for name in ("files", "tags")
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "table_name", "repo", "path", "seq", "value", "content_sha256"
+    )
+
+
 def _cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-epoch merge where the ``metric`` column arrives as INT in the
     first half of the stream and as BIGINT (with values needing 64 bits)
@@ -1145,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": _cdc_replay_mini,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
+        "cdc_multi_table": _cdc_multi_table,
         "cdc_type_widening": _cdc_type_widening,
         "language_id_documents": _language_id_documents,
         "doc_quality": _doc_quality,
@@ -1655,6 +1709,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM c GROUP BY repo, path
             )
             SELECT repo, path, seq, "commit", value,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w WHERE op <> 'delete'
+        """,
+        "cdc_multi_table": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_id % 3 = 0 THEN 'tags' ELSE 'files' END AS table_name,
+                       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       value, props AS content
+                FROM events
+            ), w AS (
+                SELECT table_name, repo, path, max(seq) AS seq,
+                       arg_max(op, seq) AS op,
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM c GROUP BY table_name, repo, path
+            )
+            SELECT table_name, repo, path, seq, value,
                    sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
             FROM w WHERE op <> 'delete'
         """,

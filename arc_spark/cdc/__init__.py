@@ -12,3 +12,7 @@ from arc_spark.cdc.debezium import (  # noqa: F401
     stage_debezium,
     to_debezium_json,
 )
+from arc_spark.cdc.multi import (  # noqa: F401
+    MultiTableReplay,
+    bootstrap_catalog_for_stream,
+)

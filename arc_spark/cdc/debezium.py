@@ -57,7 +57,8 @@ __all__ = [
 # for final-state equivalence (the reference replay applies both).
 OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
 
-# source-block fields used for seq derivation, in preference order.
+# source-block fields used for seq derivation (preference order) plus the
+# table identity fields a whole-database connector stamps on every event.
 _SOURCE_FIELDS = T.StructType(
     [
         T.StructField("lsn", T.LongType()),      # Postgres WAL position
@@ -65,6 +66,8 @@ _SOURCE_FIELDS = T.StructType(
         T.StructField("row", T.IntegerType()),   # row index within a tx
         T.StructField("ts_ms", T.LongType()),
         T.StructField("sequence", T.StringType()),
+        T.StructField("db", T.StringType()),     # source database
+        T.StructField("table", T.StringType()),  # source table (routing key)
     ]
 )
 
@@ -120,12 +123,16 @@ def parse_debezium(
     wrapper: str = "auto",
     drop_unparseable: bool = False,
     with_tx: bool = False,
+    with_source_table: bool = False,
 ) -> DataFrame:
     """Parse a DataFrame of Debezium JSON strings into the canonical
     change frame: ``payload columns + op + seq (+ _ts_ms)``.
     ``with_tx=True`` additionally surfaces the per-event transaction
     block (``_tx_id``, ``_tx_order``; NULLs = non-transactional event) —
-    the input to :func:`tx_safe_horizon`.
+    the input to :func:`tx_safe_horizon`. ``with_source_table=True``
+    surfaces ``source.table`` as ``_table`` — the routing key for
+    whole-database streams (see :class:`arc_spark.cdc.multi
+    .MultiTableReplay`).
 
     - ``op='d'`` rows take their key/payload columns from ``before``
       (Debezium deletes carry ``after=null``); everything else from
@@ -204,6 +211,8 @@ def parse_debezium(
         if with_tx
         else []
     )
+    if with_source_table:
+        tx_cols.append(envc["source"]["table"].alias("_table"))
     return out.select(
         *cols,
         # unknown Debezium ops pass through verbatim so the runner's
@@ -228,19 +237,24 @@ def parse_debezium(
 _ENGINE_OP_TO_DBZ = {"insert": "c", "update": "u", "upsert": "u", "delete": "d"}
 
 
-def to_debezium_json(df: DataFrame, *, seq_col: str = "seq") -> DataFrame:
+def to_debezium_json(
+    df: DataFrame, *, seq_col: str = "seq", table_col: str | None = None
+) -> DataFrame:
     """Serialize a canonical change frame (payload cols + ``op`` +
     ``seq``) into one-column ``value: string`` Debezium envelopes —
     the test/demo inverse of :func:`parse_debezium` (pure ``to_json``
     codegen; the log position lands in ``source.lsn`` so the default
-    seq derivation round-trips).
+    seq derivation round-trips). ``table_col`` (if given) is stamped
+    into ``source.table`` — the whole-database wire shape
+    ``parse_debezium(with_source_table=True)`` routes by — and excluded
+    from the row payload.
 
     Rows whose op has no Debezium row-op equivalent (``schema-change``)
     raise at execution: Debezium publishes DDL on a separate
     schema-change topic, so a caller must route those rows elsewhere
     (``df.filter(op != 'schema-change')``) before serializing.
     """
-    payload_cols = [c for c in df.columns if c not in ("op", seq_col)]
+    payload_cols = [c for c in df.columns if c not in ("op", seq_col, table_col)]
     payload = F.struct(*[F.col(c) for c in payload_cols])
     dbz_op = F.element_at(
         F.create_map(
@@ -268,6 +282,11 @@ def to_debezium_json(df: DataFrame, *, seq_col: str = "seq") -> DataFrame:
                     F.struct(
                         F.col(seq_col).cast("long").alias("lsn"),
                         F.lit(None).cast("long").alias("pos"),
+                        *(
+                            [F.col(table_col).cast("string").alias("table")]
+                            if table_col
+                            else []
+                        ),
                     ).alias("source"),
                 ).alias("payload")
             )

@@ -1959,6 +1959,66 @@ class CDCStreamExecute(PipelineStage):
         return None
 
 
+@register_stage
+class CDCMultiReplayExecute(PipelineStage):
+    """Engine-specific: whole-database replication as one declarative
+    stage — a table-tagged change stream (parquet ``tableColumn`` or a
+    Debezium tail's ``source.table``) routed into one lake table per
+    source table, every epoch published as ONE atomic
+    :class:`arc_spark.lake.catalog.LakeCatalog` version-set commit, so
+    cross-table readers never see a torn epoch. Tables are auto-created
+    on first sight by default (the whole-database connector bootstrap);
+    set ``onUnknownTable`` to ``error``/``ignore`` to pin the table set.
+    Per-epoch metrics (with per-table status/rows) land in ctx.events."""
+
+    stage_type = "CDCMultiReplayExecute"
+    REQUIRED = ("eventsURI", "catalogURI")
+    OPTIONAL = ("tableColumn", "batchSize", "strategy", "saltBuckets",
+                "mergeMode", "numBuckets", "maxEpochs", "keys", "seqColumn",
+                "onUnknownTable", "commitLockURI", "commitLockLeaseSeconds",
+                "metricsURI", "eventsFormat", "payloadSchema", "outputViews")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from arc_spark.cdc.multi import MultiTableReplay
+        from arc_spark.lake.catalog import LakeCatalog
+
+        locker = _locker_from_params(self.params, ctx.spark)
+        catalog = LakeCatalog(self.params["catalogURI"], locker=locker)
+        if not catalog.exists():
+            catalog.create()
+        keys = self.params.get("keys")
+        replay = MultiTableReplay(
+            ctx.spark,
+            self.params["eventsURI"],
+            catalog,
+            table_col=self.params.get("tableColumn", "table"),
+            batch_size=int(self.params.get("batchSize", 100_000)),
+            strategy=self.params.get("strategy", "thin"),
+            salt_buckets=(
+                int(self.params["saltBuckets"])
+                if self.params.get("saltBuckets")
+                else None
+            ),
+            keys=list(keys) if keys else None,
+            seq_col=self.params.get("seqColumn", "seq"),
+            merge_mode=self.params.get("mergeMode", "auto"),
+            metrics_path=self.params.get("metricsURI"),
+            on_unknown_table=self.params.get("onUnknownTable", "create"),
+            num_buckets=int(self.params.get("numBuckets", 32)),
+            events_format=self.params.get("eventsFormat", "parquet"),
+            payload_schema=self.params.get("payloadSchema"),
+        )
+        max_epochs = self.params.get("maxEpochs")
+        metrics = replay.run(max_epochs=int(max_epochs) if max_epochs else None)
+        for m in metrics:
+            ctx.events.append({"stage": self.name, **m})
+        # outputViews: {tableName: viewName} — catalog-consistent reads
+        out = None
+        for tname, view in (self.params.get("outputViews") or {}).items():
+            out = self.register_output(ctx, catalog.read(ctx.spark, tname), view)
+        return out
+
+
 # ---------------------------------------------------------------------------
 # validate / execute
 # ---------------------------------------------------------------------------
