@@ -111,6 +111,13 @@ class Snapshot:
     delta_files: dict[str, list[str]] = field(default_factory=dict)
     # live-row upper bound per bucket (base rows + delta rows)
     bucket_rows: dict[str, int] = field(default_factory=dict)
+    # metadata-only renames: current column name -> historical names still
+    # present in older data files (Iceberg field-id evolution expressed as
+    # a name mapping — see alter_schema / _read_files)
+    column_renames: dict[str, list[str]] = field(default_factory=dict)
+    # names (and their aliases) retired by alter_schema(drop=...): re-adding
+    # one would resurrect old file values, so merges/adds reject them
+    dropped_columns: list[str] = field(default_factory=list)
 
     @property
     def end_seq(self) -> int:
@@ -193,6 +200,8 @@ class LakeTable:
             parent_version=m.get("parent_version", -1),
             delta_files=m.get("delta_files", {}),
             bucket_rows=m.get("bucket_rows", {}),
+            column_renames=m.get("column_renames", {}),
+            dropped_columns=m.get("dropped_columns", []),
         )
 
     def _commit(self, manifest: dict) -> int:
@@ -260,11 +269,127 @@ class LakeTable:
             "bucket_rows": {},
             "committed_epochs": {},
             "counters": {},
+            "column_renames": {},
+            "dropped_columns": [],
             "parent_version": -1,
             "created_at": time.time(),
         }
         self._commit(manifest)
         return self.snapshot()
+
+    def alter_schema(
+        self,
+        *,
+        rename: dict[str, str] | None = None,
+        drop: list[str] | None = None,
+        add: list[StructField] | StructType | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """Metadata-only DDL: rename / drop / add columns by publishing a
+        new manifest — NO data files move (Iceberg ``ALTER TABLE``).
+
+        - ``rename={'old': 'new'}``: the schema field is renamed and
+          ``old`` joins ``new``'s name history; reads coalesce over the
+          history (_read_files), so files written before the rename keep
+          serving their values. Key/seq columns may be renamed — the
+          bucket hash is over VALUES, so file placement stays valid.
+        - ``drop=['col']``: the field leaves the schema; old files still
+          carry the bytes (column pruning skips them) and the name (plus
+          its aliases) is retired — re-adding a retired name is rejected
+          until a compact() rewrites the old files, because the read
+          path's name mapping would resurrect stale values. Key, seq and
+          internal columns cannot be dropped.
+        - ``add=[StructField(...)]``: nullable columns append to the
+          schema (old rows read NULL) — same semantics a widening merge
+          applies implicitly, but as explicit DDL.
+
+        Applied in rename → drop → add order within one atomic commit.
+        Returns ``{"status": "altered", "version": n}``."""
+        rename = dict(rename or {})
+        drop = list(drop or [])
+        add_fields = list(add.fields if isinstance(add, StructType) else (add or []))
+        if not (rename or drop or add_fields):
+            return {"status": "noop", "version": self.current_version()}
+        for attempt in range(max_retries):
+            snap = self.snapshot()
+            names = [f_.name for f_ in snap.schema.fields]
+            renames = {k: list(v) for k, v in snap.column_renames.items()}
+            dropped = list(snap.dropped_columns)
+            live_aliases = {a for hist in renames.values() for a in hist}
+            key_cols = list(snap.key_cols)
+            seq_col = snap.seq_col
+
+            fields = {f_.name: f_ for f_ in snap.schema.fields}
+            for old, new in rename.items():
+                if old not in fields:
+                    raise ValueError(f"rename: no such column {old!r}")
+                if new in fields or new in live_aliases or new in dropped:
+                    raise ValueError(
+                        f"rename: target name {new!r} is already a live "
+                        "column, a historical alias, or a dropped name"
+                    )
+                f_ = fields.pop(old)
+                fields[new] = StructField(new, f_.dataType, f_.nullable, f_.metadata)
+                names[names.index(old)] = new
+                # old's own history follows it under the new name
+                renames[new] = renames.pop(old, []) + [old]
+                live_aliases.add(old)
+                key_cols = [new if k == old else k for k in key_cols]
+                if seq_col == old:
+                    seq_col = new
+            for col in drop:
+                if col not in fields:
+                    raise ValueError(f"drop: no such column {col!r}")
+                if col in key_cols or col == seq_col or col == TOMBSTONE_COL:
+                    raise ValueError(f"drop: {col!r} is a key/seq/internal column")
+                fields.pop(col)
+                names.remove(col)
+                # retire the name and every historical name that mapped to it
+                dropped.extend([col, *renames.pop(col, [])])
+            retired = set(dropped) | {a for h in renames.values() for a in h}
+            for f_ in add_fields:
+                if f_.name in fields:
+                    raise ValueError(f"add: column {f_.name!r} already exists")
+                if f_.name in retired:
+                    raise ValueError(
+                        f"add: {f_.name!r} collides with a dropped/renamed "
+                        "column still present in old data files — pick a "
+                        "new name or compact() first"
+                    )
+                nf = StructField(f_.name, f_.dataType, True, f_.metadata)
+                fields[nf.name] = nf
+                names.append(nf.name)
+
+            manifest = {
+                "version": snap.version + 1,
+                "epoch": snap.epoch,
+                "schema": StructType([fields[n] for n in names]).jsonValue(),
+                "num_buckets": snap.num_buckets,
+                "key_cols": key_cols,
+                "seq_col": seq_col,
+                "files": snap.files,
+                "delta_files": snap.delta_files,
+                "bucket_rows": snap.bucket_rows,
+                "committed_epochs": snap.committed_epochs,
+                "counters": {
+                    "altered": {
+                        "renamed": rename,
+                        "dropped": drop,
+                        "added": [f_.name for f_ in add_fields],
+                    }
+                },
+                "column_renames": renames,
+                "dropped_columns": dropped,
+                "parent_version": snap.version,
+                "committed_at": time.time(),
+            }
+            try:
+                v = self._commit(manifest)
+                return {"status": "altered", "version": v}
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+        raise RuntimeError("unreachable")
 
     # -- read --------------------------------------------------------------
 
@@ -346,13 +471,30 @@ class LakeTable:
             return spark.createDataFrame([], schema)
         paths = [fs_join(self.root, p) for p in rel_paths]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        # align to snapshot schema (old files lack evolved columns)
+        # Align to snapshot schema. Old files may lack evolved columns
+        # (NULL), carry narrower types (cast up), or carry a column under
+        # a PRE-RENAME name (coalesce over the name history — each row was
+        # written whole under exactly one naming epoch, so at most one of
+        # the candidate columns is non-NULL per row; a metadata-only
+        # rename therefore needs no data rewrite, Iceberg-style).
+        have = set(df.columns)
         cols = []
         for f_ in schema.fields:
-            if f_.name in df.columns:
-                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
-            else:
+            sources = [
+                n
+                for n in (f_.name, *snap.column_renames.get(f_.name, ()))
+                if n in have
+            ]
+            if not sources:
                 cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            elif len(sources) == 1:
+                cols.append(F.col(sources[0]).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(
+                    F.coalesce(*[F.col(n).cast(f_.dataType) for n in sources]).alias(
+                        f_.name
+                    )
+                )
         return df.select(*cols)
 
     def bucket_expr(self, snap: Snapshot):
@@ -535,8 +677,23 @@ class LakeTable:
             )
         new_schema = StructType(evolved_fields)
         base_names = {f_.name for f_ in snap.schema.fields}
+        # names retired by alter_schema (drops + pre-rename aliases): a new
+        # column under such a name would silently resurrect old file values
+        # through the read path's name mapping — reject, like Iceberg's
+        # field-id rules (the fix is a fresh name upstream, or compact()
+        # first so no old-named files remain)
+        retired = set(snap.dropped_columns) | {
+            a for hist in snap.column_renames.values() for a in hist
+        }
         for f_ in changes.schema.fields:
             if f_.name not in base_names and f_.name != op_col:
+                if f_.name in retired:
+                    raise ValueError(
+                        f"change column {f_.name!r} collides with a "
+                        "dropped/renamed column still present in old data "
+                        "files — pick a new name or compact() the table "
+                        "before re-adding it"
+                    )
                 new_schema = new_schema.add(f_)
 
         data_cols = [f_.name for f_ in new_schema.fields]
@@ -810,6 +967,8 @@ class LakeTable:
                 str(epoch): {"start_seq": start_seq, "end_seq": end_seq},
             },
             "counters": counters,
+            "column_renames": snap.column_renames,
+            "dropped_columns": snap.dropped_columns,
             "parent_version": snap.version,
             "committed_at": time.time(),
         }
@@ -896,6 +1055,8 @@ class LakeTable:
                 str(epoch): {"start_seq": start_seq, "end_seq": end_seq},
             },
             "counters": counters,
+            "column_renames": snap.column_renames,
+            "dropped_columns": snap.dropped_columns,
             "parent_version": snap.version,
             "committed_at": time.time(),
         }
@@ -1013,6 +1174,14 @@ class LakeTable:
             "bucket_rows": bucket_rows,
             "committed_epochs": snap.committed_epochs,
             "counters": {"compacted": True, "buckets_rewritten": rewritten},
+            # A FULL compact rewrites every surviving file under the current
+            # schema, so no file carries a pre-rename/dropped name any more:
+            # the name history can be retired and those names become free to
+            # re-add (this is the "compact() first" path alter_schema/merge
+            # point at). A targeted compact leaves old-named files in the
+            # untouched buckets, so history must carry forward.
+            "column_renames": {} if target is None else snap.column_renames,
+            "dropped_columns": [] if target is None else snap.dropped_columns,
             "parent_version": snap.version,
             "committed_at": time.time(),
         }

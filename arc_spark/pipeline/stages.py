@@ -2737,6 +2737,43 @@ class LakeRollbackExecute(PipelineStage):
         return None
 
 
+@register_stage
+class LakeAlterExecute(PipelineStage):
+    """Engine-specific DDL stage: metadata-only column rename / drop / add
+    on a lake table (LakeTable.alter_schema) — no data files move; reads
+    resolve historical names through the manifest's name mapping. The
+    declarative form of Iceberg ``ALTER TABLE``: ``rename`` is a map of
+    old→new, ``drop`` a list of columns, ``add`` a DDL string like
+    ``"lang string, stars int"``."""
+
+    stage_type = "LakeAlterExecute"
+    REQUIRED = ("tableURI",)
+    OPTIONAL = ("rename", "drop", "add", "commitLockURI",
+                "commitLockLeaseSeconds", "outputView")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from pyspark.sql.types import StructType as _St
+
+        from arc_spark.lake.table import LakeTable
+
+        table = LakeTable(
+            self.params["tableURI"],
+            locker=_locker_from_params(self.params, ctx.spark),
+        )
+        add = self.params.get("add")
+        res = table.alter_schema(
+            rename=self.params.get("rename"),
+            drop=self.params.get("drop"),
+            add=_St.fromDDL(add) if add else None,
+        )
+        ctx.user_data[f"{self.name}.result"] = res
+        ctx.events.append({"stage": self.name, **res})
+        out = self.params.get("outputView")
+        if out:
+            return self.register_output(ctx, table.read(ctx.spark), out)
+        return None
+
+
 # lifecycle plugins resolvable from `plugins.lifecycle` config entries
 # (config/ArcPipeline.scala:86 resolveConfigPlugins on "plugins.lifecycle")
 from arc_spark.pipeline.config import register_lifecycle  # noqa: E402
