@@ -745,6 +745,50 @@ def _cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("repo", "path", "seq", "value", "content_sha256")
 
 
+def _cdc_grow_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution mid-replay through the REAL manifest
+    machinery: two epochs land at 8 buckets, the table is grown 4x
+    (LakeTable.grow_buckets — metadata-only, hash-mod refinement), and
+    the remaining epochs replay at 32. The final read serves a MIXED
+    layout — parents split lazily by the post-growth COW merges next to
+    still-unsplit pre-growth buckets resolved through the manifest's
+    spec map — and must hash-match a plain LWW oracle that knows nothing
+    about bucketing. Any double-owned or lost key range diverges."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="cdcgrow_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=8)
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    batch = max(1, max_seq // 4 + 1)
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=batch).run(max_epochs=2)
+    table.grow_buckets(4, spark=spark)
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=batch).run()
+    assert table.snapshot().num_buckets == 32
+    return table.read(spark).select("repo", "path", "seq", "value", "content_sha256")
+
+
 def _cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-database replication through the REAL multi-table machinery:
     the events table is mapped to ONE interleaved change stream carrying
@@ -1198,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": _cdc_replay_mini,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
+        "cdc_grow_rebucket": _cdc_grow_rebucket,
         "cdc_multi_table": _cdc_multi_table,
         "cdc_type_widening": _cdc_type_widening,
         "language_id_documents": _language_id_documents,
@@ -1732,6 +1777,27 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE op <> 'delete'
         """,
         "cdc_rollback": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       value, props AS content
+                FROM events
+            ), w AS (
+                SELECT repo, path, max(seq) AS seq,
+                       arg_max(op, seq) AS op,
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM c GROUP BY repo, path
+            )
+            SELECT repo, path, seq, value,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w WHERE op <> 'delete'
+        """,
+        # bucketing is physical layout only — the growth query's oracle is
+        # the SAME plain LWW as cdc_replay_mini (bucket count must be
+        # invisible in the result)
+        "cdc_grow_rebucket": r"""
             WITH c AS (
                 SELECT event_id AS seq,
                        CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,

@@ -118,6 +118,15 @@ class Snapshot:
     # names (and their aliases) retired by alter_schema(drop=...): re-adding
     # one would resurrect old file values, so merges/adds reject them
     dropped_columns: list[str] = field(default_factory=list)
+    # bucket-count evolution (grow_buckets): spec under which a FILES
+    # entry was written, for entries not yet split to ``num_buckets``.
+    # Every live spec divides num_buckets, so a storage bucket ``b`` at
+    # spec ``s`` holds exactly the rows of current buckets
+    # {c : c ≡ b (mod s)} — hash-mod bucketing makes growth a pure
+    # refinement, never a reshuffle across parents. Absent key = entry
+    # already at num_buckets. delta_files are ALWAYS at num_buckets
+    # (grow_buckets folds outstanding deltas first).
+    bucket_specs: dict[str, int] = field(default_factory=dict)
 
     @property
     def end_seq(self) -> int:
@@ -132,6 +141,42 @@ class Snapshot:
     def file_list(self) -> list[str]:
         base = [p for fs in self.files.values() for p in fs]
         return base + [p for fs in self.delta_files.values() for p in fs]
+
+    def spec_of(self, bucket: str) -> int:
+        return self.bucket_specs.get(bucket, self.num_buckets)
+
+    def base_cover(self) -> dict[str, str]:
+        """current bucket id -> the FILES entry (storage bucket) holding
+        its base rows. An unsplit parent at spec s covers num_buckets/s
+        current buckets; a full-spec entry covers itself. O(num_buckets)
+        driver-side, tiny next to any Spark job."""
+        cover: dict[str, str] = {}
+        for b in self.files:
+            s = self.spec_of(b)
+            if s == self.num_buckets:
+                cover[b] = b
+            else:
+                for c in range(int(b), self.num_buckets, s):
+                    cover[str(c)] = b
+        return cover
+
+    def storage_closure(self, buckets) -> tuple[set[str], set[str]]:
+        """Expand a set of current-spec bucket ids to (covered, storage):
+        ``storage`` = the FILES entries whose rows must be read to serve
+        ``buckets``; ``covered`` = every current bucket those entries
+        hold (⊇ buckets, closed — rewriting ``storage`` and publishing
+        per-bucket files for all of ``covered`` leaves no key range
+        double-owned). Writers (COW merge, compact) MUST use the closed
+        set: rewriting child c while parent files stay referenced would
+        serve its rows twice."""
+        cover = self.base_cover()
+        req = {str(b) for b in buckets}
+        storage = {cover[c] for c in req if c in cover}
+        covered = set(req)
+        for b in storage:
+            s = self.spec_of(b)
+            covered.update(str(c) for c in range(int(b), self.num_buckets, s))
+        return covered, storage
 
 
 class CommitConflict(Exception):
@@ -202,6 +247,7 @@ class LakeTable:
             bucket_rows=m.get("bucket_rows", {}),
             column_renames=m.get("column_renames", {}),
             dropped_columns=m.get("dropped_columns", []),
+            bucket_specs={k: int(v) for k, v in m.get("bucket_specs", {}).items()},
         )
 
     def _commit(self, manifest: dict) -> int:
@@ -271,6 +317,7 @@ class LakeTable:
             "counters": {},
             "column_renames": {},
             "dropped_columns": [],
+            "bucket_specs": {},
             "parent_version": -1,
             "created_at": time.time(),
         }
@@ -380,12 +427,103 @@ class LakeTable:
                 },
                 "column_renames": renames,
                 "dropped_columns": dropped,
+                "bucket_specs": snap.bucket_specs,
                 "parent_version": snap.version,
                 "committed_at": time.time(),
             }
             try:
                 v = self._commit(manifest)
                 return {"status": "altered", "version": v}
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+        raise RuntimeError("unreachable")
+
+    def grow_buckets(
+        self,
+        factor: int = 2,
+        *,
+        spark: SparkSession | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """Bucket-count (partition-spec) evolution: multiply
+        ``num_buckets`` by ``factor`` with a METADATA-ONLY commit — no
+        data moves now (Iceberg partition-spec evolution for the bucket
+        transform).
+
+        Works because bucketing is ``hash(keys) mod B``: for any integer
+        factor, ``h mod B == b`` pins ``h mod (B·factor)`` to
+        ``{b, b+B, b+2B, …}`` — an old bucket's rows land in exactly
+        ``factor`` new buckets and NOWHERE else, so growth is a pure
+        refinement. Existing file entries are recorded in
+        ``bucket_specs`` at the spec they were written under; reads
+        translate (Snapshot.base_cover), writers split lazily: a COW
+        merge or compact touching any of a parent's new buckets rewrites
+        the whole parent into per-new-bucket files, and
+        ``compact(buckets="auto")`` lists unsplit parents so ordinary
+        maintenance finishes the migration. No rewrite storm, no
+        double-ownership window, no downtime.
+
+        Outstanding MOR delta files must be folded first (delta entries
+        are defined to live at the CURRENT spec — letting pre- and
+        post-growth deltas share a bucket id would corrupt the mapping):
+        pass ``spark`` to fold them here via an incremental compact, or
+        compact the delta-bearing buckets yourself and retry.
+
+        Why grow at all: the bucket is the unit of merge rewrite, of
+        pruned lookups, and of compaction; at 10^10+ events a bucket
+        count sized for the first TB leaves multi-GB buckets that make
+        every COW epoch rewrite huge files. Doubling B keeps bucket size
+        bounded as the table grows — the step a 100 TB deployment
+        schedules, not a table rebuild."""
+        if factor < 2 or int(factor) != factor:
+            raise ValueError(f"factor must be an integer >= 2, got {factor!r}")
+        for attempt in range(max_retries):
+            snap = self.snapshot()
+            delta_bearing = sorted(b for b, fs in snap.delta_files.items() if fs)
+            if delta_bearing:
+                if spark is None:
+                    raise ValueError(
+                        "grow_buckets requires all MOR delta files folded "
+                        f"first (delta-bearing buckets: {delta_bearing}); "
+                        "pass spark= to fold them here, or run "
+                        'compact(spark, buckets="auto") and retry'
+                    )
+                self.compact(spark, buckets=delta_bearing)
+                snap = self.snapshot()
+            new_b = snap.num_buckets * int(factor)
+            specs = dict(snap.bucket_specs)
+            for b in snap.files:
+                specs.setdefault(b, snap.num_buckets)
+            manifest = {
+                "version": snap.version + 1,
+                "epoch": snap.epoch,
+                "schema": snap.schema.jsonValue(),
+                "num_buckets": new_b,
+                "key_cols": snap.key_cols,
+                "seq_col": snap.seq_col,
+                "files": snap.files,
+                "delta_files": {},
+                "bucket_rows": snap.bucket_rows,
+                "committed_epochs": snap.committed_epochs,
+                "counters": {
+                    "grew_buckets": {"from": snap.num_buckets, "to": new_b},
+                    "unsplit_parents": len(specs),
+                },
+                "column_renames": snap.column_renames,
+                "dropped_columns": snap.dropped_columns,
+                "bucket_specs": specs,
+                "parent_version": snap.version,
+                "committed_at": time.time(),
+            }
+            try:
+                v = self._commit(manifest)
+                return {
+                    "status": "grown",
+                    "version": v,
+                    "num_buckets": new_b,
+                    "unsplit_parents": len(specs),
+                }
             except CommitConflict:
                 if attempt == max_retries - 1:
                     raise
@@ -427,15 +565,47 @@ class LakeTable:
         Only DELTA-BEARING buckets pay the window shuffle: buckets with no
         delta files stream through untouched (a key never crosses buckets,
         so per-bucket resolution is exact). With 1 dirty bucket out of B,
-        the read shuffles 1/B of the table instead of all of it."""
-        sel = set(snap.files) | set(snap.delta_files) if buckets is None else buckets
-        dirty = {b for b in sel if snap.delta_files.get(b)}
-        clean_files = [p for b in sel - dirty for p in snap.files.get(b, [])]
+        the read shuffles 1/B of the table instead of all of it.
+
+        ``buckets`` are CURRENT-spec ids; after grow_buckets an unsplit
+        parent entry serves several of them, so requests group by storage
+        entry (each parent read once — never per child, which would
+        duplicate rows). Rows of a parent's un-requested siblings ride
+        along; every caller is closed over them (full reads request
+        everything, lookup semi-joins on keys, changes_since filters by
+        seq over files it would have had to read anyway, and writers
+        expand to the storage closure)."""
+        cover = snap.base_cover()
+        if buckets is None:
+            sel = set(cover) | set(snap.delta_files)
+        else:
+            sel = {str(b) for b in buckets}
+        # group requested buckets under their storage entry; a storage
+        # entry is dirty if ANY requested bucket it covers carries deltas
+        by_storage: dict[str, set[str]] = {}
+        no_base_dirty: list[str] = []
+        for c in sel:
+            b = cover.get(c)
+            if b is not None:
+                by_storage.setdefault(b, set()).add(c)
+            elif snap.delta_files.get(c):
+                no_base_dirty.append(c)  # insert-only delta, no base yet
+        dirty = {
+            b
+            for b, cs in by_storage.items()
+            if any(snap.delta_files.get(c) for c in cs)
+        }
+        clean_files = [p for b in by_storage if b not in dirty for p in snap.files[b]]
         clean = self._read_files(spark, snap, clean_files, with_tombstone=True)
-        if not dirty:
+        if not dirty and not no_base_dirty:
             return clean
-        dirty_base = [p for b in dirty for p in snap.files.get(b, [])]
-        dirty_delta = [p for b in dirty for p in snap.delta_files.get(b, [])]
+        dirty_base = [p for b in dirty for p in snap.files[b]]
+        dirty_delta = [
+            p
+            for c in sel
+            if (cover.get(c) in dirty or c in no_base_dirty)
+            for p in snap.delta_files.get(c, [])
+        ]
         merged = self._read_files(
             spark, snap, dirty_base, with_tombstone=True
         ).unionByName(self._read_files(spark, snap, dirty_delta, with_tombstone=True))
@@ -840,7 +1010,11 @@ class LakeTable:
         t0 = time.time()
         if touched is None:
             touched = list(range(snap.num_buckets))
-        touched_set = {str(b) for b in touched}
+        # Closure over storage entries: touching a current bucket whose
+        # base rows live in an unsplit pre-growth parent rewrites the
+        # WHOLE parent (all its current buckets) — the lazy split-on-write
+        # half of grow_buckets. Identity when no growth is outstanding.
+        touched_set, storage_ids = snap.storage_closure(touched)
         t_materialize = time.time() - t0
 
         # Base rows from touched buckets only (copy-on-write scope); any
@@ -899,7 +1073,7 @@ class LakeTable:
         out_dir = fs_join(self.root, DATA_DIR, attempt_id)
         t0 = time.time()
         (
-            merged.repartition(max(1, min(len(touched), snap.num_buckets)), "_bucket")
+            merged.repartition(max(1, min(len(touched_set), snap.num_buckets)), "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
@@ -927,21 +1101,26 @@ class LakeTable:
             rows_per_bucket[bucket] = n
             rows_written += n
 
-        files = {b: fs for b, fs in snap.files.items() if b not in touched_set}
+        # storage_ids: pre-rewrite entries consumed (incl. unsplit parents);
+        # touched_set: the current-spec buckets their rows were rewritten as
+        files = {b: fs for b, fs in snap.files.items() if b not in storage_ids}
         files.update(new_files)
         delta_files = {
             b: fs for b, fs in snap.delta_files.items() if b not in touched_set and fs
         }
         bucket_rows = dict(snap.bucket_rows)
-        for b in touched_set:
+        for b in storage_ids | touched_set:
             bucket_rows.pop(b, None)
         bucket_rows.update({b: n for b, n in rows_per_bucket.items()})
+        bucket_specs = {
+            b: s for b, s in snap.bucket_specs.items() if b not in storage_ids
+        }
 
         counters = {
             "epoch": epoch,
             "mode": "cow",
             "rows_written": rows_written,
-            "buckets_rewritten": len(touched),
+            "buckets_rewritten": len(touched_set),
             "buckets_total": snap.num_buckets,
             # per-partition lineage: rows now resident per bucket after this
             # epoch (from parquet footers — no extra Spark job); skew in
@@ -969,6 +1148,7 @@ class LakeTable:
             "counters": counters,
             "column_renames": snap.column_renames,
             "dropped_columns": snap.dropped_columns,
+            "bucket_specs": bucket_specs,
             "parent_version": snap.version,
             "committed_at": time.time(),
         }
@@ -1057,6 +1237,7 @@ class LakeTable:
             "counters": counters,
             "column_renames": snap.column_renames,
             "dropped_columns": snap.dropped_columns,
+            "bucket_specs": snap.bucket_specs,
             "parent_version": snap.version,
             "committed_at": time.time(),
         }
@@ -1068,14 +1249,19 @@ class LakeTable:
 
     @staticmethod
     def buckets_needing_compaction(snap: Snapshot, *, max_files: int = 4) -> list[str]:
-        """Buckets whose base-file count exceeds ``max_files`` or that carry
-        any MOR delta files — the targets incremental compaction should
-        rewrite. At 100 TB a full-table rewrite is a non-starter; steady
-        state is 'compact the few buckets recent epochs touched'."""
+        """Buckets whose base-file count exceeds ``max_files``, that carry
+        any MOR delta files, or that are unsplit pre-growth parents
+        (grow_buckets leaves splitting to writes that touch them; auto
+        compaction finishes the remainder, each parent rewritten once) —
+        the targets incremental compaction should rewrite. At 100 TB a
+        full-table rewrite is a non-starter; steady state is 'compact the
+        few buckets recent epochs touched'."""
         return sorted(
             b
             for b in set(snap.files) | set(snap.delta_files)
-            if snap.delta_files.get(b) or len(snap.files.get(b, [])) > max_files
+            if snap.delta_files.get(b)
+            or len(snap.files.get(b, [])) > max_files
+            or snap.spec_of(b) != snap.num_buckets
         )
 
     def compact(
@@ -1104,6 +1290,13 @@ class LakeTable:
         target = None if buckets is None else {str(b) for b in buckets}
         if target is not None and not target:
             return {"status": "noop", "version": snap.version, "files": 0}
+        if target is not None:
+            # closure over unsplit pre-growth parents: compacting any of a
+            # parent's current buckets rewrites the whole parent (and so
+            # finishes its split) — same rule as the COW merge
+            target, storage_ids = snap.storage_closure(target)
+        else:
+            storage_ids = set(snap.files)
         df = self._resolve(spark, snap, buckets=target)
         if vacuum_tombstones_below_seq is not None:
             df = df.filter(
@@ -1136,7 +1329,7 @@ class LakeTable:
         files = (
             {}
             if target is None
-            else {b: fs for b, fs in snap.files.items() if b not in target}
+            else {b: fs for b, fs in snap.files.items() if b not in storage_ids}
         )
         delta_files = (
             {}
@@ -1146,7 +1339,11 @@ class LakeTable:
         bucket_rows = (
             {}
             if target is None
-            else {b: n for b, n in snap.bucket_rows.items() if b not in target}
+            else {
+                b: n
+                for b, n in snap.bucket_rows.items()
+                if b not in storage_ids and b not in target
+            }
         )
         rewritten = 0
         for entry in self.fs.listdir(out_dir):
@@ -1182,6 +1379,11 @@ class LakeTable:
             # untouched buckets, so history must carry forward.
             "column_renames": {} if target is None else snap.column_renames,
             "dropped_columns": [] if target is None else snap.dropped_columns,
+            # rewritten entries land at the current spec; pre-growth
+            # parents among them are split and leave the spec map
+            "bucket_specs": {
+                b: s for b, s in snap.bucket_specs.items() if b not in storage_ids
+            },
             "parent_version": snap.version,
             "committed_at": time.time(),
         }

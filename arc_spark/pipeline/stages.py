@@ -2676,16 +2676,44 @@ class LakeCompactExecute(PipelineStage):
 
     stage_type = "LakeCompactExecute"
     REQUIRED = ("tableURI",)
-    OPTIONAL = ("vacuumTombstonesBelowSeq",)
+    OPTIONAL = ("vacuumTombstonesBelowSeq", "buckets", "maxFiles")
 
     def execute(self, ctx: PipelineContext) -> None:
         from arc_spark.lake.table import LakeTable
 
         res = LakeTable(self.params["tableURI"]).compact(
             ctx.spark,
+            buckets=self.params.get("buckets"),
+            max_files=int(self.params.get("maxFiles", 4)),
             vacuum_tombstones_below_seq=self.params.get("vacuumTombstonesBelowSeq"),
         )
         ctx.user_data[f"{self.name}.result"] = res
+        return None
+
+
+@register_stage
+class LakeGrowExecute(PipelineStage):
+    """Engine-specific maintenance stage: bucket-count (partition-spec)
+    evolution — multiply the table's num_buckets by ``factor`` with a
+    metadata-only commit (LakeTable.grow_buckets); writes split the old
+    buckets lazily and ``LakeCompactExecute`` with ``buckets: auto``
+    finishes the migration. The step a deployment schedules as the table
+    grows toward 10^10 events, instead of rebuilding it."""
+
+    stage_type = "LakeGrowExecute"
+    REQUIRED = ("tableURI",)
+    OPTIONAL = ("factor", "commitLockURI", "commitLockLeaseSeconds")
+
+    def execute(self, ctx: PipelineContext) -> None:
+        from arc_spark.lake.table import LakeTable
+
+        table = LakeTable(
+            self.params["tableURI"],
+            locker=_locker_from_params(self.params, ctx.spark),
+        )
+        res = table.grow_buckets(int(self.params.get("factor", 2)), spark=ctx.spark)
+        ctx.user_data[f"{self.name}.result"] = res
+        ctx.events.append({"stage": self.name, **res})
         return None
 
 
