@@ -92,6 +92,11 @@ DATA_DIR = "data"
 # seq-ordered). Vacuuming tombstones older than the low-watermark is a
 # compaction concern (LakeTable.compact).
 TOMBSTONE_COL = "_tombstone"
+# Names the engine itself materializes during merges/reads. A user column
+# taking one would be silently replaced (merge's withColumn("_bucket")),
+# dropped by the partitioned writer, or made ambiguous in _read_files —
+# create / alter_schema / merge widening all reject them.
+RESERVED_COLS = frozenset({TOMBSTONE_COL, "_bucket", "_op", "_rn"})
 
 
 @dataclass
@@ -144,6 +149,15 @@ class Snapshot:
 
     def spec_of(self, bucket: str) -> int:
         return self.bucket_specs.get(bucket, self.num_buckets)
+
+    def retired_names(self) -> set[str]:
+        """Column names still present in old data files but no longer in
+        the schema (drops + pre-rename aliases): re-adding one would
+        resurrect stale file values through the read path's name mapping,
+        so alter_schema and merge widening both reject them."""
+        return set(self.dropped_columns) | {
+            a for hist in self.column_renames.values() for a in hist
+        }
 
     def base_cover(self) -> dict[str, str]:
         """current bucket id -> the FILES entry (storage bucket) holding
@@ -298,6 +312,12 @@ class LakeTable:
         num_buckets: int = 32,
         overwrite: bool = False,
     ) -> Snapshot:
+        bad = {f_.name for f_ in schema.fields} & RESERVED_COLS
+        if bad:
+            raise ValueError(
+                f"schema columns {sorted(bad)} are reserved for "
+                f"engine-internal use (reserved names: {sorted(RESERVED_COLS)})"
+            )
         if self.exists():
             if not overwrite:
                 raise FileExistsError(f"table exists: {self.root}")
@@ -367,6 +387,11 @@ class LakeTable:
             seq_col = snap.seq_col
 
             fields = {f_.name: f_ for f_ in snap.schema.fields}
+            for bad in {*rename.values(), *(f_.name for f_ in add_fields)} & RESERVED_COLS:
+                raise ValueError(
+                    f"{bad!r} is reserved for engine-internal use "
+                    f"(reserved names: {sorted(RESERVED_COLS)})"
+                )
             for old, new in rename.items():
                 if old not in fields:
                     raise ValueError(f"rename: no such column {old!r}")
@@ -489,8 +514,20 @@ class LakeTable:
                         "pass spark= to fold them here, or run "
                         'compact(spark, buckets="auto") and retry'
                     )
-                self.compact(spark, buckets=delta_bearing)
-                snap = self.snapshot()
+                try:
+                    self.compact(spark, buckets=delta_bearing)
+                except CommitConflict:
+                    if attempt == max_retries - 1:
+                        raise
+                # Re-enter the loop rather than proceeding from a fresh
+                # snapshot directly: a concurrent delta merge can land
+                # between the fold commit and our re-read, and committing
+                # "delta_files": {} over it would orphan its rows while
+                # leaving its epoch fenced — silent loss. The loop re-checks
+                # delta_bearing from scratch; our own CAS commit below then
+                # guarantees no unseen delta can slip in after the check
+                # (any concurrent commit bumps the version and conflicts us).
+                continue
             new_b = snap.num_buckets * int(factor)
             specs = dict(snap.bucket_specs)
             for b in snap.files:
@@ -527,7 +564,10 @@ class LakeTable:
             except CommitConflict:
                 if attempt == max_retries - 1:
                     raise
-        raise RuntimeError("unreachable")
+        raise CommitConflict(
+            "grow_buckets: concurrent writers kept adding delta files; "
+            f"no delta-free snapshot reached in {max_retries} attempts"
+        )
 
     # -- read --------------------------------------------------------------
 
@@ -847,16 +887,19 @@ class LakeTable:
             )
         new_schema = StructType(evolved_fields)
         base_names = {f_.name for f_ in snap.schema.fields}
-        # names retired by alter_schema (drops + pre-rename aliases): a new
-        # column under such a name would silently resurrect old file values
-        # through the read path's name mapping — reject, like Iceberg's
-        # field-id rules (the fix is a fresh name upstream, or compact()
-        # first so no old-named files remain)
-        retired = set(snap.dropped_columns) | {
-            a for hist in snap.column_renames.values() for a in hist
-        }
+        # a new column under a retired name would silently resurrect old
+        # file values through the read path's name mapping — reject, like
+        # Iceberg's field-id rules (the fix is a fresh name upstream, or
+        # compact() first so no old-named files remain)
+        retired = snap.retired_names()
         for f_ in changes.schema.fields:
             if f_.name not in base_names and f_.name != op_col:
+                if f_.name in RESERVED_COLS:
+                    raise ValueError(
+                        f"change column {f_.name!r} is reserved for "
+                        "engine-internal use "
+                        f"(reserved names: {sorted(RESERVED_COLS)})"
+                    )
                 if f_.name in retired:
                     raise ValueError(
                         f"change column {f_.name!r} collides with a "

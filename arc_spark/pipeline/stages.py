@@ -2676,12 +2676,16 @@ class LakeCompactExecute(PipelineStage):
 
     stage_type = "LakeCompactExecute"
     REQUIRED = ("tableURI",)
-    OPTIONAL = ("vacuumTombstonesBelowSeq", "buckets", "maxFiles")
+    OPTIONAL = ("vacuumTombstonesBelowSeq", "buckets", "maxFiles",
+                "commitLockURI", "commitLockLeaseSeconds")
 
     def execute(self, ctx: PipelineContext) -> None:
         from arc_spark.lake.table import LakeTable
 
-        res = LakeTable(self.params["tableURI"]).compact(
+        res = LakeTable(
+            self.params["tableURI"],
+            locker=_locker_from_params(self.params, ctx.spark),
+        ).compact(
             ctx.spark,
             buckets=self.params.get("buckets"),
             max_files=int(self.params.get("maxFiles", 4)),

@@ -212,3 +212,32 @@ def test_lake_alter_execute_stage(spark, tmp_path):
     assert [r["body"] for r in df.collect()] == ["v1"]
     ev = [e for e in ctx.events if e.get("stage") == "ddl"]
     assert ev and ev[0]["status"] == "altered"
+
+
+def test_reserved_internal_names_rejected(spark, tmp_path):
+    """_tombstone/_bucket/_op/_rn are engine-materialized: a user column
+    taking one would be silently replaced by the merge's bucket router,
+    dropped by the partitioned writer, or made ambiguous in the reader —
+    create, alter and merge widening all refuse them."""
+    from pyspark.sql.types import BooleanType, StructType
+
+    from arc_spark.lake.table import RESERVED_COLS
+
+    t = _mk(spark, str(tmp_path / "t"), [("r", "a", 1, "v1", "update")])
+    for bad in sorted(RESERVED_COLS):
+        with pytest.raises(ValueError, match="reserved"):
+            t.alter_schema(add=[StructField(bad, BooleanType())])
+        with pytest.raises(ValueError, match="reserved"):
+            t.alter_schema(rename={"content": bad})
+    widen = spark.createDataFrame(
+        [("r", "b", 2, "v2", True, "update")],
+        "repo string, path string, seq long, content string, "
+        "_tombstone boolean, op string",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge(spark, widen, epoch=1, start_seq=2, end_seq=2, mode="cow")
+    bad_schema = StructType(
+        [StructField("repo", StringType()), StructField("_bucket", StringType())]
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        LakeTable(str(tmp_path / "t2")).create(bad_schema, ["repo"])

@@ -251,3 +251,45 @@ def test_lake_grow_execute_stage(spark, tmp_path):
     snap = t.snapshot()
     assert snap.num_buckets == 16 and snap.bucket_specs == {}
     assert len(_state(spark, t)) == 20
+
+
+def test_grow_never_drops_concurrently_committed_deltas(spark, tmp_path):
+    """A delta merge landing between grow's internal delta-fold and its
+    own commit must NOT be orphaned by a 'delta_files: {}' manifest: the
+    loop re-checks from a fresh snapshot every attempt and, if writers
+    keep winning, fails with CommitConflict — leaving every committed
+    delta referenced."""
+    from arc_spark.lake.table import CommitConflict
+
+    t = _mk(spark, str(tmp_path / "t"))
+    upd = spark.createDataFrame([("r1", "p1", 1000, "d0", "update")], SCHEMA)
+    t.merge(spark, upd, epoch=1, start_seq=1000, end_seq=1000, mode="delta")
+
+    real_compact = t.compact
+    seq = [1000]
+
+    def compact_then_concurrent_delta(*a, **k):
+        res = real_compact(*a, **k)
+        # a concurrent writer sneaks a new delta in right after the fold
+        seq[0] += 1
+        d = spark.createDataFrame(
+            [("r2", "p2", seq[0], f"d{seq[0]}", "update")], SCHEMA
+        )
+        t.merge(
+            spark, d, epoch=seq[0], start_seq=seq[0], end_seq=seq[0], mode="delta"
+        )
+        return res
+
+    t.compact = compact_then_concurrent_delta
+    with pytest.raises(CommitConflict, match="delta-free"):
+        t.grow_buckets(2, spark=spark, max_retries=2)
+    t.compact = real_compact
+    snap = t.snapshot()
+    # nothing grew, nothing lost: the last concurrent delta is still live
+    assert snap.num_buckets == 4
+    assert sum(len(v) for v in snap.delta_files.values()) == 1
+    got = _state(spark, t)
+    assert got[("r2", "p2")] == f"d{seq[0]}" and got[("r1", "p1")] == "d0"
+    # and with the interference gone, growth succeeds and keeps the state
+    t.grow_buckets(2, spark=spark)
+    assert _state(spark, t) == got
