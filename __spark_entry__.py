@@ -646,6 +646,61 @@ def _cdc_replay_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot + tail handoff (Debezium snapshot.mode=initial):
+    the source table at position ``cutoff`` (LWW winners at seq <= cutoff,
+    deletes gone, one row per key) is committed via bootstrap_snapshot as
+    the fenced first epoch; the runner then tails ONLY seq > cutoff from
+    its normal resume rule. The final table must hash-match a plain LWW
+    oracle over the WHOLE stream — any gap or double-apply at the
+    handoff seam diverges (arc_spark/cdc/bootstrap.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.apply import last_writer_wins
+    from arc_spark.cdc.bootstrap import bootstrap_snapshot, create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 40).alias("commit"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="cdcboot_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    cutoff = max_seq // 2
+    snap_df = (
+        last_writer_wins(
+            changes.filter(F.col("seq") <= cutoff), ["repo", "path"], "seq"
+        )
+        .filter(F.col("op") != "delete")
+        .drop("op")
+    )
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
+    bootstrap_snapshot(spark, table, snap_df, cutoff)
+    ReplayRunner(
+        spark, f"{d}/ev", table,
+        batch_size=max(1, (max_seq - cutoff) // 3 + 1),
+    ).run()
+    return table.read(spark).select(
+        "repo", "path", "seq", "commit", "value", "content_sha256"
+    )
+
+
 def _cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay with malformed events diverted to quarantine (on_bad=
     "quarantine"): events whose id hits %53 carry an unknown op, %59 a
@@ -1240,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "statistics_lineitem": _statistics_lineitem,
         "cdc_replay_mini": _cdc_replay_mini,
+        "cdc_bootstrap": _cdc_bootstrap,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
         "cdc_grow_rebucket": _cdc_grow_rebucket,
@@ -1739,6 +1795,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_batch": _KNN_BATCH_SQL,
         "statistics_lineitem": _statistics_oracle_sql(),
         "cdc_replay_mini": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       substring(sha256(CAST(event_id AS VARCHAR)), 1, 40) AS "commit",
+                       value, props AS content
+                FROM events
+            ), w AS (
+                SELECT repo, path, max(seq) AS seq,
+                       arg_max(op, seq) AS op, arg_max("commit", seq) AS "commit",
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM c GROUP BY repo, path
+            )
+            SELECT repo, path, seq, "commit", value,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w WHERE op <> 'delete'
+        """,
+        # the handoff seam is physical only — the bootstrap query's oracle
+        # is the SAME plain LWW over the whole stream as cdc_replay_mini
+        # (snapshot-vs-tail provenance must be invisible in the result)
+        "cdc_bootstrap": r"""
             WITH c AS (
                 SELECT event_id AS seq,
                        CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,

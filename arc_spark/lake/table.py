@@ -813,6 +813,7 @@ class LakeTable:
         delta_fraction: float = 0.05,
         max_delta_chain: int = 8,
         bucket_lineage: bool = False,
+        epoch_meta: dict | None = None,
     ) -> dict:
         """MERGE a deduplicated change batch (one row per key) into the table.
 
@@ -844,7 +845,7 @@ class LakeTable:
                 return self._merge_attempt(
                     spark, snap, changes, epoch, start_seq, end_seq, op_col, delete_op,
                     extra_counters or {}, bucket_pruning, mode, delta_fraction,
-                    max_delta_chain, bucket_lineage,
+                    max_delta_chain, bucket_lineage, epoch_meta or {},
                 )
             except CommitConflict:
                 if attempt == max_retries - 1:
@@ -867,6 +868,7 @@ class LakeTable:
         delta_fraction: float = 0.05,
         max_delta_chain: int = 8,
         bucket_lineage: bool = False,
+        epoch_meta: dict | None = None,
     ) -> dict:
         keys = snap.key_cols
         seq_col = snap.seq_col
@@ -953,6 +955,7 @@ class LakeTable:
                 spark, snap, src, epoch, start_seq, end_seq, delete_op,
                 extra_counters, bucket_pruning, mode, delta_fraction,
                 max_delta_chain, new_schema, data_cols, known_touched,
+                epoch_meta or {},
             )
         finally:
             if persisted_for_lineage:
@@ -975,6 +978,7 @@ class LakeTable:
         new_schema: StructType,
         data_cols: list[str],
         known_touched: list[int] | None,
+        epoch_meta: dict | None = None,
     ) -> dict:
         if mode == "auto":
             epoch_events = end_seq - start_seq + 1
@@ -988,7 +992,7 @@ class LakeTable:
         if mode == "delta":
             return self._merge_delta_write(
                 spark, snap, src, new_schema, data_cols, epoch, start_seq,
-                end_seq, delete_op, extra_counters,
+                end_seq, delete_op, extra_counters, epoch_meta,
             )
 
         # Bucket pruning (copy-on-write scope) needs the set of touched
@@ -1003,6 +1007,7 @@ class LakeTable:
             return self._merge_write(
                 spark, snap, src, new_schema, data_cols, epoch, start_seq,
                 end_seq, delete_op, extra_counters, touched=known_touched,
+                epoch_meta=epoch_meta,
             )
 
         if bucket_pruning == "auto":
@@ -1012,6 +1017,7 @@ class LakeTable:
             return self._merge_write(
                 spark, snap, src, new_schema, data_cols, epoch, start_seq,
                 end_seq, delete_op, extra_counters, touched=None,
+                epoch_meta=epoch_meta,
             )
 
         # Pruned path: the batch is consumed twice (touched-bucket
@@ -1029,6 +1035,7 @@ class LakeTable:
             return self._merge_write(
                 spark, snap, src, new_schema, data_cols, epoch, start_seq,
                 end_seq, delete_op, extra_counters, touched=touched,
+                epoch_meta=epoch_meta,
             )
         finally:
             src.unpersist()
@@ -1046,6 +1053,7 @@ class LakeTable:
         delete_op: str,
         extra_counters: dict,
         touched: list | None,
+        epoch_meta: dict | None = None,
     ) -> dict:
         keys = snap.key_cols
         seq_col = snap.seq_col
@@ -1186,7 +1194,8 @@ class LakeTable:
             "bucket_rows": bucket_rows,
             "committed_epochs": {
                 **snap.committed_epochs,
-                str(epoch): {"start_seq": start_seq, "end_seq": end_seq},
+                str(epoch): {"start_seq": start_seq, "end_seq": end_seq,
+                             **(epoch_meta or {})},
             },
             "counters": counters,
             "column_renames": snap.column_renames,
@@ -1210,6 +1219,7 @@ class LakeTable:
         end_seq: int,
         delete_op: str,
         extra_counters: dict,
+        epoch_meta: dict | None = None,
     ) -> dict:
         """Merge-on-read commit: append the deduped winners (deletes as
         tombstone rows) as per-bucket delta files — no base read, no COW
@@ -1275,7 +1285,8 @@ class LakeTable:
             "bucket_rows": bucket_rows,
             "committed_epochs": {
                 **snap.committed_epochs,
-                str(epoch): {"start_seq": start_seq, "end_seq": end_seq},
+                str(epoch): {"start_seq": start_seq, "end_seq": end_seq,
+                             **(epoch_meta or {})},
             },
             "counters": counters,
             "column_renames": snap.column_renames,

@@ -1806,7 +1806,7 @@ class CDCReplayExecute(PipelineStage):
                 "commitLockLeaseSeconds", "lineage", "onBad",
                 "quarantineURI", "metricsURI", "eventsFormat",
                 "payloadSchema", "stageURI", "redeliveryDedup",
-                "txMetadataURI")
+                "txMetadataURI", "snapshotURI", "snapshotSeq")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1859,6 +1859,24 @@ class CDCReplayExecute(PipelineStage):
                 payload_schema=payload_schema,
             )
             table.locker = locker  # bootstrap constructs its own LakeTable
+        if self.params.get("snapshotURI"):
+            # initial-load handoff (Debezium snapshot.mode=initial): commit
+            # the source snapshot as the fenced first epoch at snapshotSeq;
+            # the runner below then tails from snapshotSeq + 1. Idempotent
+            # on retry; rejected over a table that already replayed epochs.
+            from arc_spark.cdc.bootstrap import bootstrap_snapshot
+
+            if self.params.get("snapshotSeq") is None:
+                raise ValueError(
+                    f"stage {self.name}: snapshotURI requires snapshotSeq "
+                    "(the source log position the snapshot was read at)"
+                )
+            snap_df = ctx.spark.read.option("mergeSchema", "true").parquet(
+                self.params["snapshotURI"]
+            )
+            bootstrap_snapshot(
+                ctx.spark, table, snap_df, int(self.params["snapshotSeq"])
+            )
         runner = ReplayRunner(
             ctx.spark,
             events_uri,

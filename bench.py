@@ -399,18 +399,21 @@ def main() -> None:
             # weak scaling: 4x input with 4x cores vs 1x input at 1x cores
             "weak_events_per_sec_low": round(tp_weak, 1),
             "weak_scaling_efficiency": round(tp_high / (4.0 * tp_weak), 3),
-            "strategy": "window",
+            "strategy": "thin",  # the engine default (apply.last_writer_wins)
             "ab_max_by_events_per_sec_high": (
                 round(ab["max_by"], 1) if "max_by" in ab else None
             ),
             "ab_thin_window_events_per_sec_high": (
                 round(ab["thin_window"], 1) if "thin_window" in ab else None
             ),
+            "ab_window_events_per_sec_high": (
+                round(ab["window"], 1) if "window" in ab else None
+            ),
             # kernel A/Bs at both levels: {name}_{cpus} -> events/sec
             "ab_kernels": {
                 k: round(v, 1)
                 for k, v in ab.items()
-                if k not in ("max_by", "thin_window")
+                if k not in ("max_by", "thin_window", "window")
             }
             or None,
             # executor byte totals per level (rep 0) + per A/B strategy:
