@@ -439,18 +439,34 @@ def tx_safe_horizon(events: DataFrame, tx_meta: DataFrame) -> int | None:
 
     Returns ``None`` = unbounded (no incomplete transactions).
 
-    Scale shape: two thin aggregates — events are reduced to
-    (_tx_id, seq) before anything groups (on a staged tail, Parquet reads
-    exactly two columns), and tx ids are counted with
-    ``countDistinct(seq)`` so at-least-once re-deliveries don't inflate
-    a transaction's observed size past its END count. The metadata tail
-    is O(transactions) and joins broadcast.
+    Atomicity closure: databases run transactions CONCURRENTLY, so a
+    complete transaction's events can interleave across the initial
+    cut (its first events below the oldest incomplete tx's start, its
+    last above). Truncating there would apply that transaction
+    partially — exposing a mid-transaction state no upstream reader
+    ever saw, the exact failure the gate exists to prevent. The
+    horizon therefore iterates downward until NO transaction spans it:
+    each round pulls it below the earliest complete tx still crossing,
+    which can expose another crosser, and so on until the cut is
+    boundary-clean for every transaction. Rounds are bounded by the
+    source's concurrent-transaction window (txs serialized in the log
+    never chain), so convergence takes 1-3 rounds in practice.
+
+    Scale shape: thin aggregates — events are reduced to (_tx_id, seq)
+    before anything groups (on a staged tail, Parquet reads exactly two
+    columns), and tx ids are counted with ``countDistinct(seq)`` so
+    at-least-once re-deliveries don't inflate a transaction's observed
+    size past its END count. The metadata tail is O(transactions) and
+    joins broadcast; the closure loop runs over the persisted
+    per-transaction aggregate (O(transactions) rows), one tiny job per
+    round.
     """
     per_tx = (
         events.where(F.col("_tx_id").isNotNull())
         .groupBy("_tx_id")
         .agg(
             F.min("seq").alias("_first_seq"),
+            F.max("seq").alias("_last_seq"),
             F.countDistinct("seq").alias("_n"),
         )
     )
@@ -459,9 +475,35 @@ def tx_safe_horizon(events: DataFrame, tx_meta: DataFrame) -> int | None:
         .groupBy("tx_id")
         .agg(F.max("event_count").alias("_expected"))
     )
-    incomplete = (
-        per_tx.join(F.broadcast(ends), per_tx["_tx_id"] == ends["tx_id"], "left")
-        .where(F.col("_expected").isNull() | (F.col("_n") < F.col("_expected")))
+    txs = per_tx.join(
+        F.broadcast(ends), per_tx["_tx_id"] == ends["tx_id"], "left"
+    ).select(
+        "_first_seq",
+        "_last_seq",
+        (
+            F.col("_expected").isNotNull() & (F.col("_n") >= F.col("_expected"))
+        ).alias("_complete"),
     )
-    row = incomplete.agg(F.min("_first_seq").alias("_h")).first()
-    return None if row["_h"] is None else int(row["_h"]) - 1
+    row = txs.where(~F.col("_complete")).agg(F.min("_first_seq").alias("_h")).first()
+    if row["_h"] is None:
+        return None
+    horizon = int(row["_h"]) - 1
+    # closure: no complete tx may span the cut (incomplete txs can't —
+    # their first seqs are all above the initial horizon by construction,
+    # and the horizon only moves down)
+    spanning = txs.where(F.col("_complete")).persist()
+    try:
+        while True:
+            r = (
+                spanning.where(
+                    (F.col("_first_seq") <= horizon)
+                    & (F.col("_last_seq") > horizon)
+                )
+                .agg(F.min("_first_seq").alias("_h"))
+                .first()
+            )
+            if r["_h"] is None:
+                return horizon
+            horizon = int(r["_h"]) - 1
+    finally:
+        spanning.unpersist()

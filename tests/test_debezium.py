@@ -678,3 +678,43 @@ def test_stage_debezium_tx_gate(spark, tmp_path, tx_tail):
     assert st.count() == 4  # tx1(2) + tx2(1) + non-tx(1); tx3 held
     assert st.agg(F.max("seq")).first()[0] == 25
     assert "_tx_id" not in st.columns
+
+
+def test_tx_horizon_never_splits_a_complete_interleaved_tx(spark, tmp_path):
+    """Databases run transactions concurrently: a COMPLETE transaction
+    can span the initial cut made below the oldest incomplete tx.
+    Truncating there would apply it partially — the horizon must close
+    downward until no transaction is split."""
+    from arc_spark.cdc.debezium import (
+        parse_debezium, parse_tx_metadata, tx_safe_horizon,
+    )
+
+    events = [
+        # txA complete, fully below everything
+        _tx_event("c", 10, "txA", 1, after=_row("r1", "a.py", "a1")),
+        # txB complete but INTERLEAVED: spans 20..40
+        _tx_event("u", 20, "txB", 1, after=_row("r1", "b.py", "b1")),
+        # txC incomplete (no END), starts at 30
+        _tx_event("u", 30, "txC", 1, after=_row("r1", "c.py", "c1")),
+        _tx_event("u", 40, "txB", 2, after=_row("r1", "d.py", "d1")),
+        # txD complete, spans 15..22 — crosses the lowered cut at 19,
+        # so the closure must take a second round down to 14
+        _tx_event("u", 15, "txD", 1, after=_row("r2", "e.py", "e1")),
+        _tx_event("u", 22, "txD", 2, after=_row("r2", "f.py", "f1")),
+    ]
+    ev_dir = str(tmp_path / "itx_events")
+    spark.createDataFrame([(v,) for v in events], "value string").coalesce(
+        1
+    ).write.text(ev_dir)
+    meta_dir = str(tmp_path / "itx_meta")
+    spark.createDataFrame(
+        [(_tx_meta("txA", "END", 1),), (_tx_meta("txB", "END", 2),),
+         (_tx_meta("txD", "END", 2),)],
+        "value string",
+    ).coalesce(1).write.text(meta_dir)
+
+    ev = parse_debezium(spark.read.text(ev_dir), PAYLOAD, with_tx=True)
+    meta = parse_tx_metadata(spark.read.text(meta_dir))
+    # naive cut below txC would be 29 — splitting txB (20..40); closing
+    # below txB gives 19 — splitting txD (15..22); final: 14 (txA whole)
+    assert tx_safe_horizon(ev.select("_tx_id", "seq"), meta) == 14
