@@ -215,3 +215,49 @@ def test_example_consumer_config_runs(tmp_path):
     assert n2 > n1
     # the second window carried only post-cursor seqs
     assert derived.where("seq > 799").count() == n2 - n1
+
+
+def test_example_bootstrap_config_runs(tmp_path):
+    """examples/cdc_bootstrap.conf: snapshot initial load + tail handoff
+    via the CLI — epoch 0 is the bootstrap, replay epochs start after
+    snapshotSeq, and a rerun of the same job is a fenced no-op."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.apply import last_writer_wins
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.session import get_spark
+
+    spark = get_spark("exgen3", master="local[4]", shuffle_partitions=8)
+    stream = write_change_stream(
+        spark, str(tmp_path / "ev"), 2000, seed=41, num_partitions=4
+    )
+    cut = 999
+    ev = spark.read.parquet(stream)
+    snap = (
+        last_writer_wins(ev.filter(F.col("seq") <= cut), ["repo", "path"], "seq")
+        .filter(F.col("op").isin("insert", "update"))
+        .drop("op")
+    )
+    snap.write.mode("overwrite").parquet(str(tmp_path / "snapshot"))
+
+    args = (
+        "--etl.config.uri=examples/cdc_bootstrap.conf",
+        "--etl.config.environment=test",
+        "--etl.config.master=local[4]",
+        f"--snapshot.uri={tmp_path / 'snapshot'}",
+        f"--snapshot.seq={cut}",
+        f"--events.uri={stream}",
+        f"--table.uri={tmp_path / 'lake'}",
+    )
+    r = _run(*args)
+    assert r.returncode == 0, r.stderr[-3000:]
+    events = [json.loads(l) for l in r.stderr.splitlines() if l.startswith("{")]
+    epochs = [e for e in events if e.get("event") == "epoch.complete"]
+    assert epochs and min(e["start_seq"] for e in epochs) == cut + 1
+
+    # rerun: bootstrap fenced, stream exhausted — still succeeds
+    r2 = _run(*args)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    events2 = [json.loads(l) for l in r2.stderr.splitlines() if l.startswith("{")]
+    assert any(e.get("event") == "exit" and e.get("status") == "success" for e in events2)
+    assert not [e for e in events2 if e.get("event") == "epoch.complete"]
