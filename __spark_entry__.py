@@ -386,6 +386,117 @@ def _cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_tx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-boundary gating (arc_spark/cdc/debezium.py
+    tx_safe_horizon): events serialized as Debezium envelopes WITH
+    per-event transaction blocks; the metadata topic is cut at the same
+    crash point as the event tail, so END records exist only for
+    transactions fully committed before the cut. The gate must hold back
+    (a) the partial trailing transaction and (b) everything above the
+    atomicity-closure cut forced by a COMPLETE transaction interleaved
+    across the initial horizon — each 64-seq block's tail 16 events are
+    split into two interleaved transactions (txA spans m 48-57, txB
+    54-63) and the cut lands at m=60, planting exactly one crosser.
+    Final state = LWW over events at or below the horizon. The DuckDB
+    oracle computes the horizon in CLOSED FORM: max h such that no
+    transaction spans h and no incomplete transaction starts at or
+    below h — provably the fixpoint of the engine's downward iteration
+    (each jump lands on a crosser's first_seq - 1 and the skipped
+    interval is entirely spanned by that crosser, so no h between two
+    iterates satisfies the predicate)."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.apply import last_writer_wins
+    from arc_spark.cdc.debezium import (
+        parse_debezium,
+        parse_tx_metadata,
+        tx_safe_horizon,
+    )
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    seq = F.col("event_id").cast("long")
+    m = seq % 64
+    blk = F.expr("event_id DIV 64").cast("string")
+    tx = (
+        F.when(
+            m < 48,
+            F.concat(
+                F.lit("c"), blk, F.lit("_"),
+                F.expr("(event_id % 64) DIV 8").cast("string"),
+            ),
+        )
+        .when((m <= 53) | m.isin(55, 57), F.concat(F.lit("a"), blk))
+        .otherwise(F.concat(F.lit("b"), blk))
+    )
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    cutoff = (max_seq // 64 - 1) * 64 + 60  # crash point: mid-txB, above txA's end
+
+    payload = F.struct(
+        F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props")
+    )
+    is_del = F.col("event_type") == "error"
+    raw = (
+        ev.filter(seq <= cutoff)  # the connector died here: both topics stop
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.when(is_del, payload).alias("before"),
+                        F.when(~is_del, payload).alias("after"),
+                        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                        (seq * 1000).alias("ts_ms"),
+                        F.struct(
+                            seq.alias("lsn"), F.lit(None).cast("long").alias("pos")
+                        ).alias("source"),
+                        F.struct(
+                            tx.alias("id"),
+                            F.lit(None).cast("long").alias("total_order"),
+                            F.lit(None).cast("long").alias("data_collection_order"),
+                        ).alias("transaction"),
+                    ).alias("payload")
+                )
+            ).alias("value")
+        )
+    )
+    # metadata topic: the connector emits END right after a tx's last
+    # event, so an END survives the crash iff last_seq <= cutoff
+    meta_raw = (
+        ev.select(seq.alias("seq"), tx.alias("tx_id"))
+        .groupBy("tx_id")
+        .agg(F.max("seq").alias("last_seq"), F.count("*").alias("n"))
+        .filter(F.col("last_seq") <= cutoff)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("END").alias("status"),
+                    F.col("tx_id").alias("id"),
+                    F.col("n").alias("event_count"),
+                    (F.col("last_seq") * 1000).alias("ts_ms"),
+                )
+            ).alias("value")
+        )
+    )
+    parsed = parse_debezium(
+        raw,
+        "user_id bigint, event_type string, value double, props string",
+        with_tx=True,
+    ).drop("_ts_ms")
+    horizon = tx_safe_horizon(
+        parsed.select("_tx_id", "seq"), parse_tx_metadata(meta_raw)
+    )
+    applied = parsed.drop("_tx_id", "_tx_order")
+    if horizon is not None:
+        applied = applied.filter(F.col("seq") <= horizon)
+    winners = last_writer_wins(applied, ["user_id"], "seq", strategy="thin")
+    return winners.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def _diff_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DiffTransform analogue: left-only rows between two projections of
     orders (reference: transform/DiffTransform.scala:116-171)."""
@@ -1279,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_events": _cdc_lww_events,
         "cdc_scd2": _cdc_scd2,
         "cdc_debezium": _cdc_debezium,
+        "cdc_tx_gate": _cdc_tx_gate,
         "diff_views": _diff_views,
         "rollup_order_stats": _rollup_order_stats,
         "customers_without_orders": _customers_without_orders,
@@ -1695,6 +1807,58 @@ def oracle_sql() -> dict[str, str]:
                        arg_max(value, event_id) AS value,
                        arg_max(props, event_id) AS props
                 FROM events GROUP BY user_id
+            )
+            SELECT user_id, last_seq, event_type, value, props
+            FROM w WHERE event_type <> 'error'
+        """,
+        # horizon in closed form: max h s.t. no tx spans h and no
+        # incomplete tx starts <= h (the fixpoint of the engine's
+        # downward iteration — see _cdc_tx_gate docstring). In this
+        # fixture END-exists <=> last_full <= cutoff, and then every
+        # event of that tx is in the tail, so complete <=> last_full
+        # <= cutoff.
+        "cdc_tx_gate": """
+            WITH ev AS (
+                SELECT event_id AS seq, user_id, event_type, value, props,
+                       event_id % 64 AS m, event_id // 64 AS blk
+                FROM events
+            ), tx AS (
+                SELECT *,
+                       CASE WHEN m < 48
+                            THEN 'c' || CAST(blk AS VARCHAR) || '_'
+                                     || CAST(m // 8 AS VARCHAR)
+                            WHEN m <= 53 OR m IN (55, 57)
+                            THEN 'a' || CAST(blk AS VARCHAR)
+                            ELSE 'b' || CAST(blk AS VARCHAR) END AS tx_id
+                FROM ev
+            ), cut AS (
+                SELECT ((MAX(seq) // 64) - 1) * 64 + 60 AS cutoff FROM ev
+            ), fullagg AS (
+                SELECT tx_id, MAX(seq) AS last_full FROM tx GROUP BY tx_id
+            ), tail AS (
+                SELECT t.* FROM tx t, cut WHERE t.seq <= cut.cutoff
+            ), spans AS (
+                SELECT t.tx_id, MIN(t.seq) AS fs, MAX(t.seq) AS ls,
+                       (f.last_full <= (SELECT cutoff FROM cut)) AS complete
+                FROM tail t JOIN fullagg f USING (tx_id)
+                GROUP BY t.tx_id, f.last_full
+            ), cand AS (
+                SELECT fs - 1 AS h FROM spans
+                UNION ALL SELECT cutoff AS h FROM cut
+            ), good AS (
+                SELECT h FROM cand
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE s.fs <= h AND h < s.ls)
+                  AND NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE NOT s.complete AND s.fs <= h)
+            ), hz AS (SELECT MAX(h) AS h FROM good),
+            w AS (
+                SELECT user_id, MAX(seq) AS last_seq,
+                       arg_max(event_type, seq) AS event_type,
+                       arg_max(value, seq) AS value,
+                       arg_max(props, seq) AS props
+                FROM tail, hz WHERE seq <= hz.h
+                GROUP BY user_id
             )
             SELECT user_id, last_seq, event_type, value, props
             FROM w WHERE event_type <> 'error'
