@@ -911,6 +911,56 @@ def _cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("repo", "path", "seq", "value", "content_sha256")
 
 
+def _cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumer read through the REAL manifest machinery
+    (LakeTable.changes_since — the Iceberg incremental-scan analogue):
+    the stream replays in four epochs, then the table is asked for
+    everything changed AFTER the second epoch's end. The result must
+    equal the plain-LWW winners whose winning seq lies above the cut —
+    deletes surfacing as op='delete' rows from the tombstone, upserts as
+    op='upsert'. A key skipped by the epoch-based bucket pruning, a
+    stale row leaked from below the cut, or a resurrected tombstone all
+    diverge (arc_spark/lake/table.py changes_since)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="cdcchg_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    batch = max(1, max_seq // 4 + 1)
+    cutoff = 2 * batch - 1  # end of epoch 1: the consumer's committed cursor
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=batch).run()
+    return table.changes_since(spark, cutoff).select(
+        "repo",
+        "path",
+        "op",
+        F.col("seq").alias("last_seq"),
+        "value",
+        "content_sha256",
+    )
+
+
 def _cdc_grow_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution mid-replay through the REAL manifest
     machinery: two epochs land at 8 buckets, the table is grown 4x
@@ -1410,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bootstrap": _cdc_bootstrap,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
+        "cdc_changes_since": _cdc_changes_since,
         "cdc_grow_rebucket": _cdc_grow_rebucket,
         "cdc_multi_table": _cdc_multi_table,
         "cdc_type_widening": _cdc_type_widening,
@@ -2039,6 +2090,29 @@ def oracle_sql() -> dict[str, str]:
         # bucketing is physical layout only — the growth query's oracle is
         # the SAME plain LWW as cdc_replay_mini (bucket count must be
         # invisible in the result)
+        "cdc_changes_since": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       value, props AS content
+                FROM events
+            ), cut AS (
+                -- epoch-1 end: 2 * batch - 1 with batch = max_seq // 4 + 1
+                SELECT 2 * ((MAX(seq) // 4) + 1) - 1 AS cursor FROM c
+            ), w AS (
+                SELECT repo, path, max(seq) AS last_seq,
+                       arg_max(op, seq) AS op,
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM c GROUP BY repo, path
+            )
+            SELECT repo, path,
+                   CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END AS op,
+                   last_seq, value,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w, cut WHERE last_seq > cut.cursor
+        """,
         "cdc_grow_rebucket": r"""
             WITH c AS (
                 SELECT event_id AS seq,
