@@ -961,6 +961,64 @@ def _cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_alter_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DDL mid-replay (LakeTable.alter_schema — the Iceberg
+    ALTER TABLE analogue): two epochs land, then `value` is renamed to
+    `score` and a nullable `stars` column added WITHOUT moving a byte;
+    the remaining epochs replay with the producer migrated to the new
+    schema (column emitted as `score`, `stars` populated). The final
+    read serves a MIXED layout — pre-ALTER files answering for `score`
+    through the column name history and reading `stars` as NULL,
+    post-ALTER files natively. Must hash-match a plain LWW oracle that
+    aliases/derives the columns in SQL; a stale name mapping or a lost
+    pre-rename value diverges (arc_spark/lake/table.py alter_schema)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="cdcalter_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    batch = max(1, max_seq // 4 + 1)
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=batch).run(max_epochs=2)
+    from pyspark.sql.types import IntegerType, StructField
+
+    table.alter_schema(
+        rename={"value": "score"}, add=[StructField("stars", IntegerType())]
+    )
+    # post-ALTER events replay with the producer migrated to the new
+    # schema: the column emitted as `score`, `stars` populated
+    changes.withColumnRenamed("value", "score").withColumn(
+        "stars", (F.col("seq") % 5).cast("int")
+    ).filter(F.col("seq") > 2 * batch - 1).repartitionByRange(
+        4, "seq"
+    ).write.mode("overwrite").parquet(f"{d}/ev2")
+    ReplayRunner(spark, f"{d}/ev2", table, batch_size=batch).run()
+    return table.read(spark).select(
+        "repo", "path", "seq", "score", "stars", "content_sha256"
+    )
+
+
 def _cdc_grow_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution mid-replay through the REAL manifest
     machinery: two epochs land at 8 buckets, the table is grown 4x
@@ -1461,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
         "cdc_changes_since": _cdc_changes_since,
+        "cdc_alter_rename": _cdc_alter_rename,
         "cdc_grow_rebucket": _cdc_grow_rebucket,
         "cdc_multi_table": _cdc_multi_table,
         "cdc_type_widening": _cdc_type_widening,
@@ -2112,6 +2171,27 @@ def oracle_sql() -> dict[str, str]:
                    last_seq, value,
                    sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
             FROM w, cut WHERE last_seq > cut.cursor
+        """,
+        "cdc_alter_rename": r"""
+            WITH c AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+                       'org' || CAST(user_id % 7 AS VARCHAR) AS repo,
+                       'f' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id % 3 AS VARCHAR) AS path,
+                       value, props AS content
+                FROM events
+            ), cut AS (
+                SELECT 2 * ((MAX(seq) // 4) + 1) - 1 AS cursor FROM c
+            ), w AS (
+                SELECT repo, path, max(seq) AS seq,
+                       arg_max(op, seq) AS op,
+                       arg_max(value, seq) AS value, arg_max(content, seq) AS content
+                FROM c GROUP BY repo, path
+            )
+            SELECT repo, path, seq, value AS score,
+                   CASE WHEN seq > cut.cursor THEN CAST(seq % 5 AS INTEGER) END AS stars,
+                   sha256(regexp_replace(regexp_replace(regexp_replace(content, '\r\n', E'\n', 'g'), '[ \t]+\n', E'\n', 'g'), '[ \t\r\n\f\x0b]+$', '')) AS content_sha256
+            FROM w, cut WHERE op <> 'delete'
         """,
         "cdc_grow_rebucket": r"""
             WITH c AS (
