@@ -294,6 +294,32 @@ def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared events→change-stream mapping every CDC query (and its
+    DuckDB oracle) uses: seq=event_id, delete on event_type='error',
+    key=(org<user_id%7>, f<user_id>/<event_id%3>), payload=(value,
+    props-as-content). Defined ONCE so the Spark side can't drift from
+    the oracles' copy of the same arithmetic."""
+    from pyspark.sql import functions as F
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.col("user_id").cast("string"),
+            F.lit("/"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("path"),
+        F.col("value"),
+        F.col("props").alias("content"),
+    )
+
+
 def _cdc_lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -875,25 +901,10 @@ def _cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.cdc.bootstrap import create_table_for_stream
     from arc_spark.cdc.runner import ReplayRunner
 
-    ev = _load(spark, sf_dir, "events")["events"]
-    changes = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("update"))
-        .alias("op"),
-        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
-        F.concat(
-            F.lit("f"),
-            F.col("user_id").cast("string"),
-            F.lit("/"),
-            (F.col("event_id") % 3).cast("string"),
-        ).alias("path"),
-        F.col("value"),
-        F.col("props").alias("content"),
-    )
+    changes = _events_as_changes(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="cdcrb_")
     changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
-    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    max_seq = int(changes.agg(F.max("seq")).first()[0])
     cutoff = max_seq // 2
     table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
     # epoch 0: good first half
@@ -928,25 +939,10 @@ def _cdc_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.cdc.bootstrap import create_table_for_stream
     from arc_spark.cdc.runner import ReplayRunner
 
-    ev = _load(spark, sf_dir, "events")["events"]
-    changes = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("update"))
-        .alias("op"),
-        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
-        F.concat(
-            F.lit("f"),
-            F.col("user_id").cast("string"),
-            F.lit("/"),
-            (F.col("event_id") % 3).cast("string"),
-        ).alias("path"),
-        F.col("value"),
-        F.col("props").alias("content"),
-    )
+    changes = _events_as_changes(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="cdcchg_")
     changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
-    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    max_seq = int(changes.agg(F.max("seq")).first()[0])
     batch = max(1, max_seq // 4 + 1)
     cutoff = 2 * batch - 1  # end of epoch 1: the consumer's committed cursor
     table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
@@ -979,25 +975,10 @@ def _cdc_alter_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.cdc.bootstrap import create_table_for_stream
     from arc_spark.cdc.runner import ReplayRunner
 
-    ev = _load(spark, sf_dir, "events")["events"]
-    changes = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("update"))
-        .alias("op"),
-        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
-        F.concat(
-            F.lit("f"),
-            F.col("user_id").cast("string"),
-            F.lit("/"),
-            (F.col("event_id") % 3).cast("string"),
-        ).alias("path"),
-        F.col("value"),
-        F.col("props").alias("content"),
-    )
+    changes = _events_as_changes(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="cdcalter_")
     changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
-    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    max_seq = int(changes.agg(F.max("seq")).first()[0])
     batch = max(1, max_seq // 4 + 1)
     table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
     ReplayRunner(spark, f"{d}/ev", table, batch_size=batch).run(max_epochs=2)
@@ -1035,26 +1016,11 @@ def _cdc_grow_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.cdc.bootstrap import create_table_for_stream
     from arc_spark.cdc.runner import ReplayRunner
 
-    ev = _load(spark, sf_dir, "events")["events"]
-    changes = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("update"))
-        .alias("op"),
-        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
-        F.concat(
-            F.lit("f"),
-            F.col("user_id").cast("string"),
-            F.lit("/"),
-            (F.col("event_id") % 3).cast("string"),
-        ).alias("path"),
-        F.col("value"),
-        F.col("props").alias("content"),
-    )
+    changes = _events_as_changes(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="cdcgrow_")
     changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
     table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=8)
-    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    max_seq = int(changes.agg(F.max("seq")).first()[0])
     batch = max(1, max_seq // 4 + 1)
     ReplayRunner(spark, f"{d}/ev", table, batch_size=batch).run(max_epochs=2)
     table.grow_buckets(4, spark=spark)

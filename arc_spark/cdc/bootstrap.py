@@ -107,6 +107,18 @@ def bootstrap_snapshot(
     jobs. Returns the merge result dict (plus ``snapshot_seq``)."""
     snap = table.snapshot()
     fenced = snap.committed_epochs.get(str(epoch))
+    if fenced and fenced.get("bootstrap") and int(fenced["end_seq"]) != int(
+        snapshot_seq
+    ):
+        # the fence alone would silently no-op a rerun that CORRECTS the
+        # position — and report the new seq back while the cursor stays
+        # at the old one. A changed position needs a table rebuild.
+        raise ValueError(
+            f"bootstrap epoch {epoch} is already committed at "
+            f"snapshot_seq={fenced['end_seq']}; retried with "
+            f"snapshot_seq={int(snapshot_seq)} — a corrected snapshot "
+            "position requires rebuilding the table (overwrite=True)"
+        )
     if snap.committed_epochs and not (fenced and fenced.get("bootstrap")):
         # a replay epoch may also be numbered 0, so the fence alone can't
         # tell "retried bootstrap" from "table already replayed" — the

@@ -484,15 +484,21 @@ def tx_safe_horizon(events: DataFrame, tx_meta: DataFrame) -> int | None:
             F.col("_expected").isNotNull() & (F.col("_n") >= F.col("_expected"))
         ).alias("_complete"),
     )
-    row = txs.where(~F.col("_complete")).agg(F.min("_first_seq").alias("_h")).first()
-    if row["_h"] is None:
-        return None
-    horizon = int(row["_h"]) - 1
-    # closure: no complete tx may span the cut (incomplete txs can't —
-    # their first seqs are all above the initial horizon by construction,
-    # and the horizon only moves down)
-    spanning = txs.where(F.col("_complete")).persist()
+    # persist BEFORE the first action: the per-tx aggregate is the
+    # dominant scan of the gate (the whole events tail), and both the
+    # initial incomplete-min query and the closure loop read it
+    txs = txs.persist()
     try:
+        row = (
+            txs.where(~F.col("_complete")).agg(F.min("_first_seq").alias("_h")).first()
+        )
+        if row["_h"] is None:
+            return None
+        horizon = int(row["_h"]) - 1
+        # closure: no complete tx may span the cut (incomplete txs can't —
+        # their first seqs are all above the initial horizon by
+        # construction, and the horizon only moves down)
+        spanning = txs.where(F.col("_complete"))
         while True:
             r = (
                 spanning.where(
@@ -506,4 +512,4 @@ def tx_safe_horizon(events: DataFrame, tx_meta: DataFrame) -> int | None:
                 return horizon
             horizon = int(r["_h"]) - 1
     finally:
-        spanning.unpersist()
+        txs.unpersist()

@@ -503,7 +503,9 @@ class LakeTable:
         schedules, not a table rebuild."""
         if factor < 2 or int(factor) != factor:
             raise ValueError(f"factor must be an integer >= 2, got {factor!r}")
-        for attempt in range(max_retries):
+        attempt = 0
+        fold_rounds = 0
+        while True:
             snap = self.snapshot()
             delta_bearing = sorted(b for b, fs in snap.delta_files.items() if fs)
             if delta_bearing:
@@ -514,10 +516,22 @@ class LakeTable:
                         "pass spark= to fold them here, or run "
                         'compact(spark, buckets="auto") and retry'
                     )
+                # a SUCCESSFUL fold must not consume a commit attempt
+                # (with max_retries=1 growth would otherwise be impossible
+                # on any table with one outstanding delta); bound folds
+                # separately so concurrent delta writers can't spin us
+                fold_rounds += 1
+                if fold_rounds > max_retries + 8:
+                    raise CommitConflict(
+                        "grow_buckets: concurrent writers kept adding delta "
+                        f"files; no delta-free snapshot reached after "
+                        f"{fold_rounds - 1} folds"
+                    )
                 try:
                     self.compact(spark, buckets=delta_bearing)
                 except CommitConflict:
-                    if attempt == max_retries - 1:
+                    attempt += 1
+                    if attempt >= max_retries:
                         raise
                 # Re-enter the loop rather than proceeding from a fresh
                 # snapshot directly: a concurrent delta merge can land
@@ -562,12 +576,9 @@ class LakeTable:
                     "unsplit_parents": len(specs),
                 }
             except CommitConflict:
-                if attempt == max_retries - 1:
+                attempt += 1
+                if attempt >= max_retries:
                     raise
-        raise CommitConflict(
-            "grow_buckets: concurrent writers kept adding delta files; "
-            f"no delta-free snapshot reached in {max_retries} attempts"
-        )
 
     # -- read --------------------------------------------------------------
 

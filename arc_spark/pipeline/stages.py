@@ -2700,12 +2700,19 @@ class LakeCompactExecute(PipelineStage):
     def execute(self, ctx: PipelineContext) -> None:
         from arc_spark.lake.table import LakeTable
 
+        buckets = self.params.get("buckets")
+        if buckets is not None and buckets != "auto" and not isinstance(
+            buckets, (list, tuple)
+        ):
+            # a scalar bucket id ("12" or 12): one-element list — a bare
+            # string would be iterated character-wise downstream
+            buckets = [str(buckets)]
         res = LakeTable(
             self.params["tableURI"],
             locker=_locker_from_params(self.params, ctx.spark),
         ).compact(
             ctx.spark,
-            buckets=self.params.get("buckets"),
+            buckets=buckets,
             max_files=int(self.params.get("maxFiles", 4)),
             vacuum_tombstones_below_seq=self.params.get("vacuumTombstonesBelowSeq"),
         )

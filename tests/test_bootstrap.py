@@ -196,3 +196,16 @@ def test_stage_snapshot_bootstrap(spark, stream_path, events, full_state, tmp_pa
     # replay metrics show the tail started after the snapshot position
     starts = [e["start_seq"] for e in ctx.events if "start_seq" in e]
     assert starts and min(starts) == CUTOFF + 1
+
+
+def test_bootstrap_retry_with_different_seq_rejected(
+    spark, stream_path, events, tmp_path
+):
+    """The fence must not silently no-op a rerun that CORRECTS the
+    snapshot position (the committed cursor would stay at the old seq
+    while the caller believes the new one took)."""
+    table, _ = create_table_for_stream(spark, stream_path, str(tmp_path / "lake"))
+    snap_df = spark.createDataFrame(_snapshot_rows(events), _SNAP_SCHEMA)
+    bootstrap_snapshot(spark, table, snap_df, CUTOFF)
+    with pytest.raises(ValueError, match="already committed at"):
+        bootstrap_snapshot(spark, table, snap_df, CUTOFF + 7)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from arc_spark.lake.table import LakeTable
 
@@ -293,3 +294,43 @@ def test_grow_never_drops_concurrently_committed_deltas(spark, tmp_path):
     # and with the interference gone, growth succeeds and keeps the state
     t.grow_buckets(2, spark=spark)
     assert _state(spark, t) == got
+
+
+def test_grow_with_one_delta_succeeds_at_max_retries_1(spark, tmp_path):
+    """A SUCCESSFUL delta fold must not consume a commit attempt: with
+    max_retries=1 and one outstanding delta, growth folds then commits
+    instead of raising a spurious 'concurrent writers' conflict."""
+    t = _mk(spark, str(tmp_path / "t"))
+    upd = spark.createDataFrame([("r1", "p1", 1000, "d", "update")], SCHEMA)
+    t.merge(spark, upd, epoch=1, start_seq=1000, end_seq=1000, mode="delta")
+    res = t.grow_buckets(2, spark=spark, max_retries=1)
+    assert res["status"] == "grown"
+    assert _state(spark, t)[("r1", "p1")] == "d"
+
+
+def test_lake_compact_execute_scalar_bucket(spark, tmp_path):
+    """A scalar bucket id in the stage config ("12" or 12) must reach
+    compact() as ONE bucket — a bare string would be iterated
+    character-wise (compacting buckets 1 and 2 instead of 12)."""
+    from arc_spark.pipeline import run_config
+
+    root = str(tmp_path / "scalar")
+    t = _mk(spark, root, n=60, num_buckets=16)
+    # fragment bucket 12 with a delta so a rewrite is observable
+    row = t.read(spark).withColumn(
+        "_b", F.pmod(F.xxhash64("repo", "path"), F.lit(16))
+    ).where("_b = 12").limit(1).collect()
+    if row:  # 60 keys over 16 buckets: bucket 12 is occupied for this seed
+        upd = spark.createDataFrame(
+            [(row[0]["repo"], row[0]["path"], 1000, "zz", "update")], SCHEMA
+        )
+        t.merge(spark, upd, epoch=1, start_seq=1000, end_seq=1000, mode="delta")
+    _, ctx = run_config(spark, {"stages": [
+        {"type": "LakeCompactExecute", "name": "one", "tableURI": root,
+         "buckets": "12"},
+    ]})
+    res = ctx.user_data["one.result"]
+    assert res["status"] in ("compacted", "noop")
+    if res["status"] == "compacted":
+        assert res["buckets_rewritten"] == 1
+    assert t.snapshot().delta_files.get("12", []) == []
