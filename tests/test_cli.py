@@ -261,3 +261,47 @@ def test_example_bootstrap_config_runs(tmp_path):
     events2 = [json.loads(l) for l in r2.stderr.splitlines() if l.startswith("{")]
     assert any(e.get("event") == "exit" and e.get("status") == "success" for e in events2)
     assert not [e for e in events2 if e.get("event") == "epoch.complete"]
+
+
+def test_example_multi_table_config_runs(tmp_path):
+    """examples/cdc_multi_table.conf: one tagged stream into a catalog of
+    per-table lakes via the CLI — per-table epoch metrics, atomic
+    version-set commits, and a rerun that is a fenced no-op."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.session import get_spark
+
+    spark = get_spark("exgen4", master="local[4]", shuffle_partitions=8)
+    stream = write_change_stream(
+        spark, str(tmp_path / "raw"), 1500, seed=43, num_partitions=4
+    )
+    # tag each event with its source table (files / reviews)
+    spark.read.parquet(stream).withColumn(
+        "table", F.when(F.col("seq") % 2 == 0, F.lit("files")).otherwise(
+            F.lit("reviews")
+        )
+    ).repartitionByRange(4, "seq").write.mode("overwrite").parquet(
+        str(tmp_path / "ev")
+    )
+
+    args = (
+        "--etl.config.uri=examples/cdc_multi_table.conf",
+        "--etl.config.environment=test",
+        "--etl.config.master=local[4]",
+        f"--events.uri={tmp_path / 'ev'}",
+        f"--catalog.uri={tmp_path / 'db'}",
+    )
+    r = _run(*args)
+    assert r.returncode == 0, r.stderr[-3000:]
+    events = [json.loads(l) for l in r.stderr.splitlines() if l.startswith("{")]
+    epochs = [e for e in events if e.get("event") == "epoch.complete"]
+    assert epochs, events[-3:]
+    tables = {t for e in epochs for t in e.get("tables", {})}
+    assert tables == {"files", "reviews"}
+
+    # rerun: stream exhausted — fenced no-op, still succeeds
+    r2 = _run(*args)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    events2 = [json.loads(l) for l in r2.stderr.splitlines() if l.startswith("{")]
+    assert not [e for e in events2 if e.get("event") == "epoch.complete"]
