@@ -294,16 +294,20 @@ def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_as_changes(
+    spark: SparkSession, sf_dir: str, *, with_commit: bool = False
+) -> DataFrame:
     """The shared events→change-stream mapping every CDC query (and its
     DuckDB oracle) uses: seq=event_id, delete on event_type='error',
     key=(org<user_id%7>, f<user_id>/<event_id%3>), payload=(value,
-    props-as-content). Defined ONCE so the Spark side can't drift from
-    the oracles' copy of the same arithmetic."""
+    props-as-content). ``with_commit`` adds the 40-hex commit id
+    (sha2(event_id)[:40]) the full-replay queries carry. Defined ONCE so
+    the Spark side can't drift from the oracles' copy of the same
+    arithmetic."""
     from pyspark.sql import functions as F
 
     ev = _load(spark, sf_dir, "events")["events"]
-    return ev.select(
+    cols = [
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .otherwise(F.lit("update"))
@@ -315,9 +319,14 @@ def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/"),
             (F.col("event_id") % 3).cast("string"),
         ).alias("path"),
-        F.col("value"),
-        F.col("props").alias("content"),
-    )
+    ]
+    if with_commit:
+        cols.append(
+            F.substring(
+                F.sha2(F.col("event_id").cast("string"), 256), 1, 40
+            ).alias("commit")
+        )
+    return ev.select(*cols, F.col("value"), F.col("props").alias("content"))
 
 
 def _cdc_lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,22 +766,7 @@ def _cdc_replay_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.cdc.runner import ReplayRunner
 
     ev = _load(spark, sf_dir, "events")["events"]
-    changes = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("update"))
-        .alias("op"),
-        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
-        F.concat(
-            F.lit("f"),
-            F.col("user_id").cast("string"),
-            F.lit("/"),
-            (F.col("event_id") % 3).cast("string"),
-        ).alias("path"),
-        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 40).alias("commit"),
-        F.col("value"),
-        F.col("props").alias("content"),
-    )
+    changes = _events_as_changes(spark, sf_dir, with_commit=True)
     d = tempfile.mkdtemp(prefix="cdcmini_")
     changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
     table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
@@ -800,22 +794,7 @@ def _cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.cdc.runner import ReplayRunner
 
     ev = _load(spark, sf_dir, "events")["events"]
-    changes = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("delete"))
-        .otherwise(F.lit("update"))
-        .alias("op"),
-        F.concat(F.lit("org"), (F.col("user_id") % 7).cast("string")).alias("repo"),
-        F.concat(
-            F.lit("f"),
-            F.col("user_id").cast("string"),
-            F.lit("/"),
-            (F.col("event_id") % 3).cast("string"),
-        ).alias("path"),
-        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 40).alias("commit"),
-        F.col("value"),
-        F.col("props").alias("content"),
-    )
+    changes = _events_as_changes(spark, sf_dir, with_commit=True)
     d = tempfile.mkdtemp(prefix="cdcboot_")
     changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
     max_seq = int(ev.agg(F.max("event_id")).first()[0])
@@ -1238,9 +1217,9 @@ def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% sample of documents + leakage-free train/test
-    split label — membership a pure integer function of doc_id (MINSTD
-    multiplicative hash), bit-identical in any engine / on any cluster
-    size; the oracle runs the same three-line formula in DuckDB."""
+    split label — membership a pure integer function of doc_id (murmur3
+    fmix32 finalizer), bit-identical in any engine / on any cluster
+    size; the oracle runs the same formula in DuckDB."""
     from arc_spark.operators.sampling import deterministic_sample, split_train_test
 
     docs = _load(spark, sf_dir, "documents")["documents"]
@@ -1250,25 +1229,38 @@ def _doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minstd_sql(expr: str, seed: int) -> str:
-    """DuckDB expression replicating operators.sampling.minstd_hash
-    verbatim (3 MINSTD rounds, 2 seed-derived XORs — constants inlined
-    from the same helper the Spark side uses)."""
-    from arc_spark.operators.sampling import minstd_mixes
+def _fmix_sql(expr: str, seed: int) -> str:
+    """DuckDB expression replicating operators.sampling.fmix_hash
+    verbatim: murmur3 fmix32 over (key XOR fmix32(seed)), multiplies
+    split into 16-bit limbs exactly as the Spark Column form so every
+    intermediate fits int64 in both engines."""
+    from arc_spark.operators.sampling import FMIX_C1, FMIX_C2, seed_constant
 
-    m1, m2 = minstd_mixes(seed)
-    M, A = 2147483647, 48271
-    h1 = f"((({expr} + {seed}) % {M}) * {A}) % {M}"
-    h2 = f"(xor({h1}, {m1}) % {M} * {A}) % {M}"
-    return f"(xor({h2}, {m2}) % {M} * {A}) % {M}"
+    u32, u16 = 2**32, 2**16
+
+    def mul32(h: str, c: int) -> str:
+        return (
+            f"((({h}) & 65535) * {c}"
+            f" + ((({h}) >> 16) * {c} % {u16}) * {u16}) % {u32}"
+        )
+
+    def xorshift(h: str, bits: int) -> str:
+        return f"xor({h}, ({h}) >> {bits})"
+
+    h = f"xor(({expr}) % {u32}, {seed_constant(seed)})"
+    h = xorshift(h, 16)
+    h = mul32(h, FMIX_C1)
+    h = xorshift(f"({h})", 13)
+    h = mul32(h, FMIX_C2)
+    return xorshift(f"({h})", 16)
 
 
 _DOC_SAMPLE_SPLIT_SQL = f"""
     SELECT doc_id,
-           CASE WHEN {_minstd_sql('doc_id', 99)} < {int(0.1 * (2**31 - 1))}
+           CASE WHEN {_fmix_sql('doc_id', 99)} < {int(0.1 * (2**32))}
                 THEN 'test' ELSE 'train' END AS split
     FROM documents
-    WHERE {_minstd_sql('doc_id', 11)} < {int(0.25 * (2**31 - 1))}
+    WHERE {_fmix_sql('doc_id', 11)} < {int(0.25 * (2**32))}
 """
 
 
@@ -1386,15 +1378,17 @@ def _ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCH retrieval through the persisted LshIndex: 3 query vectors
-    answered by ONE partition-pruned index scan (OR-of-per-band bucket
-    predicates on the two partition columns) + broadcast probe join +
-    JVM-side exact re-rank — the 100 TB serving shape for real retrieval
-    workloads, vs ann_lsh_indexed's one-vector-per-job form. 32 planes /
-    16 bands keeps every exact top-10 member of all 3 queries in the
-    candidate set at sf0.001 and sf0.01 (verified offline), so the result
-    hash-matches the brute-force batch oracle. Integer output only
-    (query_id, rank, vec_id)."""
+    """BATCH retrieval through the persisted LshIndex via the fully
+    DISTRIBUTED path (topk_batch_df): the query set is a DataFrame
+    end-to-end — band keys computed by the same executor-side Arrow
+    matmul that built the index, only the distinct (band, bucket) int
+    set ever reaching the driver (for partition pruning), probe-join +
+    JVM exact re-rank. No query-count cap, no driver collect of vectors
+    — the 10^6-query retrieval-epoch shape; topk_batch remains for
+    driver-resident lists. 32 planes / 16 bands keeps every exact top-10
+    member of all 3 queries in the candidate set at sf0.001 and sf0.01
+    (verified offline), so the result hash-matches the brute-force batch
+    oracle. Integer output only (query_id, rank, vec_id)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -1402,13 +1396,14 @@ def _ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.operators.similarity import LshIndex
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
-    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
-    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    query_view = emb.filter(F.col("vec_id") < 3)
     path = tempfile.mkdtemp(prefix="lsh_batch_") + "/idx"
     idx = LshIndex.build_and_write(
         emb.filter(F.col("vec_id") >= 3), path, num_planes=32, bands=16
     )
-    return idx.topk_batch(spark, queries, k=10).select("query_id", "rank", "vec_id")
+    return idx.topk_batch_df(
+        spark, query_view, query_id_col="vec_id", k=10
+    ).select("query_id", "rank", "vec_id")
 
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,15 +38,19 @@ def create_table_for_stream(
     events_format: str = "parquet",
     payload_schema=None,
 ) -> tuple[LakeTable, Snapshot]:
-    if events_format == "debezium":
+    if events_format in ("debezium", "kafka"):
         # the table shape is the parsed envelope's canonical frame:
-        # payload columns + seq (op is dropped below like any stream)
+        # payload columns + seq (op is dropped below like any stream) —
+        # identical for the file tail and the kafka topic, since both
+        # carry the same Debezium JSON value
         from pyspark.sql.types import LongType
 
         from arc_spark.cdc.debezium import _payload_struct
 
         if payload_schema is None:
-            raise ValueError("events_format='debezium' requires payload_schema")
+            raise ValueError(
+                f"events_format={events_format!r} requires payload_schema"
+            )
         stream_schema = StructType(
             [*_payload_struct(payload_schema).fields,
              StructField(seq_col, LongType(), True)]
@@ -100,6 +104,10 @@ def bootstrap_snapshot(
     - Exactly-once: the load is an epoch-fenced ``LakeTable.merge``;
       a crashed/retried bootstrap re-runs idempotently, and a second
       bootstrap over a table that already has data is rejected.
+      CAVEAT: the fence compares the snapshot POSITION, not its data —
+      a retry at the same ``snapshot_seq`` whose snapshot_df contents
+      differ (a mutated re-dump) skips silently; contents are not
+      checksummed. A corrected snapshot requires rebuilding the table.
 
     Scale: the merge bucket-writes the snapshot exactly like any COW
     epoch — O(snapshot) one pass, no shuffle beyond the bucket
@@ -172,8 +180,19 @@ def bootstrap_snapshot(
         epoch_meta={"bootstrap": True},
     )
     out = {**result, "snapshot_seq": int(snapshot_seq)}
-    log.info(
-        "bootstrap_snapshot: %s rows committed as epoch %d at seq %d (%s)",
-        result.get("rows_written"), epoch, snapshot_seq, result.get("status"),
-    )
+    if result.get("status") == "skipped":
+        # fenced retry with the SAME snapshot_seq: the epoch is already
+        # committed, the merge no-opped. NOTE: contents are not
+        # checksummed — a retry whose snapshot DIFFERS at the same seq
+        # also lands here (the fence compares positions, not data)
+        log.info(
+            "bootstrap_snapshot: epoch %d already committed at seq %d, "
+            "skipped (contents not re-verified)", epoch, snapshot_seq,
+        )
+    else:
+        log.info(
+            "bootstrap_snapshot: %s rows committed as epoch %d at seq %d (%s)",
+            result.get("rows_written"), epoch, snapshot_seq,
+            result.get("status"),
+        )
     return out

@@ -19,16 +19,24 @@ same idea with three backends:
 - ``MemoryFS``     — in-process dict with object-store-like conditional
   PUT; unit-tests the commit CAS and concurrency without any disk.
 
-Commit CAS semantics by backend: LocalFS/MemoryFS use create-exclusive
-(atomic). HadoopFS writes a temp object then ``rename`` with
-no-overwrite, which is atomic on HDFS; on S3A rename is copy+delete and
-the no-overwrite check races — production S3 deployments inject a
-:class:`CommitLocker` (``LakeTable(root, locker=ConditionalPutLocker
-(...))``), which turns the commit into a LOCKED check-then-put exactly
-as Iceberg's DynamoDB S3 committers do; without one, LakeTable logs a
-prominent warning at commit time on object-store schemes (see
-``OBJECT_STORE_SCHEMES``). The manifest naming is lock-friendly: one
-immutable object per version, winner-takes-name.
+- ``S3ObjectFS``    — native S3 API (boto3, optional dependency) whose
+  ``create_exclusive`` is a genuinely ATOMIC ``If-None-Match: *``
+  conditional PUT (S3 conditional writes, GA since late 2024) — the
+  commit CAS needs no side store on s3:// anymore.
+
+Commit CAS semantics by backend, advertised by each backend's
+``atomic_create_exclusive`` flag: LocalFS/MemoryFS use create-exclusive
+(atomic); S3ObjectFS uses the conditional PUT (atomic); HadoopFS writes
+a temp object then ``rename`` with no-overwrite, which is atomic on
+HDFS but races on object-store connectors (rename is copy+delete on
+S3A) — deployments stuck on the Hadoop path for S3 (no boto3, or
+``ARC_S3_FS=hadoop``) inject a :class:`CommitLocker`
+(``LakeTable(root, locker=ConditionalPutLocker(...))``), which turns
+the commit into a LOCKED check-then-put exactly as Iceberg's DynamoDB
+S3 committers do; without one, LakeTable logs a prominent warning at
+commit time when the resolved backend's CAS is not atomic. The manifest
+naming is lock-friendly: one immutable object per version,
+winner-takes-name.
 """
 
 from __future__ import annotations
@@ -63,6 +71,10 @@ def join(base: str, *parts: str) -> str:
 
 class ArcFileSystem:
     """Driver-side filesystem operations for metadata and small objects."""
+
+    #: True when ``create_exclusive`` is genuinely atomic on this backend
+    #: (the manifest-commit CAS is multi-writer-safe without a locker)
+    atomic_create_exclusive: bool = True
 
     def exists(self, path: str) -> bool:
         raise NotImplementedError
@@ -455,6 +467,11 @@ class HadoopFS(ArcFileSystem):
         conf = spark._jsc.hadoopConfiguration()
         uri = self._jvm.java.net.URI.create(base_uri)
         self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+        # rename-if-absent is atomic on HDFS/posix, copy+delete (racy) on
+        # object-store connectors — advertise honestly so LakeTable warns
+        self.atomic_create_exclusive = (
+            scheme_of(base_uri) not in OBJECT_STORE_SCHEMES
+        )
 
     def _path(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -594,19 +611,233 @@ class HadoopFS(ArcFileSystem):
         self._fs.mkdirs(self._path(path))
 
 
+def _s3_error(e) -> tuple[str, int | None]:
+    """(error code, HTTP status) from a botocore-shaped ClientError —
+    duck-typed so injected test doubles need no botocore import."""
+    r = getattr(e, "response", None) or {}
+    code = (r.get("Error") or {}).get("Code", "")
+    status = (r.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+    return str(code), status
+
+
+class S3ObjectFS(ArcFileSystem):
+    """Native S3 backend (boto3) for ``s3://bucket/key`` metadata IO.
+
+    The point of this class is one call: ``create_exclusive`` maps to
+    ``PutObject`` with ``If-None-Match: *`` — S3's server-side
+    conditional write (GA since late 2024) — so the manifest-commit CAS
+    is GENUINELY atomic on S3 itself, with no DynamoDB-style side store
+    and no locker required. A lost race surfaces as HTTP 412
+    (PreconditionFailed) or 409 (ConditionalRequestConflict — a
+    concurrent conditional write on the same key was in flight), both of
+    which mean "someone else created it": FileExistsError.
+
+    ``delete_if_unchanged`` (the lease-steal compare-and-delete) reads
+    the object WITH its ETag, verifies content, then deletes with
+    ``If-Match: <etag>`` where the deployment supports conditional
+    deletes; if the client rejects the parameter it falls back to plain
+    delete after the content check — a shrunken-but-open window,
+    documented on the base class, still strictly better than the Hadoop
+    path.
+
+    ``client`` is injectable for tests (fault-injecting doubles) and for
+    custom endpoints (MinIO, S3-compatible stores:
+    ``boto3.client("s3", endpoint_url=...)``). boto3 is an OPTIONAL
+    dependency — constructing without a client raises ImportError where
+    it's absent, and ``get_fs`` falls back to HadoopFS (with its
+    documented locker requirement)."""
+
+    atomic_create_exclusive = True
+
+    def __init__(self, client=None):
+        if client is None:
+            import boto3  # optional dependency, import-guarded
+
+            client = boto3.client("s3")
+        self.c = client
+
+    @staticmethod
+    def _bk(path: str) -> tuple[str, str]:
+        p = urlparse(path)
+        return p.netloc, p.path.lstrip("/")
+
+    def exists(self, path):
+        b, k = self._bk(path)
+        try:
+            self.c.head_object(Bucket=b, Key=k)
+            return True
+        except Exception as e:
+            code, status = _s3_error(e)
+            if code not in ("404", "NoSuchKey", "NotFound") and status != 404:
+                raise
+        return self.isdir(path)
+
+    def isdir(self, path):
+        b, k = self._bk(path)
+        k = k.rstrip("/")
+        resp = self.c.list_objects_v2(Bucket=b, Prefix=k + "/", MaxKeys=1)
+        return bool(resp.get("KeyCount", 0) or resp.get("Contents"))
+
+    def listdir(self, path):
+        b, k = self._bk(path)
+        k = k.rstrip("/")
+        names: set[str] = set()
+        token = None
+        while True:
+            kw = {"Bucket": b, "Prefix": k + "/", "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.c.list_objects_v2(**kw)
+            for o in resp.get("Contents") or []:
+                names.add(o["Key"][len(k) + 1:])
+            for p in resp.get("CommonPrefixes") or []:
+                names.add(p["Prefix"][len(k) + 1:].rstrip("/"))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(n for n in names if n)
+
+    def _get(self, path: str):
+        b, k = self._bk(path)
+        try:
+            resp = self.c.get_object(Bucket=b, Key=k)
+        except Exception as e:
+            code, status = _s3_error(e)
+            if code in ("404", "NoSuchKey", "NotFound") or status == 404:
+                raise FileNotFoundError(path) from None
+            raise
+        return resp["Body"].read(), resp.get("ETag")
+
+    def read_bytes(self, path):
+        return self._get(path)[0]
+
+    def write_bytes(self, path, data):
+        b, k = self._bk(path)
+        self.c.put_object(Bucket=b, Key=k, Body=bytes(data))
+
+    def create_exclusive(self, path, data):
+        b, k = self._bk(path)
+        try:
+            self.c.put_object(
+                Bucket=b, Key=k, Body=bytes(data), IfNoneMatch="*"
+            )
+        except Exception as e:
+            code, status = _s3_error(e)
+            if code in (
+                "PreconditionFailed", "ConditionalRequestConflict", "412", "409",
+            ) or status in (412, 409):
+                raise FileExistsError(path) from None
+            raise
+
+    def delete(self, path):
+        b, k = self._bk(path)
+        self.c.delete_object(Bucket=b, Key=k)
+
+    def delete_if_unchanged(self, path, expected):
+        try:
+            data, etag = self._get(path)
+        except FileNotFoundError:
+            return True
+        if data != bytes(expected):
+            return False
+        b, k = self._bk(path)
+        try:
+            if etag:
+                self.c.delete_object(Bucket=b, Key=k, IfMatch=etag)
+                return True
+        except Exception as e:
+            code, status = _s3_error(e)
+            if code in ("PreconditionFailed", "412") or status == 412:
+                return False  # re-acquired after our read: NOT removed
+            if code not in (
+                "InvalidArgument", "NotImplemented", "ParamValidationError",
+            ):
+                raise
+            # else: deployment without conditional delete — fall through
+        self.c.delete_object(Bucket=b, Key=k)
+        return True
+
+    def open_output(self, path):
+        fs = self
+
+        class _Out(io.BytesIO):
+            def close(self_inner):
+                fs.write_bytes(path, self_inner.getvalue())
+                super().close()
+
+            def __exit__(self_inner, *a):
+                self_inner.close()
+
+        return _Out()
+
+    def open_input(self, path):
+        return io.BytesIO(self.read_bytes(path))
+
+    def open_append(self, path):
+        try:
+            existing = self.read_bytes(path)
+        except FileNotFoundError:
+            existing = b""
+        out = self.open_output(path)
+        out.write(existing)
+        return out
+
+    def rmdir_if_empty(self, path):
+        pass  # directories are implicit
+
+    def mkdirs(self, path):
+        pass  # directories are implicit
+
+    def rmtree(self, path):
+        b, k = self._bk(path)
+        k = k.rstrip("/")
+        keys: list[str] = []
+        token = None
+        while True:
+            kw = {"Bucket": b, "Prefix": k + "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.c.list_objects_v2(**kw)
+            keys += [o["Key"] for o in resp.get("Contents") or []]
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        try:
+            self.c.head_object(Bucket=b, Key=k)
+            keys.append(k)
+        except Exception:
+            pass
+        for i in range(0, len(keys), 1000):
+            self.c.delete_objects(
+                Bucket=b,
+                Delete={"Objects": [{"Key": x} for x in keys[i:i + 1000]]},
+            )
+
+
 _memory_fs = MemoryFS()
 _local_fs = LocalFS()
 
 
 def get_fs(path: str, spark=None) -> ArcFileSystem:
     """Resolve the filesystem for ``path`` by scheme. ``memory://`` is the
-    in-process test store; bare paths are POSIX; anything else goes
-    through Hadoop (requires an active SparkSession for the JVM)."""
+    in-process test store; bare paths are POSIX; ``s3://`` prefers the
+    native conditional-PUT backend when boto3 is importable
+    (``ARC_S3_FS=hadoop`` forces the connector path, ``=native`` makes a
+    missing boto3 an error); anything else goes through Hadoop (requires
+    an active SparkSession for the JVM)."""
     s = scheme_of(path)
     if s in ("", "file") and os.environ.get("ARC_FORCE_HADOOP_FS") != "1":
         return _local_fs
     if s == "memory":
         return _memory_fs
+    if s in ("s3", "s3a", "s3n"):
+        mode = os.environ.get("ARC_S3_FS", "auto")
+        if mode != "hadoop":
+            try:
+                return S3ObjectFS()
+            except ImportError:
+                if mode == "native":
+                    raise
     if spark is None:
         from pyspark.sql import SparkSession
 

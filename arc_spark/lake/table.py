@@ -282,15 +282,18 @@ class LakeTable:
                 return version
             finally:
                 self.locker.release(fs_join(self.root, "_commit"), token)
-        from arc_spark.fs import OBJECT_STORE_SCHEMES, scheme_of
-
-        if scheme_of(self.root) in OBJECT_STORE_SCHEMES and not self._warned_unlocked:
+        if not self.fs.atomic_create_exclusive and not self._warned_unlocked:
+            # the resolved backend advertises its CAS honestly: native
+            # S3ObjectFS (conditional PUT) and HDFS are atomic; only the
+            # Hadoop connector path on object stores still races
             self._warned_unlocked = True
             _log.warning(
                 "LakeTable at %s commits via rename-if-absent, which RACES "
                 "on object stores under concurrent writers — exactly-once "
                 "is best-effort. Pass LakeTable(root, locker=...) (see "
-                "arc_spark.fs.CommitLocker) for multi-writer safety.",
+                "arc_spark.fs.CommitLocker) for multi-writer safety, or "
+                "install boto3 so s3:// resolves to the atomic "
+                "conditional-PUT backend (arc_spark.fs.S3ObjectFS).",
                 self.root,
             )
         try:
@@ -1205,8 +1208,11 @@ class LakeTable:
             "bucket_rows": bucket_rows,
             "committed_epochs": {
                 **snap.committed_epochs,
-                str(epoch): {"start_seq": start_seq, "end_seq": end_seq,
-                             **(epoch_meta or {})},
+                # epoch_meta spreads FIRST: start_seq/end_seq are the
+                # fence/resume cursor and must never be overwritten by a
+                # caller-supplied meta key of the same name
+                str(epoch): {**(epoch_meta or {}),
+                             "start_seq": start_seq, "end_seq": end_seq},
             },
             "counters": counters,
             "column_renames": snap.column_renames,
@@ -1296,8 +1302,11 @@ class LakeTable:
             "bucket_rows": bucket_rows,
             "committed_epochs": {
                 **snap.committed_epochs,
-                str(epoch): {"start_seq": start_seq, "end_seq": end_seq,
-                             **(epoch_meta or {})},
+                # epoch_meta spreads FIRST: start_seq/end_seq are the
+                # fence/resume cursor and must never be overwritten by a
+                # caller-supplied meta key of the same name
+                str(epoch): {**(epoch_meta or {}),
+                             "start_seq": start_seq, "end_seq": end_seq},
             },
             "counters": counters,
             "column_renames": snap.column_renames,

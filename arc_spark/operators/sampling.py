@@ -7,34 +7,36 @@ rows of a key land on the same side). ``df.sample()`` satisfies none of
 these — it is seeded per-partition. Everything here derives membership
 from a pure-integer hash of the KEY:
 
-    h(k) = minstd( minstd( minstd(k + seed) XOR mix1(seed) ) XOR mix2(seed) ),
-    minstd(x) = (x mod M)·A mod M,  M = 2^31-1, A = 48271,
-    mix1(seed) = seed·2654435761 mod 2^31,
-    mix2(seed) = (seed+1)·2246822519 mod 2^31
+    h(k, seed) = fmix32( (k mod 2^32) XOR fmix32(seed) )
 
-Three MINSTD rounds with two seed-derived XORs between them. Each piece
-is load-bearing: one multiply never wraps the modulus for keys below
-M/A (~44k), leaving the "hash" linear-in-key; WITHOUT any XOR,
-h(k, seed) is affine in k, so two seeds differ by a constant shift —
-"independent" streams would be fully correlated (a test split of a
-sample could be 0% or 100% instead of testFraction; caught by
-test_sample_transform_stage). And with only ONE xor-round, ADJACENT
-seeds stayed correlated — h(k, s+1) is h's inner state at (k+1, s) xored
-with a nearby constant, and one multiply doesn't launder the
-difference: measured P(in stream-2 sample | in stream-1 sample) ran
-~43% below the marginal for (s, s+1) pairs (caught by the hypothesis
-property test in tests/test_text_scrub.py; the second xor-multiply
-round drives the deviation under 1%). Measured deciles over 50k keys
-stay within ±8% of uniform for every seed tested and cross-stream
-conditional rates match the marginals for adjacent AND random seed
-pairs. Every step stays exactly representable in 64-bit integer
-arithmetic (no overflow under ANSI mode) and is replicable verbatim in
-any engine for oracle checks (the DuckDB oracles in __spark_entry__
-run the same formula).
+where fmix32 is the murmur3 32-bit finalizer (Austin Appleby, public
+domain: xor-shift 16, * 0x85EBCA6B, xor-shift 13, * 0xC2B2AE35,
+xor-shift 16 — all mod 2^32). fmix32 passes full avalanche (every input
+bit flips every output bit with p≈0.5), which the previous 3-round
+MINSTD construction did NOT: hypothesis found seed=14345 where MINSTD's
+multiplicative lattice produced a smooth ±10% decile wave over 50k
+sequential keys (≈8σ for a true PRF). Sequential keys are exactly what
+doc_id/user_id columns look like, so the lattice bias was a real sample-
+rate error, not a curiosity. Seeding by XOR with fmix32(seed) (rather
+than adding the raw seed) makes adjacent seeds produce decorrelated
+streams — the seed is laundered through the full finalizer before it
+ever touches a key.
+
+Overflow discipline: every intermediate stays strictly below 2^63 so the
+expression is exact on Spark longs under ANSI mode AND replicable
+verbatim in any engine with 64-bit integers (the DuckDB oracles in
+__spark_entry__ run the same formula). The two 32×32-bit multiplies are
+the only steps that could overflow, so they are computed as split
+16-bit limb products:
+
+    h·C mod 2^32 = ( (h mod 2^16)·C  +  ((h>>16)·C mod 2^16)·2^16 ) mod 2^32
+
+with both limb products < 2^48. Everything else (xor, shift, mod) is
+width-reducing.
 
 Scale: every operator is a stateless per-row projection + filter — no
 shuffle, no driver state; membership pushes down to scans as an ordinary
-predicate.
+predicate inside whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -42,34 +44,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MINSTD_M = 2**31 - 1
-MINSTD_A = 48271
+HASH_RANGE = 2**32  # fmix_hash output is uniform on [0, HASH_RANGE)
+FMIX_C1 = 0x85EBCA6B
+FMIX_C2 = 0xC2B2AE35
 
 
-def minstd_mixes(seed: int) -> tuple[int, int]:
-    """The two seed-derived XOR constants of ``minstd_hash`` — exposed so
-    SQL oracles can inline the exact same values."""
-    return (
-        (int(seed) * 2654435761) % (2**31),
-        ((int(seed) + 1) * 2246822519) % (2**31),
-    )
+def fmix32_py(h: int) -> int:
+    """Pure-Python murmur3 fmix32 — the bit-exact scalar reference for
+    the Column/SQL forms below (used for seed laundering and in tests)."""
+    h &= 0xFFFFFFFF
+    h ^= h >> 16
+    h = (h * FMIX_C1) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * FMIX_C2) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
 
 
-def minstd_hash(key: Column, seed: int = 0) -> Column:
-    """Three xor-separated MINSTD rounds (module docstring) — uniform on
-    [0, M), with genuinely decorrelated streams across seeds, including
-    ADJACENT seed pairs."""
-    mix1, mix2 = minstd_mixes(seed)
-    k = F.pmod(key.cast("long") + F.lit(int(seed)), F.lit(MINSTD_M))
-    h1 = F.pmod(k * F.lit(MINSTD_A), F.lit(MINSTD_M))
-    h2 = F.pmod(
-        F.pmod(h1.bitwiseXOR(F.lit(mix1)), F.lit(MINSTD_M)) * F.lit(MINSTD_A),
-        F.lit(MINSTD_M),
-    )
-    return F.pmod(
-        F.pmod(h2.bitwiseXOR(F.lit(mix2)), F.lit(MINSTD_M)) * F.lit(MINSTD_A),
-        F.lit(MINSTD_M),
-    )
+def seed_constant(seed: int) -> int:
+    """fmix32(seed mod 2^32) — the laundered per-stream XOR constant.
+    Exposed so SQL oracles can inline the exact same value."""
+    return fmix32_py(int(seed) % HASH_RANGE)
+
+
+def _mul32(h: Column, c: int) -> Column:
+    """(h * c) mod 2^32 for 0 <= h < 2^32, via 16-bit limbs so every
+    intermediate is < 2^49 (exact on int64, ANSI-safe)."""
+    lo = h.bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+    hi = F.pmod(F.shiftright(h, 16) * F.lit(c), F.lit(0x10000)) * F.lit(0x10000)
+    return F.pmod(lo + hi, F.lit(HASH_RANGE))
+
+
+def _fmix32_col(h: Column) -> Column:
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mul32(h, FMIX_C1)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mul32(h, FMIX_C2)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def fmix_hash(key: Column, seed: int = 0) -> Column:
+    """fmix32((key mod 2^32) XOR fmix32(seed)) — uniform on
+    [0, HASH_RANGE), avalanche-complete, with decorrelated streams
+    across seeds including ADJACENT seed pairs (module docstring)."""
+    k = F.pmod(key.cast("long"), F.lit(HASH_RANGE))
+    return _fmix32_col(k.bitwiseXOR(F.lit(seed_constant(seed))))
 
 
 def deterministic_sample(
@@ -84,8 +103,8 @@ def deterministic_sample(
     which keys are in the sample."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    threshold = int(fraction * MINSTD_M)
-    return df.filter(minstd_hash(F.col(key_col), seed) < F.lit(threshold))
+    threshold = int(fraction * HASH_RANGE)
+    return df.filter(fmix_hash(F.col(key_col), seed) < F.lit(threshold))
 
 
 def split_train_test(
@@ -98,11 +117,11 @@ def split_train_test(
 ) -> DataFrame:
     """Leakage-free split: every row of a key gets the same label, so a
     document (or user, or repo) can never straddle train and test."""
-    threshold = int(test_fraction * MINSTD_M)
+    threshold = int(test_fraction * HASH_RANGE)
     return df.withColumn(
         split_col,
         F.when(
-            minstd_hash(F.col(key_col), seed) < F.lit(threshold), F.lit("test")
+            fmix_hash(F.col(key_col), seed) < F.lit(threshold), F.lit("test")
         ).otherwise(F.lit("train")),
     )
 

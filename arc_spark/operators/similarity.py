@@ -719,6 +719,129 @@ class LshIndex:
             .select("query_id", "rank", m["id_col"], "cosine_sim")
         )
 
+    @staticmethod
+    def _probe_masks(probe_bits: int, rpb: int) -> list[int]:
+        """All XOR masks with ≤ probe_bits bits set among rpb positions
+        (includes 0 = the exact bucket) — a pure function of the config,
+        so multi-probe expansion is a tiny literal array, never data."""
+        from itertools import combinations
+
+        masks = [0]
+        for nbits in range(1, probe_bits + 1):
+            for bits in combinations(range(rpb), nbits):
+                mask = 0
+                for r in bits:
+                    mask |= 1 << r
+                masks.append(mask)
+        return masks
+
+    def topk_batch_df(
+        self,
+        spark,
+        queries: DataFrame,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        k: int = 10,
+        probe_bits: int = 0,
+        max_prune_values: int = 100_000,
+    ) -> DataFrame:
+        """Fully DISTRIBUTED batch retrieval: the query set stays a
+        DataFrame end-to-end — no driver collect of vectors, no query
+        cap. This is the 10^6-10^7-query epoch shape; ``topk_batch``
+        remains for driver-resident query lists (≤10k).
+
+        Plan (the 100 TB story):
+        1. Band keys for every query come from ONE executor-side Arrow
+           matmul pass (`_band_keys_kernel` — the same kernel that built
+           the index), posexploded to (query_id, band, _bucket) probe
+           rows; multi-probe expands via a literal XOR-mask array
+           (`_probe_masks`), all JVM-side.
+        2. The ONLY driver materialization is the DISTINCT (band,
+           _bucket) set — bounded by min(q·bands·masks, bands·2^rpb)
+           ints, never vectors — which becomes a partition-column-only
+           predicate so the index scan prunes at the file-listing level
+           to exactly the probed bucket directories. If the distinct set
+           exceeds ``max_prune_values`` the predicate is skipped (the
+           probe JOIN still filters; the scan is merely unpruned) so the
+           driver stays O(1) in the query count.
+        3. Probe rows join the pruned index on the two partition columns
+           (AQE picks broadcast vs shuffle vs skew-split by actual probe
+           size), (query_id, id) dedups multi-band hits, and the exact
+           cosine re-rank runs JVM-side under a per-query window top-k
+           (WindowGroupLimit keeps hot queries partial-aggregated
+           map-side)."""
+        from pyspark.sql.window import Window
+
+        m = self.meta
+        planes = _hyperplanes(m["dim"], m["num_planes"], m["seed"])
+        bands, rpb = m["bands"], m["num_planes"] // m["bands"]
+        kernel = _band_keys_kernel(planes, bands, rpb)
+        masks = self._probe_masks(probe_bits, rpb)
+
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+        )
+        probes = (
+            q.withColumn("_qkeys", kernel(F.col("_qvec")))
+            .select(
+                "query_id", "_qvec", F.posexplode("_qkeys").alias("band", "_key")
+            )
+            .withColumn(
+                "_mask", F.explode(F.array(*[F.lit(int(x)) for x in masks]))
+            )
+            .withColumn("_bucket", F.col("_key").bitwiseXOR(F.col("_mask")))
+            .drop("_key", "_mask")
+            # computed once, reused by the pruning collect AND the join —
+            # without this the Arrow band-key pass would run twice
+            .localCheckpoint(eager=False)
+        )
+
+        # driver-side pruning set: ints only, with a hard O(1)-in-q bound
+        pruned = (
+            probes.select("band", "_bucket")
+            .distinct()
+            .limit(max_prune_values + 1)
+            .collect()
+        )
+        scan = spark.read.parquet(self.path)
+        if len(pruned) <= max_prune_values:
+            per_band: dict[int, list[int]] = {}
+            for r in pruned:
+                per_band.setdefault(int(r["band"]), []).append(int(r["_bucket"]))
+            from functools import reduce as _reduce
+
+            pred = _reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("band") == b) & F.col("_bucket").isin(sorted(vals))
+                    for b, vals in per_band.items()
+                ],
+            )
+            scan = scan.filter(pred)
+        idx = self._live(spark, scan).select(
+            m["id_col"], m["vec_col"], "band", "_bucket"
+        )
+        cand = idx.join(probes, ["band", "_bucket"]).dropDuplicates(
+            ["query_id", m["id_col"]]
+        )
+        scored = cand.select(
+            "query_id",
+            F.col(m["id_col"]),
+            cosine(
+                F.col(m["vec_col"]).cast("array<double>"), F.col("_qvec")
+            ).alias("cosine_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col(m["id_col"])
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", m["id_col"], "cosine_sim")
+        )
+
 
 def _lloyd_kmeans(X, k: int, seed: int, max_iter: int = 25):
     """Deterministic k-means (k-means++ init, Lloyd iterations) in numpy.

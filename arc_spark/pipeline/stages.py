@@ -1151,24 +1151,28 @@ class ANNQueryExtract(PipelineStage):
         elif "queryView" in self.params:
             field = self.params.get("vectorField", "embedding")
             id_field = self.params.get("idField", id_col)
-            max_q = int(self.params.get("maxQueries", 10_000))
-            rows = (
-                ctx.spark.table(self.params["queryView"])
-                .select(id_field, field)
-                .limit(max_q + 1)
-                .collect()
-            )
-            if not rows:
-                raise ValueError(f"{self.name}: queryView is empty")
+            view = ctx.spark.table(self.params["queryView"])
             # ALWAYS the batch path for a view — the output schema
             # (query_id, rank, id, cosine_sim) must depend on the input
             # KIND, not on how many rows the view happened to have today;
             # a 1-row view silently switching to the single-query shape
             # would break downstream consumers of query_id/rank.
-            queries = [(r[0], [float(x) for x in r[1]]) for r in rows]
-            out = idx.topk_batch(
-                ctx.spark, queries, k=k, max_queries=max_q, **kw
-            )
+            if isinstance(idx, LshIndex):
+                # fully distributed: the view never touches the driver
+                # (no vector collect, no query cap) — 10^6-query safe
+                out = idx.topk_batch_df(
+                    ctx.spark, view, query_id_col=id_field,
+                    query_vec_col=field, k=k, **kw,
+                )
+            else:
+                max_q = int(self.params.get("maxQueries", 10_000))
+                rows = view.select(id_field, field).limit(max_q + 1).collect()
+                if not rows:
+                    raise ValueError(f"{self.name}: queryView is empty")
+                queries = [(r[0], [float(x) for x in r[1]]) for r in rows]
+                out = idx.topk_batch(
+                    ctx.spark, queries, k=k, max_queries=max_q, **kw
+                )
         else:
             raise ValueError(f"{self.name}: queryVector or queryView required")
         return self.register_output(ctx, out, self.params["outputView"])
@@ -1928,11 +1932,12 @@ class CDCStreamExecute(PipelineStage):
     manifest alone, carries the source offsets."""
 
     stage_type = "CDCStreamExecute"
-    REQUIRED = ("eventsURI", "tableURI", "checkpointURI")
-    OPTIONAL = ("strategy", "mergeMode", "numBuckets", "maxFilesPerTrigger",
+    REQUIRED = ("tableURI", "checkpointURI")
+    OPTIONAL = ("eventsURI", "strategy", "mergeMode", "numBuckets",
+                "maxFilesPerTrigger",
                 "outputView", "commitLockURI", "commitLockLeaseSeconds",
                 "onBad", "quarantineURI", "metricsURI", "eventsFormat",
-                "payloadSchema", "redeliveryDedup")
+                "payloadSchema", "redeliveryDedup", "kafkaOptions")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1941,12 +1946,22 @@ class CDCStreamExecute(PipelineStage):
 
         events_format = self.params.get("eventsFormat", "parquet")
         payload_schema = self.params.get("payloadSchema")
+        # kafka: the source is a topic, not a directory — eventsURI is
+        # replaced by kafkaOptions (kafka.bootstrap.servers + subscribe/
+        # assign [+ startingOffsets, maxOffsetsPerTrigger, kafka.* auth])
+        if events_format == "kafka":
+            if "kafkaOptions" not in self.params:
+                raise ValueError(
+                    f"{self.name}: eventsFormat='kafka' requires kafkaOptions"
+                )
+        elif "eventsURI" not in self.params:
+            raise ValueError(f"{self.name}: eventsURI is required")
         locker = _locker_from_params(self.params, ctx.spark)
         table = LakeTable(self.params["tableURI"], locker=locker)
         if not table.exists():
             table, _ = create_table_for_stream(
                 ctx.spark,
-                self.params["eventsURI"],
+                self.params.get("eventsURI"),
                 self.params["tableURI"],
                 num_buckets=int(self.params.get("numBuckets", 32)),
                 events_format=events_format,
@@ -1956,8 +1971,9 @@ class CDCStreamExecute(PipelineStage):
         mft = self.params.get("maxFilesPerTrigger")
         replay = StreamingReplay(
             ctx.spark,
-            self.params["eventsURI"],
+            self.params.get("eventsURI"),
             table,
+            kafka_options=self.params.get("kafkaOptions"),
             events_format=events_format,
             payload_schema=payload_schema,
             checkpoint_dir=self.params["checkpointURI"],

@@ -53,6 +53,7 @@ class StreamingReplay:
         events_format: str = "parquet",
         payload_schema=None,
         redelivery_dedup: bool | str = "auto",
+        kafka_options: dict | None = None,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -63,12 +64,36 @@ class StreamingReplay:
         # legal on a streaming frame). Unlike the batch runner there is NO
         # rescan penalty here: each micro-batch reads only its new files,
         # so inline parse is the natural home for a live connector tail.
-        if events_format not in ("parquet", "debezium"):
+        # "kafka" is the production Debezium wire: readStream.format
+        # ("kafka") over the connector topic, value CAST to string, then
+        # the IDENTICAL parse path as the file tail (_parse_envelopes) —
+        # the file-format tests certify the kafka parse byte-for-byte;
+        # only the source connector differs (requires the
+        # spark-sql-kafka runtime jar on the cluster classpath).
+        if events_format not in ("parquet", "debezium", "kafka"):
             raise ValueError(
-                f"events_format must be parquet/debezium, got {events_format!r}"
+                "events_format must be parquet/debezium/kafka, "
+                f"got {events_format!r}"
             )
-        if events_format == "debezium" and payload_schema is None:
-            raise ValueError("events_format='debezium' requires payload_schema")
+        if events_format in ("debezium", "kafka") and payload_schema is None:
+            raise ValueError(
+                f"events_format={events_format!r} requires payload_schema"
+            )
+        if events_format == "kafka":
+            opts = kafka_options or {}
+            if "kafka.bootstrap.servers" not in opts:
+                raise ValueError(
+                    "events_format='kafka' requires kafka_options with "
+                    "'kafka.bootstrap.servers'"
+                )
+            if not any(
+                k in opts for k in ("subscribe", "subscribePattern", "assign")
+            ):
+                raise ValueError(
+                    "events_format='kafka' requires kafka_options with one "
+                    "of subscribe/subscribePattern/assign"
+                )
+        self.kafka_options = kafka_options or {}
         self.events_format = events_format
         self.payload_schema = payload_schema
         self.checkpoint_dir = checkpoint_dir
@@ -99,10 +124,11 @@ class StreamingReplay:
         # batch (any arc_spark.fs scheme).
         self.metrics_path = metrics_path
         # At-least-once redelivery collapse (apply.collapse_redelivered):
-        # "auto" = on for debezium tails, off for staged parquet (seq
-        # unique by construction there). Batch-runner parity.
+        # "auto" = on for debezium/kafka tails (the connector wire is
+        # at-least-once), off for staged parquet (seq unique by
+        # construction there). Batch-runner parity.
         if redelivery_dedup == "auto":
-            redelivery_dedup = events_format == "debezium"
+            redelivery_dedup = events_format in ("debezium", "kafka")
         self.redelivery_dedup = bool(redelivery_dedup)
         self.batches: list[dict] = []
 
@@ -123,18 +149,34 @@ class StreamingReplay:
             ) as out:
                 out.write((json.dumps(rec) + "\n").encode())
 
-    def _stream(self) -> DataFrame:
-        if self.events_format == "debezium":
-            from arc_spark.cdc.debezium import parse_debezium
+    def _parse_envelopes(self, raw: DataFrame) -> DataFrame:
+        """Debezium JSON envelopes (a string ``value`` column) → canonical
+        change frame. ONE parse path for the file tail AND the kafka
+        topic — pure from_json codegen, no executor Python."""
+        from arc_spark.cdc.debezium import parse_debezium
 
+        return parse_debezium(raw, self.payload_schema).drop("_ts_ms")
+
+    def _stream(self) -> DataFrame:
+        if self.events_format == "kafka":
+            reader = self.spark.readStream.format("kafka")
+            # earliest by default: a NEW checkpoint replays the topic from
+            # the start (bootstrap semantics); an existing checkpoint's
+            # stored offsets always win over this option
+            opts = {"startingOffsets": "earliest", **self.kafka_options}
+            for key, val in opts.items():
+                reader = reader.option(key, str(val))
+            raw = reader.load().select(
+                F.col("value").cast("string").alias("value")
+            )
+            df = self._parse_envelopes(raw)
+        elif self.events_format == "debezium":
             reader = self.spark.readStream
             if self.max_files_per_trigger:
                 reader = reader.option(
                     "maxFilesPerTrigger", self.max_files_per_trigger
                 )
-            df = parse_debezium(
-                reader.text(self.events_path), self.payload_schema
-            ).drop("_ts_ms")
+            df = self._parse_envelopes(reader.text(self.events_path))
         else:
             # mergeSchema for the same reason as ReplayRunner._events:
             # later stream files may carry evolved columns earlier files

@@ -830,3 +830,82 @@ def test_ann_index_sync_self_heals_after_rollback(spark, tmp_path):
     assert got == want
     # and a further sync with nothing new is a clean no-op
     assert LshIndex.load(spark, path).sync_from_table(spark, t)["status"] == "up_to_date"
+
+
+def _synth_vectors(spark, n, dim, salt):
+    """Deterministic synthetic (id, embedding) rows, synthesized
+    executor-side (murmur3 F.hash — fixed engine seed, reproducible):
+    no driver-side vector materialization anywhere in the test."""
+    cols = [
+        ((F.hash(F.col("id"), F.lit(salt), F.lit(j)) % 1000) / 500.0 - 1.0).cast(
+            "double"
+        )
+        for j in range(dim)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+    )
+
+
+def test_lsh_topk_batch_df_100k_queries_distributed(spark, tmp_path):
+    """The fully distributed batch path (topk_batch_df) at a scale the
+    driver-resident path hard-rejects: a 10^5-row query VIEW, no collect
+    of vectors (the only driver materialization is the distinct
+    (band,_bucket) int set), no query cap. Plan is pinned: the index
+    scan carries a partition-column-only PartitionFilters predicate —
+    pruning happens at the file-listing level."""
+    from arc_spark.operators.similarity import LshIndex
+
+    corpus = _synth_vectors(spark, 2_000, 8, salt=1)
+    queries = _synth_vectors(spark, 100_000, 8, salt=2)
+    path = str(tmp_path / "lsh_100k_idx")
+    idx = LshIndex.build_and_write(corpus, path, num_planes=32, bands=4)
+
+    got = idx.topk_batch_df(spark, queries, query_id_col="vec_id", k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "band" in pf[1][:300] and "_bucket" in pf[1][:300]
+
+    n_rows = got.count()
+    n_queries = got.select("query_id").distinct().count()
+    # hyperplane buckets at 2k corpus / 4 bands x 256 buckets leave a
+    # handful of queries with zero candidates; ~all must be answered
+    assert n_queries >= 99_000, n_queries
+    assert n_rows >= 2 * n_queries  # most queries fill k=3
+
+    # exactness spot-check vs the driver-resident path on 5 queries
+    sample = queries.filter(F.col("vec_id") < 5).collect()
+    qlist = [(r["vec_id"], list(r["embedding"])) for r in sample]
+    want = idx.topk_batch(spark, qlist, k=3)
+    w = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in want.orderBy("query_id", "rank").collect()
+    ]
+    g = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in got.filter(F.col("query_id") < 5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert g == w and len(g) >= 10
+
+
+def test_lsh_topk_batch_df_prune_cap_falls_back_to_join_only(spark, tmp_path):
+    """Above max_prune_values the driver predicate is SKIPPED (O(1)
+    driver) and the probe join alone filters — results identical."""
+    from arc_spark.operators.similarity import LshIndex
+
+    corpus = _synth_vectors(spark, 500, 8, salt=3)
+    queries = _synth_vectors(spark, 50, 8, salt=4)
+    path = str(tmp_path / "lsh_cap_idx")
+    idx = LshIndex.build_and_write(corpus, path, num_planes=16, bands=4)
+
+    pruned = idx.topk_batch_df(spark, queries, query_id_col="vec_id", k=3)
+    capped = idx.topk_batch_df(
+        spark, queries, query_id_col="vec_id", k=3, max_prune_values=1
+    )
+    assert "PartitionFilters: [" in pruned._jdf.queryExecution().executedPlan().toString()
+    p = [tuple(r) for r in pruned.orderBy("query_id", "rank").collect()]
+    c = [tuple(r) for r in capped.orderBy("query_id", "rank").collect()]
+    assert p == c and len(p) > 0
