@@ -278,13 +278,19 @@ def read_ocf_schema(data: bytes) -> dict | str | list:
 
 
 def write_ocf_bytes(
-    schema, records, *, codec: str = "deflate", sync: bytes | None = None
+    schema, records, *, codec: str = "deflate", sync: bytes | None = None,
+    extra_meta: dict | None = None,
 ) -> bytes:
+    """``extra_meta``: additional container-metadata entries (str -> bytes)
+    — e.g. Iceberg manifests carry schema/partition-spec/format-version
+    keys beside avro.schema."""
     sync = sync or os.urandom(16)
     out = bytearray(MAGIC)
     meta = {
         "avro.schema": json.dumps(schema).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
+        **{k: (v if isinstance(v, bytes) else str(v).encode("utf-8"))
+           for k, v in (extra_meta or {}).items()},
     }
     _write_long(out, len(meta))
     for k, v in meta.items():

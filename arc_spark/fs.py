@@ -89,6 +89,10 @@ class ArcFileSystem:
     def read_bytes(self, path: str) -> bytes:
         raise NotImplementedError
 
+    def size(self, path: str) -> int:
+        """File size in bytes (metadata call where the backend has one)."""
+        return len(self.read_bytes(path))
+
     def write_bytes(self, path: str, data: bytes) -> None:
         """Create or overwrite; parents created as needed."""
         raise NotImplementedError
@@ -303,6 +307,9 @@ class LocalFS(ArcFileSystem):
         with open(self._p(path), "rb") as f:
             return f.read()
 
+    def size(self, path):
+        return os.path.getsize(self._p(path))
+
     def write_bytes(self, path, data):
         p = self._p(path)
         os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -497,6 +504,9 @@ class HadoopFS(ArcFileSystem):
             return bytes(out.toByteArray())
         finally:
             stream.close()
+
+    def size(self, path):
+        return self._fs.getFileStatus(self._path(path)).getLen()
 
     def write_bytes(self, path, data):
         stream = self._fs.create(self._path(path), True)
@@ -710,6 +720,13 @@ class S3ObjectFS(ArcFileSystem):
 
     def read_bytes(self, path):
         return self._get(path)[0]
+
+    def size(self, path):
+        b, k = self._bk(path)
+        try:
+            return int(self.c.head_object(Bucket=b, Key=k)["ContentLength"])
+        except KeyError:
+            return len(self.read_bytes(path))
 
     def write_bytes(self, path, data):
         b, k = self._bk(path)

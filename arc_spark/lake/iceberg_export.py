@@ -1,0 +1,442 @@
+"""Zero-copy export of a LakeTable snapshot as an Apache Iceberg v2 table.
+
+Interop with the standard table-format ecosystem: after ``export_iceberg``
+any Iceberg reader (Spark+iceberg-runtime, Trino, DuckDB's iceberg
+extension, pyiceberg) pointed at the table root sees EXACTLY the lake
+table's live rows — without copying a single data byte. The export writes
+only metadata, per the public Iceberg table spec
+(https://iceberg.apache.org/spec/):
+
+- ``metadata/v1.metadata.json`` + ``version-hint.text`` (HadoopCatalog
+  layout: no catalog service needed, the directory IS the table),
+- a manifest-list Avro file and one data-manifest Avro file listing the
+  snapshot's base parquet files in place (paths, footer row counts, byte
+  sizes),
+- our parquet carries no Iceberg field ids, so the metadata sets the
+  spec's ``schema.name-mapping.default`` property; the lake's
+  metadata-only column RENAMES become extra names on the same mapped
+  field — Iceberg's own mechanism for reading pre-rename files — and
+  DROPPED columns are simply absent from the schema (readers ignore
+  unmapped parquet columns),
+- deleted keys: lake base files retain tombstone rows (they fence late
+  arrivals), which a plain file scan would resurrect. The export writes
+  ONE Iceberg v2 EQUALITY-DELETE file carrying the key columns of every
+  tombstoned row (equality_ids = the key fields) at sequence number 2,
+  with all data files at sequence number 1 — spec rule "equality deletes
+  apply to data files with a strictly smaller data sequence number"
+  removes exactly the tombstoned keys, INCLUDING the tombstone rows
+  themselves. The delete file is the only thing written under ``data/``
+  and is O(deleted keys), not a data copy.
+
+Refused (honestly) when the snapshot has outstanding MOR delta files —
+their shadowing-by-seq semantics have no zero-copy Iceberg encoding;
+``table.compact(spark)`` first. The Avro manifests are produced by the
+repo's own from-scratch OCF codec (arc_spark/formats/avro.py) with the
+spec's field-id annotations.
+
+Scale: the export is O(#files) driver-side metadata + one Spark job over
+the tombstoned keys only. Verification story in tests/test_iceberg_export
+(no Iceberg runtime ships in this sandbox — the round-trip is proved by
+re-reading the metadata chain with our own Avro/JSON readers and
+replaying the spec's scan semantics against ``table.read``).
+
+Reference note: the reference engine (tripl-ai/arc) has no table format
+of its own — this closes the gap between the engine-specific manifest log
+and the ecosystem standard the north rule names.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arc_spark.fs import get_fs, join as fs_join
+from arc_spark.formats.avro import write_ocf_bytes
+
+# ---------------------------------------------------------------------------
+# schema mapping: Spark -> Iceberg JSON types with assigned field ids
+# ---------------------------------------------------------------------------
+
+_PRIMS = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",  # Spark TimestampType is tz-normalized
+    T.TimestampNTZType: "timestamp",
+}
+
+
+def _iceberg_type(dt, alloc):
+    """Spark type -> Iceberg JSON type; ``alloc()`` hands out field ids
+    (spec: every nested field, list element and map key/value has one)."""
+    if type(dt) in _PRIMS:
+        return _PRIMS[type(dt)]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list", "element-id": eid,
+            "element": _iceberg_type(dt.elementType, alloc),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = alloc(), alloc()
+        return {
+            "type": "map", "key-id": kid,
+            "key": _iceberg_type(dt.keyType, alloc),
+            "value-id": vid, "value": _iceberg_type(dt.valueType, alloc),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append({
+                "id": fid, "name": f.name, "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, alloc),
+            })
+        return {"type": "struct", "fields": fields}
+    raise ValueError(f"no Iceberg mapping for Spark type {dt.simpleString()}")
+
+
+def _build_schema(struct: T.StructType, renames: dict[str, list[str]]):
+    """(iceberg schema json, name-mapping json, name->field-id). Top-level
+    ids are assigned first (1..N) so key equality_ids are stable; nested
+    ids follow. ``renames``: current name -> historical names still
+    present in older data files — mapped as extra names on the same id."""
+    counter = {"n": len(struct.fields)}
+
+    def alloc():
+        counter["n"] += 1
+        return counter["n"]
+
+    fields, mapping, ids = [], [], {}
+    for i, f in enumerate(struct.fields, start=1):
+        ids[f.name] = i
+        fields.append({
+            "id": i, "name": f.name, "required": not f.nullable,
+            "type": _iceberg_type(f.dataType, alloc),
+        })
+        names = [f.name, *renames.get(f.name, [])]
+        entry = {"field-id": i, "names": names}
+        nested = _name_mapping_children(f.dataType, fields[-1]["type"])
+        if nested:
+            entry["fields"] = nested
+        mapping.append(entry)
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    return schema, mapping, ids, counter["n"]
+
+
+def _name_mapping_children(dt, ice_type):
+    """Nested name-mapping entries mirroring the assigned ids."""
+    if isinstance(dt, T.StructType):
+        out = []
+        for f, jf in zip(dt.fields, ice_type["fields"]):
+            e = {"field-id": jf["id"], "names": [f.name]}
+            kids = _name_mapping_children(f.dataType, jf["type"])
+            if kids:
+                e["fields"] = kids
+            out.append(e)
+        return out
+    if isinstance(dt, T.ArrayType):
+        e = {"field-id": ice_type["element-id"], "names": ["element"]}
+        kids = _name_mapping_children(dt.elementType, ice_type["element"])
+        if kids:
+            e["fields"] = kids
+        return [e]
+    if isinstance(dt, T.MapType):
+        k = {"field-id": ice_type["key-id"], "names": ["key"]}
+        v = {"field-id": ice_type["value-id"], "names": ["value"]}
+        kids = _name_mapping_children(dt.valueType, ice_type["value"])
+        if kids:
+            v["fields"] = kids
+        return [k, v]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Iceberg Avro schemas (field ids per the spec's manifest tables)
+# ---------------------------------------------------------------------------
+
+def _opt(t):
+    return ["null", t]
+
+
+def _data_file_schema():
+    return {
+        "type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "field-id": 102,
+             "type": {"type": "record", "name": "r102", "fields": []}},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "equality_ids", "field-id": 135, "default": None,
+             "type": _opt({"type": "array", "items": "int",
+                           "element-id": 136})},
+        ],
+    }
+
+
+def _manifest_entry_schema():
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "field-id": 1,
+             "default": None},
+            {"name": "sequence_number", "type": _opt("long"), "field-id": 3,
+             "default": None},
+            {"name": "file_sequence_number", "type": _opt("long"),
+             "field-id": 4, "default": None},
+            {"name": "data_file", "type": _data_file_schema(), "field-id": 2},
+        ],
+    }
+
+
+def _manifest_file_schema():
+    return {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# the export
+# ---------------------------------------------------------------------------
+
+def export_iceberg(spark, table, *, version: int | None = None) -> dict:
+    """Write Iceberg v2 metadata for ``table``'s snapshot (current by
+    default) next to its data. Returns a summary dict (metadata path,
+    data/delete file counts, row counts). See module docstring."""
+    import pyarrow.parquet as pq
+
+    snap = table.snapshot(version)
+    if any(v for v in snap.delta_files.values()):
+        raise ValueError(
+            "export_iceberg requires a compacted snapshot: outstanding "
+            "merge-on-read delta files have no zero-copy Iceberg "
+            "encoding — run table.compact(spark) first"
+        )
+    fs = table.fs
+    root = table.root
+    meta_dir = fs_join(root, "metadata")
+    fs.mkdirs(meta_dir)
+
+    schema_json, name_mapping, ids, last_col_id = _build_schema(
+        snap.schema, snap.column_renames
+    )
+    snapshot_id = snap.version + 1  # any positive id; 1:1 with lake version
+    now_ms = int(time.time() * 1000)
+
+    # -- data manifest: every base file, footer-counted, in place --------
+    entries, total_rows = [], 0
+    for bucket in sorted(snap.files, key=int):
+        for rel in snap.files[bucket]:
+            path = fs_join(root, rel)
+            with fs.seekable_input(path) as f:
+                n = pq.ParquetFile(f).metadata.num_rows
+            total_rows += n
+            entries.append({
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": fs.size(path),
+                    "equality_ids": None,
+                },
+            })
+
+    manifest_meta = {
+        "schema": json.dumps(schema_json),
+        "schema-id": "0",
+        "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": "2",
+    }
+    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#v{snap.version}")
+    data_manifest = fs_join(meta_dir, f"manifest-data-{uid}.avro")
+    fs.write_bytes(
+        data_manifest,
+        write_ocf_bytes(
+            _manifest_entry_schema(), entries, codec="null",
+            extra_meta={**manifest_meta, "content": "data"},
+        ),
+    )
+    manifests = [{
+        "manifest_path": data_manifest,
+        "manifest_length": fs.size(data_manifest),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }]
+
+    # -- equality deletes for tombstoned keys ----------------------------
+    deleted_keys = 0
+    if entries:
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *[e["data_file"]["file_path"] for e in entries]
+        )
+        # metadata-only renames: parquet still carries historical names —
+        # resolve each key column through its name history (the same
+        # coalescing LakeTable.read does), emitting the CURRENT name so
+        # the delete file's columns match the exported schema
+        key_exprs = []
+        for k in snap.key_cols:
+            present = [n for n in [k, *snap.column_renames.get(k, [])]
+                       if n in base.columns]
+            key_exprs.append(F.coalesce(*[F.col(n) for n in present]).alias(k))
+        dead = base.filter(F.col("_tombstone")).select(*key_exprs)
+        deleted_keys = dead.count()
+    if deleted_keys:
+        del_dir = fs_join(root, "data", f"iceberg-deletes-{uid}")
+        dead.coalesce(1).write.mode("overwrite").parquet(del_dir)
+        del_path = next(
+            fs_join(del_dir, name) for name in fs.listdir(del_dir)
+            if name.endswith(".parquet")
+        )
+        del_entry = {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": del_path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": deleted_keys,
+                "file_size_in_bytes": fs.size(del_path),
+                "equality_ids": [ids[k] for k in snap.key_cols],
+            },
+        }
+        del_manifest = fs_join(meta_dir, f"manifest-deletes-{uid}.avro")
+        fs.write_bytes(
+            del_manifest,
+            write_ocf_bytes(
+                _manifest_entry_schema(), [del_entry], codec="null",
+                extra_meta={**manifest_meta, "content": "deletes"},
+            ),
+        )
+        manifests.append({
+            "manifest_path": del_manifest,
+            "manifest_length": fs.size(del_manifest),
+            "partition_spec_id": 0,
+            "content": 1,  # DELETES
+            "sequence_number": 2,
+            "min_sequence_number": 2,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": deleted_keys,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
+
+    manifest_list = fs_join(meta_dir, f"snap-{snapshot_id}-{uid}.avro")
+    fs.write_bytes(
+        manifest_list,
+        write_ocf_bytes(
+            _manifest_file_schema(), manifests, codec="null",
+            extra_meta={
+                "snapshot-id": str(snapshot_id),
+                "sequence-number": "2",
+                "format-version": "2",
+            },
+        ),
+    )
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uid),
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping),
+            "write.format.default": "parquet",
+            # provenance breadcrumbs for operators
+            "arc-spark.lake.version": str(snap.version),
+            "arc-spark.lake.end-seq": str(snap.end_seq or 0),
+        },
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "sequence-number": 2,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(total_rows),
+            },
+            "manifest-list": manifest_list,
+            "schema-id": 0,
+        }],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ],
+        "metadata-log": [],
+    }
+    meta_path = fs_join(meta_dir, "v1.metadata.json")
+    fs.write_bytes(meta_path, json.dumps(metadata, indent=2).encode())
+    fs.write_bytes(fs_join(meta_dir, "version-hint.text"), b"1")
+    return {
+        "metadata": meta_path,
+        "manifest_list": manifest_list,
+        "data_files": len(entries),
+        "delete_files": 1 if deleted_keys else 0,
+        "physical_rows": total_rows,
+        "deleted_keys": deleted_keys,
+        # LWW keeps ONE row per key, so each deleted key's only physical
+        # row is its tombstone — the equality delete removes exactly it
+        "live_rows": total_rows - deleted_keys,
+    }

@@ -1200,6 +1200,86 @@ class IVFIndex:
             .select("query_id", "rank", self.id_col, "cosine_sim")
         )
 
+    @staticmethod
+    def _probe_kernel(centers, nprobe: int):
+        """Arrow kernel: nprobe nearest centroids per query vector in one
+        numpy matmul — the executor-side twin of ``probe_clusters``."""
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        C = np.array(centers, dtype=np.float64)
+        c_norm2 = (C**2).sum(axis=1)
+        npb = min(nprobe, len(centers))
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def _probe(v: pd.Series) -> pd.Series:
+            V = np.array(v.tolist(), dtype=np.float64)
+            d2 = -2.0 * (V @ C.T) + c_norm2[None, :]
+            idx = np.argsort(d2, axis=1)[:, :npb].astype("int32")
+            return pd.Series(list(idx))
+
+        return _probe
+
+    def topk_batch_df(
+        self,
+        spark,
+        queries: DataFrame,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Fully DISTRIBUTED IVF batch retrieval — the ``LshIndex.
+        topk_batch_df`` twin: the query set stays a DataFrame end-to-end
+        (no driver vector collect, no query cap). Centroid probing runs
+        as ONE executor-side Arrow matmul; the only driver
+        materialization is the distinct probed-cluster set, bounded by
+        ``len(centers)`` ints regardless of query count, which prunes
+        the ``_cluster``-partitioned index scan at the file-listing
+        level. The probe join fans candidates per query (AQE picks the
+        join strategy from actual sizes) and the exact cosine re-rank is
+        JVM-side under a per-query window top-k."""
+        from pyspark.sql.window import Window
+
+        probes = (
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+            )
+            .withColumn(
+                "_probes",
+                self._probe_kernel(self.centers, nprobe)(F.col("_qvec")),
+            )
+            .select("query_id", "_qvec", F.explode("_probes").alias("_cluster"))
+            # computed once, reused by the pruning collect AND the join
+            .localCheckpoint(eager=False)
+        )
+        clusters = sorted(
+            int(r["_cluster"])
+            for r in probes.select("_cluster").distinct().collect()
+        )
+        pruned = self.assigned.filter(F.col("_cluster").isin(clusters))
+        if self.path is not None:
+            pruned = self._live(spark, pruned)
+        cand = pruned.select(self.id_col, self.vec_col, "_cluster").join(
+            probes, ["_cluster"]
+        )
+        scored = cand.select(
+            "query_id",
+            F.col(self.id_col),
+            cosine(
+                F.col(self.vec_col).cast("array<double>"), F.col("_qvec")
+            ).alias("cosine_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", self.id_col, "cosine_sim")
+        )
+
 
 def ivf_topk(
     df: DataFrame,

@@ -1157,22 +1157,14 @@ class ANNQueryExtract(PipelineStage):
             # KIND, not on how many rows the view happened to have today;
             # a 1-row view silently switching to the single-query shape
             # would break downstream consumers of query_id/rank.
-            if isinstance(idx, LshIndex):
-                # fully distributed: the view never touches the driver
-                # (no vector collect, no query cap) — 10^6-query safe
-                out = idx.topk_batch_df(
-                    ctx.spark, view, query_id_col=id_field,
-                    query_vec_col=field, k=k, **kw,
-                )
-            else:
-                max_q = int(self.params.get("maxQueries", 10_000))
-                rows = view.select(id_field, field).limit(max_q + 1).collect()
-                if not rows:
-                    raise ValueError(f"{self.name}: queryView is empty")
-                queries = [(r[0], [float(x) for x in r[1]]) for r in rows]
-                out = idx.topk_batch(
-                    ctx.spark, queries, k=k, max_queries=max_q, **kw
-                )
+            # fully distributed for BOTH index kinds: the view never
+            # touches the driver (no vector collect, no query cap) —
+            # 10^6-query safe. topk_batch remains the library API for
+            # driver-resident query lists.
+            out = idx.topk_batch_df(
+                ctx.spark, view, query_id_col=id_field,
+                query_vec_col=field, k=k, **kw,
+            )
         else:
             raise ValueError(f"{self.name}: queryVector or queryView required")
         return self.register_output(ctx, out, self.params["outputView"])
@@ -2778,6 +2770,32 @@ class LakeExpireExecute(PipelineStage):
             keep_last=int(self.params.get("keepLast", 2))
         )
         ctx.user_data[f"{self.name}.result"] = res
+        return None
+
+
+@register_stage
+class IcebergExportExecute(PipelineStage):
+    """Engine-specific interop stage: publish the lake table's current
+    snapshot as an Apache Iceberg v2 table (metadata-only, zero data
+    copy; tombstoned keys become an equality-delete file) so any Iceberg
+    reader — Spark+runtime jar, Trino, DuckDB, pyiceberg — can consume
+    the replicated state in place. Refuses on outstanding MOR deltas
+    (compact first). See arc_spark.lake.iceberg_export."""
+
+    stage_type = "IcebergExportExecute"
+    REQUIRED = ("tableURI",)
+    OPTIONAL = ("version",)
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from arc_spark.lake.iceberg_export import export_iceberg
+        from arc_spark.lake.table import LakeTable
+
+        table = LakeTable(self.params["tableURI"])
+        v = self.params.get("version")
+        res = export_iceberg(ctx.spark, table,
+                             version=int(v) if v is not None else None)
+        ctx.user_data[f"{self.name}.result"] = res
+        ctx.events.append({"stage": self.name, **res})
         return None
 
 

@@ -909,3 +909,75 @@ def test_lsh_topk_batch_df_prune_cap_falls_back_to_join_only(spark, tmp_path):
     p = [tuple(r) for r in pruned.orderBy("query_id", "rank").collect()]
     c = [tuple(r) for r in capped.orderBy("query_id", "rank").collect()]
     assert p == c and len(p) > 0
+
+
+def test_ivf_topk_batch_df_matches_driver_path_and_brute(spark, emb, tmp_path):
+    """IVF distributed batch retrieval (query set stays a DataFrame): at
+    nprobe = #centers (full probe = exact) it equals brute-force batched
+    KNN; the only driver materialization is the distinct cluster set."""
+    from arc_spark.operators.similarity import IVFIndex, cosine_topk_batch
+
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    idx = IVFIndex.build(corpus, k=8, seed=1)
+    path = str(tmp_path / "ivf_bdf")
+    idx.write_index(path)
+    loaded = IVFIndex.load(spark, path)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = loaded.topk_batch_df(
+        spark, queries, query_id_col="vec_id", k=5, nprobe=8
+    )
+    g = [(r["query_id"], r["rank"], r["vec_id"])
+         for r in got.orderBy("query_id", "rank").collect()]
+    qrows = queries.orderBy("vec_id").collect()
+    brute = cosine_topk_batch(
+        corpus, [(r["vec_id"], list(r["embedding"])) for r in qrows], k=5
+    )
+    b = [(r["query_id"], r["rank"], r["vec_id"])
+         for r in brute.orderBy("query_id", "rank").collect()]
+    assert g == b and len(g) == 15
+
+    # pruned probe (nprobe=2) agrees with the driver-resident batch path
+    got2 = loaded.topk_batch_df(
+        spark, queries, query_id_col="vec_id", k=5, nprobe=2
+    )
+    want2 = loaded.topk_batch(
+        spark, [(r["vec_id"], list(r["embedding"])) for r in qrows],
+        k=5, nprobe=2,
+    )
+    g2 = [(r["query_id"], r["rank"], r["vec_id"])
+          for r in got2.orderBy("query_id", "rank").collect()]
+    w2 = [(r["query_id"], r["rank"], r["vec_id"])
+          for r in want2.orderBy("query_id", "rank").collect()]
+    assert g2 == w2
+
+
+def test_ann_query_extract_view_routes_ivf_distributed(spark, emb, tmp_path):
+    """ANNQueryExtract + queryView over an IVF index goes through
+    topk_batch_df (no driver cap) and matches brute at full probe."""
+    from arc_spark.operators.similarity import cosine_topk_batch
+    from arc_spark.pipeline import run_config
+
+    emb.createOrReplaceTempView("ivfd_emb")
+    emb.filter(F.col("vec_id") < 3).createOrReplaceTempView("ivfd_queries")
+    path = str(tmp_path / "ivfd_idx")
+    cfg = {"stages": [
+        {"type": "SQLTransform", "name": "corpus", "outputView": "ivfd_corpus",
+         "sql": "SELECT * FROM ivfd_emb WHERE vec_id >= 3"},
+        {"type": "ANNIndexLoad", "name": "build", "inputView": "ivfd_corpus",
+         "outputURI": path, "method": "ivf", "numClusters": 8},
+        {"type": "ANNQueryExtract", "name": "q", "inputURI": path,
+         "outputView": "ivfd_hits", "queryView": "ivfd_queries", "k": 5,
+         "nprobe": 8},
+    ]}
+    df, _ = run_config(spark, cfg)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    brute = cosine_topk_batch(
+        corpus, [(r["vec_id"], list(r["embedding"])) for r in qrows], k=5
+    )
+    g = [(r["query_id"], r["rank"], r["vec_id"])
+         for r in df.orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["rank"], r["vec_id"])
+         for r in brute.orderBy("query_id", "rank").collect()]
+    assert g == b
