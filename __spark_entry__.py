@@ -1264,6 +1264,36 @@ _DOC_SAMPLE_SPLIT_SQL = f"""
 """
 
 
+def _doc_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mix (the 'data recipe' step): two sources — even
+    doc_ids at 60%, odd doc_ids at 25% — deterministically sampled on
+    independent fmix32 streams (seed, seed+7919) and unioned with a
+    provenance tag (operators.sampling.mix_datasets). Membership is a
+    pure key function, so the DuckDB oracle runs the identical
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from arc_spark.operators.sampling import mix_datasets
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    return mix_datasets(
+        [(even, 0.6), (odd, 0.25)], "doc_id", seed=5
+    ).select("doc_id", "source")
+
+
+_DOC_CORPUS_MIX_SQL = f"""
+    SELECT doc_id, 0 AS source FROM documents
+    WHERE doc_id % 2 = 0
+      AND {_fmix_sql('doc_id', 5)} < {int(0.6 * (2**32))}
+    UNION ALL
+    SELECT doc_id, 1 AS source FROM documents
+    WHERE doc_id % 2 = 1
+      AND {_fmix_sql('doc_id', 5 + 7919)} < {int(0.25 * (2**32))}
+"""
+
+
 def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: exact-verified minhash pairs (same
     recall-1 config as minhash_near_dup) → iterative min-label connected
@@ -1495,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_minhash": _dedup_clusters_minhash,
         "dedup_apply": _dedup_apply,
         "doc_sample_split": _doc_sample_split,
+        "doc_corpus_mix": _doc_corpus_mix,
         "ann_ivf": _ann_ivf,
         "ann_ivf_batch": _ann_ivf_batch,
     }
@@ -2025,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_minhash": _dedup_clusters_sql(0.4),
         "dedup_apply": _dedup_apply_sql(0.4),
         "doc_sample_split": _DOC_SAMPLE_SPLIT_SQL,
+        "doc_corpus_mix": _DOC_CORPUS_MIX_SQL,
         "ann_ivf": _BRUTE_TOPK_SQL,
         # nprobe = n_clusters reduces batched IVF to the brute batch oracle
         "ann_ivf_batch": _KNN_BATCH_SQL,

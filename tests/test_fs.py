@@ -641,3 +641,13 @@ def test_get_fs_s3_falls_back_without_boto3(monkeypatch):
     monkeypatch.setenv("ARC_S3_FS", "native")
     with pytest.raises(ImportError):
         afs.get_fs("s3://bucket/x")
+
+
+def test_get_fs_s3_prefers_native_when_boto3_present(monkeypatch):
+    import arc_spark.fs as afs
+
+    pytest.importorskip("boto3")
+    monkeypatch.delenv("ARC_S3_FS", raising=False)
+    fs = afs.get_fs("s3://bucket/table")
+    assert isinstance(fs, afs.S3ObjectFS)
+    assert fs.atomic_create_exclusive is True
