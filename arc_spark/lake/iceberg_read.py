@@ -1,0 +1,253 @@
+"""Read an existing Apache Iceberg v2 table WITHOUT the Iceberg runtime.
+
+The inbound half of the interop story (iceberg_export is the outbound):
+a user with Iceberg tables written by Spark/Trino/Flink/pyiceberg points
+this engine at the table directory and gets a plain DataFrame of the
+current (or any) snapshot — no iceberg-spark-runtime jar, no catalog
+service. The metadata chain is parsed per the public spec
+(https://iceberg.apache.org/spec/) with this repo's own readers: JSON for
+table metadata, the from-scratch Avro OCF codec for manifest lists and
+manifests.
+
+Scan semantics implemented:
+- snapshot selection: current-snapshot-id by default, ``snapshot_id=``
+  for time travel, ``metadata_file=`` to pin a metadata version
+  (version-hint.text resolved, highest ``v*.metadata.json`` as fallback);
+- data manifests: ADDED/EXISTING entries scanned, DELETED skipped; data
+  sequence numbers inherited from the manifest when an entry's is null
+  (v2 inheritance rule);
+- EQUALITY deletes: anti-join on the delete file's equality_ids columns,
+  applied to data files with a STRICTLY SMALLER data sequence number;
+- POSITION deletes: anti-join on (file_path, position) via Spark's
+  ``_metadata.file_path`` / ``_metadata.row_index`` columns, applied to
+  data files with a smaller-or-equal data sequence number (spec rule);
+- column resolution: ``schema.name-mapping.default`` when present (the
+  spec's mechanism for id-less files — also how renames surface), else
+  direct name match; columns cast to the Iceberg schema's types.
+
+Limitations (documented, loud): parquet data files only (the format this
+engine's whole stack speaks), no merge-on-read ``row-lineage``/v3
+features, and column resolution is by name/name-mapping — a table whose
+parquet relies purely on field-id resolution WITH divergent names needs
+the name mapping property (standard engines write matching names, and
+every rename in Iceberg metadata keeps the mapping consistent).
+
+Scale: O(#manifests + #files) driver-side metadata; the data scan is one
+``spark.read.parquet`` over exactly the snapshot's live files — pushdown,
+pruning and codegen all apply as usual. Delete application is a
+broadcast-or-shuffle anti-join sized by the delete files, not the table.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arc_spark.formats.avro import read_ocf_bytes
+from arc_spark.fs import get_fs, join as fs_join
+
+_ICE_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint", "float": "float",
+    "double": "double", "string": "string", "binary": "binary",
+    "date": "date", "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "uuid": "string",
+}
+
+
+def _spark_type(t) -> str:
+    """Iceberg JSON type -> Spark DDL type string (cast target)."""
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK:
+            return _ICE_TO_SPARK[t]
+        m = re.match(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m:
+            return f"decimal({m.group(1)},{m.group(2)})"
+        if t.startswith("fixed"):
+            return "binary"
+        raise ValueError(f"unsupported Iceberg type {t!r}")
+    kind = t.get("type")
+    if kind == "list":
+        return f"array<{_spark_type(t['element'])}>"
+    if kind == "map":
+        return f"map<{_spark_type(t['key'])},{_spark_type(t['value'])}>"
+    if kind == "struct":
+        inner = ",".join(
+            f"`{f['name']}`:{_spark_type(f['type'])}" for f in t["fields"]
+        )
+        return f"struct<{inner}>"
+    raise ValueError(f"unsupported Iceberg type {t!r}")
+
+
+def _norm_path(p: str) -> str:
+    """Normalize file URIs for join equality: file:///x, file:/x and /x
+    are the same file; object-store URIs pass through untouched."""
+    return re.sub(r"^file:/+", "/", p)
+
+
+_NORM_COL = lambda c: F.regexp_replace(c, r"^file:/+", "/")  # noqa: E731
+
+
+def resolve_metadata_file(fs, table_path: str) -> str:
+    """version-hint.text if present, else the highest v*.metadata.json."""
+    meta_dir = fs_join(table_path, "metadata")
+    hint = fs_join(meta_dir, "version-hint.text")
+    if fs.exists(hint):
+        v = fs.read_bytes(hint).decode().strip()
+        cand = fs_join(meta_dir, f"v{v}.metadata.json")
+        if fs.exists(cand):
+            return cand
+    versions = []
+    for name in fs.listdir(meta_dir):
+        m = re.match(r"v(\d+)\.metadata\.json$", name)
+        if m:
+            versions.append((int(m.group(1)), name))
+    if not versions:
+        raise FileNotFoundError(
+            f"no v*.metadata.json under {meta_dir} — not an Iceberg table "
+            "(HadoopCatalog layout expected)"
+        )
+    return fs_join(meta_dir, max(versions)[1])
+
+
+def _load_snapshot_files(fs, meta: dict, snapshot_id=None):
+    """(data_files, deletes) for the chosen snapshot.
+
+    data_files: [(path, data_seq)]; deletes: [(path, seq, content,
+    equality_ids)] with content 1=position, 2=equality."""
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", [])
+         if s["snapshot-id"] == snapshot_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} not found; available: "
+            f"{[s['snapshot-id'] for s in meta.get('snapshots', [])]}"
+        )
+    _, manifests = read_ocf_bytes(fs.read_bytes(snap["manifest-list"]))
+    data_files, deletes = [], []
+    for m in manifests:
+        m_seq = m.get("sequence_number", 0)
+        _, entries = read_ocf_bytes(fs.read_bytes(m["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry: file left the table
+                continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m_seq  # v2 inheritance from the manifest entry
+            d = e["data_file"]
+            content = d.get("content", 0)
+            if content == 0:
+                data_files.append((d["file_path"], seq))
+            elif content == 1:
+                deletes.append((d["file_path"], seq, 1, None))
+            elif content == 2:
+                deletes.append((d["file_path"], seq, 2, d.get("equality_ids")))
+    return data_files, deletes
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    snapshot_id: int | None = None,
+    metadata_file: str | None = None,
+) -> DataFrame:
+    """Current (or ``snapshot_id``) snapshot of the Iceberg table at
+    ``table_path`` as a DataFrame — module docstring for semantics."""
+    fs = get_fs(table_path, spark)
+    meta_path = metadata_file or resolve_metadata_file(fs, table_path)
+    meta = json.loads(fs.read_bytes(meta_path))
+    if int(meta.get("format-version", 1)) > 2:
+        raise ValueError(
+            f"format-version {meta['format-version']} not supported (v1/v2)"
+        )
+    schemas = meta.get("schemas") or [meta.get("schema")]
+    by_id = {s.get("schema-id", 0): s for s in schemas if s}
+    schema = by_id.get(meta.get("current-schema-id", 0)) or schemas[0]
+    fields = schema["fields"]
+    id_to_name = {f["id"]: f["name"] for f in fields}
+
+    data_files, deletes = _load_snapshot_files(fs, meta, snapshot_id)
+    if not data_files:
+        ddl = ", ".join(
+            f"`{f['name']}` {_spark_type(f['type'])}" for f in fields
+        )
+        return spark.createDataFrame([], ddl)
+
+    nm = None
+    props = meta.get("properties") or {}
+    if "schema.name-mapping.default" in props:
+        nm = {e["field-id"]: e["names"]
+              for e in json.loads(props["schema.name-mapping.default"])}
+
+    raw = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[p for p, _ in data_files])
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("_ice_file"),
+            F.col("_metadata.row_index").alias("_ice_pos"),
+        )
+    )
+    # data sequence number per file (for delete applicability), attached
+    # via a tiny broadcast lookup on the normalized path
+    seq_df = spark.createDataFrame(
+        [(_norm_path(p), int(s)) for p, s in data_files],
+        "_ice_file_n string, _ice_seq bigint",
+    )
+    raw = raw.withColumn("_ice_file_n", _NORM_COL(F.col("_ice_file"))).join(
+        F.broadcast(seq_df), "_ice_file_n"
+    )
+
+    sel = []
+    for f in fields:
+        name, target = f["name"], _spark_type(f["type"])
+        candidates = [name]
+        if nm and f["id"] in nm:
+            candidates = list(nm[f["id"]]) + [name]
+        present = [c for c in candidates if c in raw.columns]
+        if present:
+            col = F.coalesce(*[F.col(f"`{c}`") for c in present]) if len(
+                present
+            ) > 1 else F.col(f"`{present[0]}`")
+            sel.append(col.cast(target).alias(name))
+        else:
+            # column added to the schema after these files were written
+            sel.append(F.lit(None).cast(target).alias(name))
+    out = raw.select(*sel, "_ice_file_n", "_ice_seq", "_ice_pos")
+
+    for path, dseq, content, eq_ids in deletes:
+        if content == 1:  # position deletes: (file_path, pos)
+            dead = (
+                spark.read.parquet(path)
+                .select(
+                    _NORM_COL(F.col("file_path")).alias("_ice_file_n"),
+                    F.col("pos").cast("bigint").alias("_ice_pos"),
+                )
+            )
+            # applies to data files with data_seq <= delete_seq (spec);
+            # rows from newer files pass through untouched
+            older = out.filter(F.col("_ice_seq") <= dseq).join(
+                dead, ["_ice_file_n", "_ice_pos"], "left_anti"
+            )
+            newer = out.filter(F.col("_ice_seq") > dseq)
+            out = older.unionByName(newer)
+        else:  # equality deletes: schema columns named by equality_ids
+            key_cols = [id_to_name[i] for i in (eq_ids or [])]
+            if not key_cols:
+                raise ValueError(
+                    f"equality-delete file {path} carries no equality_ids"
+                )
+            dead = spark.read.parquet(path).select(*key_cols)
+            newer = out.filter(F.col("_ice_seq") >= dseq)
+            older = out.filter(F.col("_ice_seq") < dseq).join(
+                dead, key_cols, "left_anti"
+            )
+            out = older.unionByName(newer)
+    return out.drop("_ice_file_n", "_ice_seq", "_ice_pos")

@@ -2774,6 +2774,33 @@ class LakeExpireExecute(PipelineStage):
 
 
 @register_stage
+class IcebergExtract(PipelineStage):
+    """Engine-specific interop source: read an EXISTING Apache Iceberg v2
+    table (written by Spark/Trino/Flink/pyiceberg — or this engine's own
+    exporter) into a view, without the Iceberg runtime jar: the metadata
+    chain is parsed with the repo's JSON/Avro readers and position +
+    equality deletes are applied per the spec's sequence-number rules.
+    ``snapshotId`` time-travels; ``metadataFile`` pins a metadata
+    version. See arc_spark.lake.iceberg_read."""
+
+    stage_type = "IcebergExtract"
+    REQUIRED = ("inputURI", "outputView")
+    OPTIONAL = ("snapshotId", "metadataFile")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.lake.iceberg_read import read_iceberg
+
+        sid = self.params.get("snapshotId")
+        df = read_iceberg(
+            ctx.spark,
+            self.params["inputURI"],
+            snapshot_id=int(sid) if sid is not None else None,
+            metadata_file=self.params.get("metadataFile"),
+        )
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
 class IcebergExportExecute(PipelineStage):
     """Engine-specific interop stage: publish the lake table's current
     snapshot as an Apache Iceberg v2 table (metadata-only, zero data

@@ -211,3 +211,173 @@ def test_iceberg_export_stage(spark, lake):
     got = _scan_like_iceberg(spark, ev["metadata"])
     want = lake.read(spark).select(*got.columns)
     assert got.exceptAll(want).isEmpty()
+
+
+# -- the inbound half: read_iceberg (no runtime jar) ------------------------
+
+def test_read_iceberg_round_trips_export(spark, lake):
+    """export_iceberg → read_iceberg == table.read: the reader applies
+    the equality-delete file through the general sequence-number rules
+    (not the exporter's special case)."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    export_iceberg(spark, lake)
+    got = read_iceberg(spark, lake.root)
+    want = lake.read(spark).select(*got.columns)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def _hand_built_iceberg(spark, tmp_path, *, with_pos_delete=True):
+    """A tiny Iceberg v2 table built by hand (NOT via the exporter):
+    two data files at different data sequence numbers, a position-delete
+    file (kills row 1 of file A), an equality delete at seq 3 that must
+    NOT touch the seq-3 data file, and two snapshots for time travel."""
+    import json as _json
+
+    from arc_spark.formats.avro import write_ocf_bytes
+    from arc_spark.lake.iceberg_export import (
+        _build_schema, _manifest_entry_schema, _manifest_file_schema,
+    )
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "hand_ice")
+    os_mk = lambda p: __import__("os").makedirs(p, exist_ok=True)  # noqa: E731
+    os_mk(f"{root}/data")
+    os_mk(f"{root}/metadata")
+
+    # data file A (seq 1): ids 1..4 ; data file B (seq 3): ids 10..11
+    dfa = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+    ).coalesce(1)
+    dfa.write.mode("overwrite").parquet(f"{root}/data/a")
+    dfb = spark.createDataFrame([(10, "x"), (2, "B2")], "id long, v string") \
+        .coalesce(1)
+    dfb.write.mode("overwrite").parquet(f"{root}/data/b")
+    import glob
+
+    fa = glob.glob(f"{root}/data/a/*.parquet")[0]
+    fb = glob.glob(f"{root}/data/b/*.parquet")[0]
+
+    schema_json, name_mapping, ids, last_id = _build_schema(
+        T.StructType([
+            T.StructField("id", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]), {}
+    )
+
+    def dentry(path, seq, nrec, content=0, eq=None):
+        return {"status": 1, "snapshot_id": 99, "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {"content": content, "file_path": path,
+                              "file_format": "PARQUET", "partition": {},
+                              "record_count": nrec,
+                              "file_size_in_bytes": 1,
+                              "equality_ids": eq}}
+
+    # position delete (seq 2): kills (fa, pos 1) -> id 2 of file A
+    pd = spark.createDataFrame([(fa, 1)], "file_path string, pos long") \
+        .coalesce(1)
+    pd.write.mode("overwrite").parquet(f"{root}/data/pd")
+    fpd = glob.glob(f"{root}/data/pd/*.parquet")[0]
+    # equality delete (seq 3): id=10 — applies ONLY to files with seq<3,
+    # so file B's (10, 'x') at seq 3 SURVIVES; id 4 dies from file A
+    ed = spark.createDataFrame([(4,), (10,)], "id long").coalesce(1)
+    ed.write.mode("overwrite").parquet(f"{root}/data/ed")
+    fed = glob.glob(f"{root}/data/ed/*.parquet")[0]
+
+    def manifest(path, entries):
+        with open(path, "wb") as f:
+            f.write(write_ocf_bytes(_manifest_entry_schema(), entries,
+                                    codec="deflate"))
+
+    manifest(f"{root}/metadata/m-data1.avro", [dentry(fa, 1, 4)])
+    manifest(f"{root}/metadata/m-data2.avro", [dentry(fb, 3, 2)])
+    entries = [dentry(fed, 3, 2, content=2, eq=[ids["id"]])]
+    if with_pos_delete:
+        entries.insert(0, dentry(fpd, 2, 1, content=1))
+    manifest(f"{root}/metadata/m-del.avro", entries)
+
+    def mlist(path, manifests):
+        rows = [{"manifest_path": p, "manifest_length": 1,
+                 "partition_spec_id": 0, "content": c,
+                 "sequence_number": s, "min_sequence_number": s,
+                 "added_snapshot_id": 99, "added_files_count": 1,
+                 "existing_files_count": 0, "deleted_files_count": 0,
+                 "added_rows_count": 1, "existing_rows_count": 0,
+                 "deleted_rows_count": 0} for p, c, s in manifests]
+        with open(path, "wb") as f:
+            f.write(write_ocf_bytes(_manifest_file_schema(), rows,
+                                    codec="deflate"))
+
+    mlist(f"{root}/metadata/snap-1.avro",
+          [(f"{root}/metadata/m-data1.avro", 0, 1)])
+    mlist(f"{root}/metadata/snap-2.avro",
+          [(f"{root}/metadata/m-data1.avro", 0, 1),
+           (f"{root}/metadata/m-data2.avro", 0, 3),
+           (f"{root}/metadata/m-del.avro", 1, 3)])
+    meta = {
+        "format-version": 2, "table-uuid": "t", "location": root,
+        "last-sequence-number": 3, "last-updated-ms": 0,
+        "last-column-id": last_id, "current-schema-id": 0,
+        "schemas": [schema_json], "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "schema.name-mapping.default": _json.dumps(name_mapping)},
+        "current-snapshot-id": 99,
+        "snapshots": [
+            {"snapshot-id": 98, "timestamp-ms": 0, "sequence-number": 1,
+             "summary": {"operation": "append"},
+             "manifest-list": f"{root}/metadata/snap-1.avro", "schema-id": 0},
+            {"snapshot-id": 99, "timestamp-ms": 1, "sequence-number": 3,
+             "summary": {"operation": "append"},
+             "manifest-list": f"{root}/metadata/snap-2.avro", "schema-id": 0},
+        ],
+    }
+    with open(f"{root}/metadata/v1.metadata.json", "w") as f:
+        _json.dump(meta, f)
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write("1")
+    return root
+
+
+def test_read_iceberg_position_and_equality_deletes(spark, tmp_path):
+    """Spec rules on a hand-built table: position delete (seq 2) kills
+    row 1 of the seq-1 file; equality delete on id at seq 3 kills seq-1
+    rows only (STRICTLY smaller) — the seq-3 file's id=10 row and the
+    re-inserted id=2 both survive."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    root = _hand_built_iceberg(spark, tmp_path)
+    got = {(r["id"], r["v"]) for r in read_iceberg(spark, root).collect()}
+    # file A (seq 1): 1,2,3,4 -> pos-delete removes 2; eq-delete removes 4
+    # (id 10 not present in seq-1 files); file B (seq 3): 10 and 2 survive
+    assert got == {(1, "a"), (3, "c"), (10, "x"), (2, "B2")}
+
+
+def test_read_iceberg_time_travel_and_errors(spark, tmp_path):
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    root = _hand_built_iceberg(spark, tmp_path)
+    old = {(r["id"], r["v"])
+           for r in read_iceberg(spark, root, snapshot_id=98).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    with pytest.raises(ValueError, match="snapshot 7 not found"):
+        read_iceberg(spark, root, snapshot_id=7)
+    with pytest.raises(FileNotFoundError, match="metadata"):
+        read_iceberg(spark, str(tmp_path / "not_a_table"))
+
+
+def test_iceberg_extract_stage_round_trip(spark, lake):
+    from arc_spark.pipeline import run_config
+
+    export_iceberg(spark, lake)
+    cfg = {"stages": [{
+        "type": "IcebergExtract", "name": "rd", "inputURI": lake.root,
+        "outputView": "ice_rt",
+    }]}
+    df, _ = run_config(spark, cfg)
+    want = lake.read(spark).select(*df.columns)
+    assert df.exceptAll(want).isEmpty() and want.exceptAll(df).isEmpty()
