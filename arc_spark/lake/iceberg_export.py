@@ -7,8 +7,14 @@ table's live rows — without copying a single data byte. The export writes
 only metadata, per the public Iceberg table spec
 (https://iceberg.apache.org/spec/):
 
-- ``metadata/v1.metadata.json`` + ``version-hint.text`` (HadoopCatalog
-  layout: no catalog service needed, the directory IS the table),
+- ``metadata/v{N}.metadata.json`` + ``version-hint.text`` (HadoopCatalog
+  layout: no catalog service needed, the directory IS the table).
+  Repeated exports APPEND: each call writes the next metadata version
+  with the new snapshot added to the history (stable table-uuid,
+  monotonically increasing sequence numbers, schema-id reuse when the
+  schema is unchanged), so Iceberg readers get real snapshot history and
+  time travel across exports — older snapshots stay readable until the
+  lake's own expire_snapshots removes their data files,
 - a manifest-list Avro file and one data-manifest Avro file listing the
   snapshot's base parquet files in place (paths, footer row counts, byte
   sizes),
@@ -48,6 +54,7 @@ and the ecosystem standard the north rule names.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -248,11 +255,37 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
     meta_dir = fs_join(root, "metadata")
     fs.mkdirs(meta_dir)
 
+    # Repeated exports APPEND a snapshot to the existing metadata chain
+    # (v2, v3, ... metadata files) so Iceberg readers get real history /
+    # time travel — each export's manifests enumerate the FULL current
+    # file set (an "overwrite"-shaped snapshot), and older snapshots stay
+    # readable until the lake's own expire_snapshots removes their files.
+    prev, prev_path = None, None
+    try:
+        from arc_spark.lake.iceberg_read import resolve_metadata_file
+
+        prev_path = resolve_metadata_file(fs, root)
+        prev = json.loads(fs.read_bytes(prev_path))
+    except (FileNotFoundError, ValueError):
+        pass
+
     schema_json, name_mapping, ids, last_col_id = _build_schema(
         snap.schema, snap.column_renames
     )
-    snapshot_id = snap.version + 1  # any positive id; 1:1 with lake version
     now_ms = int(time.time() * 1000)
+    if prev:
+        out_version = int(
+            re.match(r".*v(\d+)\.metadata\.json$", prev_path).group(1)
+        ) + 1
+        base_seq = int(prev.get("last-sequence-number", 0))
+        snapshot_id = max(
+            (s["snapshot-id"] for s in prev.get("snapshots", [])), default=0
+        ) + 1
+        now_ms = max(now_ms, int(prev.get("last-updated-ms", 0)) + 1)
+    else:
+        out_version, base_seq = 1, 0
+        snapshot_id = snap.version + 1
+    seq_data, seq_del = base_seq + 1, base_seq + 2
 
     # -- data manifest: every base file, footer-counted, in place --------
     entries, total_rows = [], 0
@@ -265,8 +298,8 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
             entries.append({
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
-                "sequence_number": 1,
-                "file_sequence_number": 1,
+                "sequence_number": seq_data,
+                "file_sequence_number": seq_data,
                 "data_file": {
                     "content": 0,  # DATA
                     "file_path": path,
@@ -285,7 +318,7 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         "partition-spec-id": "0",
         "format-version": "2",
     }
-    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#v{snap.version}")
+    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#v{snap.version}#m{out_version}")
     data_manifest = fs_join(meta_dir, f"manifest-data-{uid}.avro")
     fs.write_bytes(
         data_manifest,
@@ -299,8 +332,8 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         "manifest_length": fs.size(data_manifest),
         "partition_spec_id": 0,
         "content": 0,
-        "sequence_number": 1,
-        "min_sequence_number": 1,
+        "sequence_number": seq_data,
+        "min_sequence_number": seq_data,
         "added_snapshot_id": snapshot_id,
         "added_files_count": len(entries),
         "existing_files_count": 0,
@@ -337,8 +370,8 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         del_entry = {
             "status": 1,
             "snapshot_id": snapshot_id,
-            "sequence_number": 2,
-            "file_sequence_number": 2,
+            "sequence_number": seq_del,
+            "file_sequence_number": seq_del,
             "data_file": {
                 "content": 2,  # EQUALITY_DELETES
                 "file_path": del_path,
@@ -362,8 +395,8 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
             "manifest_length": fs.size(del_manifest),
             "partition_spec_id": 0,
             "content": 1,  # DELETES
-            "sequence_number": 2,
-            "min_sequence_number": 2,
+            "sequence_number": seq_del,
+            "min_sequence_number": seq_del,
             "added_snapshot_id": snapshot_id,
             "added_files_count": 1,
             "existing_files_count": 0,
@@ -380,21 +413,61 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
             _manifest_file_schema(), manifests, codec="null",
             extra_meta={
                 "snapshot-id": str(snapshot_id),
-                "sequence-number": "2",
+                "sequence-number": str(seq_del),
                 "format-version": "2",
             },
         ),
     )
 
+    # schema history: reuse the prior schema-id when unchanged, else
+    # append with the next id (positional field ids are stable for the
+    # lake's additive evolution; see module docstring)
+    schemas, schema_id = [schema_json], 0
+    if prev:
+        schemas = list(prev.get("schemas") or [])
+
+        def _body(s):
+            return json.dumps({k: v for k, v in s.items() if k != "schema-id"},
+                              sort_keys=True)
+
+        match = next(
+            (s["schema-id"] for s in schemas if _body(s) == _body(schema_json)),
+            None,
+        )
+        if match is None:
+            schema_id = max(s["schema-id"] for s in schemas) + 1
+            schemas.append({**schema_json, "schema-id": schema_id})
+        else:
+            schema_id = match
+
+    new_snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "sequence-number": seq_del,
+        "summary": {
+            # each export enumerates the FULL current file set
+            "operation": "overwrite" if prev else "append",
+            "added-data-files": str(len(entries)),
+            "added-records": str(total_rows),
+        },
+        "manifest-list": manifest_list,
+        "schema-id": schema_id,
+    }
     metadata = {
         "format-version": 2,
-        "table-uuid": str(uid),
+        # the table identity must be STABLE across exports
+        "table-uuid": prev["table-uuid"] if prev else str(
+            uuid.uuid5(uuid.NAMESPACE_URL, root)
+        ),
         "location": root,
-        "last-sequence-number": 2,
+        "last-sequence-number": seq_del,
         "last-updated-ms": now_ms,
-        "last-column-id": last_col_id,
-        "current-schema-id": 0,
-        "schemas": [schema_json],
+        "last-column-id": max(
+            last_col_id,
+            int(prev.get("last-column-id", 0)) if prev else 0,
+        ),
+        "current-schema-id": schema_id,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,
@@ -409,26 +482,24 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         },
         "current-snapshot-id": snapshot_id,
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
-        "snapshots": [{
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": now_ms,
-            "sequence-number": 2,
-            "summary": {
-                "operation": "append",
-                "added-data-files": str(len(entries)),
-                "added-records": str(total_rows),
-            },
-            "manifest-list": manifest_list,
-            "schema-id": 0,
-        }],
+        "snapshots": [*(prev.get("snapshots", []) if prev else []),
+                      new_snapshot],
         "snapshot-log": [
-            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            *(prev.get("snapshot-log", []) if prev else []),
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms},
         ],
-        "metadata-log": [],
+        "metadata-log": [
+            *(prev.get("metadata-log", []) if prev else []),
+            *([{"metadata-file": prev_path,
+                "timestamp-ms": int(prev.get("last-updated-ms", 0))}]
+              if prev else []),
+        ],
     }
-    meta_path = fs_join(meta_dir, "v1.metadata.json")
+    meta_path = fs_join(meta_dir, f"v{out_version}.metadata.json")
     fs.write_bytes(meta_path, json.dumps(metadata, indent=2).encode())
-    fs.write_bytes(fs_join(meta_dir, "version-hint.text"), b"1")
+    fs.write_bytes(
+        fs_join(meta_dir, "version-hint.text"), str(out_version).encode()
+    )
     return {
         "metadata": meta_path,
         "manifest_list": manifest_list,

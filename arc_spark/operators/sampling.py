@@ -86,9 +86,34 @@ def _fmix32_col(h: Column) -> Column:
 def fmix_hash(key: Column, seed: int = 0) -> Column:
     """fmix32((key mod 2^32) XOR fmix32(seed)) — uniform on
     [0, HASH_RANGE), avalanche-complete, with decorrelated streams
-    across seeds including ADJACENT seed pairs (module docstring)."""
+    across seeds including ADJACENT seed pairs (module docstring).
+
+    The key must be integral. A string key would cast to NULL and
+    silently drop every row, so callers go through ``key_to_long``
+    (sampling operators do this automatically): integral columns pass
+    through exactly (oracle-replicable); strings/binary hash via
+    xxhash64 first — still deterministic and partition-invariant, but an
+    engine-specific function, so string-keyed samples get rows-only
+    oracle checks, not hash-exact SQL twins."""
     k = F.pmod(key.cast("long"), F.lit(HASH_RANGE))
     return _fmix32_col(k.bitwiseXOR(F.lit(seed_constant(seed))))
+
+
+def key_to_long(df: DataFrame, key_col: str) -> Column:
+    """An integral Column for ``key_col``: numeric/boolean/date/timestamp
+    columns cast exactly; string/binary keys (e.g. (repo, path) document
+    ids) go through xxhash64 — never a silent NULL cast."""
+    dt = df.schema[key_col].dataType.simpleString()
+    if dt in ("tinyint", "smallint", "int", "bigint", "boolean", "date"):
+        return F.col(key_col).cast("long")
+    if dt.startswith("decimal") or dt.startswith("timestamp"):
+        return F.col(key_col).cast("long")
+    if dt in ("string", "binary"):
+        return F.xxhash64(F.col(key_col))
+    raise ValueError(
+        f"cannot derive a sampling key from column {key_col!r} of type "
+        f"{dt} — cast it or supply a numeric/string key"
+    )
 
 
 def deterministic_sample(
@@ -104,7 +129,7 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = int(fraction * HASH_RANGE)
-    return df.filter(fmix_hash(F.col(key_col), seed) < F.lit(threshold))
+    return df.filter(fmix_hash(key_to_long(df, key_col), seed) < F.lit(threshold))
 
 
 def split_train_test(
@@ -121,7 +146,8 @@ def split_train_test(
     return df.withColumn(
         split_col,
         F.when(
-            fmix_hash(F.col(key_col), seed) < F.lit(threshold), F.lit("test")
+            fmix_hash(key_to_long(df, key_col), seed) < F.lit(threshold),
+            F.lit("test"),
         ).otherwise(F.lit("train")),
     )
 

@@ -1802,7 +1802,8 @@ class CDCReplayExecute(PipelineStage):
                 "commitLockLeaseSeconds", "lineage", "onBad",
                 "quarantineURI", "metricsURI", "eventsFormat",
                 "payloadSchema", "stageURI", "redeliveryDedup",
-                "txMetadataURI", "snapshotURI", "snapshotSeq")
+                "txMetadataURI", "snapshotURI", "snapshotSeq",
+                "icebergMirror")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1904,6 +1905,29 @@ class CDCReplayExecute(PipelineStage):
         metrics = runner.run(max_epochs=int(max_epochs) if max_epochs else None)
         for m in metrics:
             ctx.events.append({"stage": self.name, **m})
+        if self.params.get("icebergMirror"):
+            # continuous Iceberg publication: append a new Iceberg
+            # snapshot after the replay so downstream Iceberg readers
+            # track the lake. Requires a compacted state — with MOR debt
+            # the mirror is SKIPPED loudly (use mergeMode=cow, or run
+            # compaction before mirroring)
+            from arc_spark.lake.iceberg_export import export_iceberg
+
+            try:
+                res = export_iceberg(ctx.spark, table)
+                ctx.events.append(
+                    {"stage": self.name, "event": "iceberg.mirror", **res}
+                )
+            except ValueError as e:
+                if "compacted snapshot" not in str(e):
+                    raise
+                logger.warning(
+                    "%s: icebergMirror skipped — %s", self.name, e
+                )
+                ctx.events.append(
+                    {"stage": self.name, "event": "iceberg.mirror",
+                     "status": "skipped_mor_debt"}
+                )
         out = self.params.get("outputView")
         if out:
             return self.register_output(ctx, table.read(ctx.spark), out)

@@ -115,9 +115,13 @@ def test_metadata_json_spec_shape(spark, lake):
     # name mapping covers every top-level field
     nm = json.loads(meta["properties"]["schema.name-mapping.default"])
     assert {e["field-id"] for e in nm} == {f["id"] for f in schema["fields"]}
-    # version hint (HadoopCatalog layout)
+    # version hint (HadoopCatalog layout) points at THIS export's
+    # metadata version (exports append history, so it increments)
+    import re
+
     hint = fs.read_bytes(res["metadata"].rsplit("/", 1)[0] + "/version-hint.text")
-    assert hint == b"1"
+    assert hint.decode() == re.search(r"v(\d+)\.metadata\.json",
+                                      res["metadata"]).group(1)
 
 
 def test_manifest_avro_field_ids_and_counts(spark, lake):
@@ -381,3 +385,75 @@ def test_iceberg_extract_stage_round_trip(spark, lake):
     df, _ = run_config(spark, cfg)
     want = lake.read(spark).select(*df.columns)
     assert df.exceptAll(want).isEmpty() and want.exceptAll(df).isEmpty()
+
+
+def test_repeated_exports_append_snapshot_history(spark, tmp_path):
+    """Two exports around extra replay epochs produce v1+v2 metadata with
+    BOTH snapshots: the current read tracks the latest lake state and
+    time travel to the first snapshot-id reproduces the state at the
+    first export — real Iceberg history, stable table-uuid."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "hist")
+    stream = write_change_stream(spark, f"{d}/ev", 1000, seed=8,
+                                 num_partitions=4)
+    table, _ = create_table_for_stream(spark, stream, f"{d}/lake",
+                                       num_buckets=4)
+    ReplayRunner(spark, stream, table, batch_size=500).run(max_epochs=1)
+    r1 = export_iceberg(spark, table)
+    state1 = {tuple(r) for r in read_iceberg(spark, table.root)
+              .select("repo", "path", "seq").collect()}
+
+    ReplayRunner(spark, stream, table, batch_size=500).run()  # rest
+    r2 = export_iceberg(spark, table)
+    assert r2["metadata"].endswith("v2.metadata.json")
+
+    fs = LocalFS()
+    meta = json.loads(fs.read_bytes(r2["metadata"]))
+    assert len(meta["snapshots"]) == 2
+    m1 = json.loads(fs.read_bytes(r1["metadata"]))
+    assert meta["table-uuid"] == m1["table-uuid"]
+    sid1, sid2 = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert sid2 > sid1
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs[1] > seqs[0]  # monotone sequence numbers across exports
+    assert meta["metadata-log"][0]["metadata-file"] == r1["metadata"]
+    assert meta["snapshots"][1]["summary"]["operation"] == "overwrite"
+    # schema unchanged -> schema-id reused, one schema in the list
+    assert len(meta["schemas"]) == 1
+
+    # current read = latest lake state
+    cur = {tuple(r) for r in read_iceberg(spark, table.root)
+           .select("repo", "path", "seq").collect()}
+    want = {tuple(r) for r in table.read(spark)
+            .select("repo", "path", "seq").collect()}
+    assert cur == want and cur != state1
+    # time travel to the first export
+    old = {tuple(r) for r in
+           read_iceberg(spark, table.root, snapshot_id=sid1)
+           .select("repo", "path", "seq").collect()}
+    assert old == state1
+
+
+def test_cdc_replay_stage_iceberg_mirror(spark, tmp_path):
+    """icebergMirror: true on CDCReplayExecute appends an Iceberg
+    snapshot after the replay (cow mode) and the mirrored read equals
+    the lake read; with MOR debt it skips loudly instead of lying."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+    from arc_spark.pipeline import run_config
+
+    d = str(tmp_path / "mir")
+    write_change_stream(spark, f"{d}/ev", 800, seed=4, num_partitions=4)
+    cfg = {"stages": [{
+        "type": "CDCReplayExecute", "name": "rep",
+        "eventsURI": f"{d}/ev", "tableURI": f"{d}/lake",
+        "batchSize": 500, "numBuckets": 4, "mergeMode": "cow",
+        "icebergMirror": True,
+    }]}
+    _, ctx = run_config(spark, cfg)
+    mirror = [e for e in ctx.events
+              if e.get("event") == "iceberg.mirror"]
+    assert len(mirror) == 1 and mirror[0]["data_files"] > 0
+    got = read_iceberg(spark, f"{d}/lake")
+    want = LakeTable(f"{d}/lake").read(spark).select(*got.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

@@ -271,3 +271,32 @@ try:
         assert abs(cond - 0.1) < 0.02, (s1, delta, cond)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_sampling_string_keys_hash_instead_of_null_cast(spark):
+    """A string key must NOT silently cast to NULL (which would drop
+    every row): it routes through xxhash64 — deterministic, leakage-free
+    (all rows of a key land on one side), partition-invariant."""
+    from arc_spark.operators.sampling import (
+        deterministic_sample, key_to_long, split_train_test,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"repo{i % 40}/path{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_key string")
+    s = deterministic_sample(df, 0.5, "doc_key", seed=3)
+    n = s.count()
+    assert 120 < n < 280, n  # ~50%, NOT 0 (the null-cast failure mode)
+    # stable under repartitioning
+    n2 = deterministic_sample(df.repartition(13), 0.5, "doc_key", seed=3).count()
+    assert n == n2
+    # split covers every row exactly once and is key-consistent
+    sp = split_train_test(df, "doc_key", test_fraction=0.25, seed=7)
+    agg = sp.groupBy("doc_key").agg(F.countDistinct("split").alias("k"))
+    assert agg.filter(F.col("k") != 1).count() == 0
+    assert sp.count() == 400
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sampling key"):
+        key_to_long(df.select(F.array(F.lit(1)).alias("a")), "a")
