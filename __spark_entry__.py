@@ -777,6 +777,42 @@ def _cdc_replay_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iceberg_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg interop certified end-to-end: the same binlog derivation as
+    cdc_replay_mini is replayed (COW) into a lake table, exported as
+    spec-compliant Iceberg v2 metadata (arc_spark/lake/iceberg_export.py)
+    and read BACK through the independent Iceberg spec reader
+    (arc_spark/lake/iceberg_read.py: metadata chain -> manifest-list ->
+    manifests -> live-file scan, equality deletes by sequence number) —
+    NOT through the lake's own read path. The result must hash-match the
+    plain LWW oracle, so any spec drift in either the writer or the
+    reader (sequence numbers, delete scope, name mapping, schema types)
+    diverges."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+    from arc_spark.lake.iceberg_export import export_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = _events_as_changes(spark, sf_dir, with_commit=True)
+    d = tempfile.mkdtemp(prefix="icebergrt_")
+    changes.repartitionByRange(8, "seq").write.mode("overwrite").parquet(f"{d}/ev")
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake", num_buckets=16)
+    max_seq = ev.agg(F.max("event_id")).first()[0]
+    ReplayRunner(
+        spark, f"{d}/ev", table,
+        batch_size=max(1, int(max_seq) // 4 + 1), merge_mode="cow",
+    ).run()
+    export_iceberg(spark, table)
+    return read_iceberg(spark, f"{d}/lake").select(
+        "repo", "path", "seq", "commit", "value", "content_sha256"
+    )
+
+
 def _cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Initial-snapshot + tail handoff (Debezium snapshot.mode=initial):
     the source table at position ``cutoff`` (LWW winners at seq <= cutoff,
@@ -1506,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "statistics_lineitem": _statistics_lineitem,
         "cdc_replay_mini": _cdc_replay_mini,
+        "iceberg_round_trip": _iceberg_round_trip,
         "cdc_bootstrap": _cdc_bootstrap,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
@@ -1753,7 +1790,7 @@ def _doc_quality_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
@@ -2264,6 +2301,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
     }
+    # the Iceberg export->spec-read loop must reproduce the lake state
+    # byte-for-byte, so its oracle IS cdc_replay_mini's plain LWW — any
+    # divergence is spec drift in the writer or the reader
+    oracles["iceberg_round_trip"] = oracles["cdc_replay_mini"]
+    return oracles
 
 
 if __name__ == "__main__":

@@ -26,25 +26,40 @@ only metadata, per the public Iceberg table spec
   unmapped parquet columns),
 - deleted keys: lake base files retain tombstone rows (they fence late
   arrivals), which a plain file scan would resurrect. The export writes
-  ONE Iceberg v2 EQUALITY-DELETE file carrying the key columns of every
-  tombstoned row (equality_ids = the key fields) at sequence number 2,
-  with all data files at sequence number 1 — spec rule "equality deletes
-  apply to data files with a strictly smaller data sequence number"
-  removes exactly the tombstoned keys, INCLUDING the tombstone rows
-  themselves. The delete file is the only thing written under ``data/``
-  and is O(deleted keys), not a data copy.
+  an Iceberg v2 EQUALITY-DELETE file carrying the key columns of every
+  RESOLVED-tombstoned key (equality_ids = the key fields) at the top
+  sequence number — spec rule "equality deletes apply to data files with
+  a strictly smaller data sequence number" removes exactly the
+  tombstoned keys, INCLUDING the tombstone rows themselves. Delete files
+  are the only thing written under ``data/`` and are O(deleted keys),
+  not a data copy,
+- outstanding MOR delta files export ZERO-COPY too: the lake's
+  shadow-by-max-seq semantics map exactly onto Iceberg's sequence-number
+  rules. Delta chains are chronological per bucket (appended per merge
+  epoch) and keys never cross buckets, so position-in-chain composes
+  into global LEVELS: level j's files become Iceberg data files at data
+  sequence ``base + 1 + j``, paired with an equality-delete file of ALL
+  keys present in level j at the SAME sequence number — which kills
+  every older version (base and levels < j) while the level's own rows
+  survive (strictly-smaller rule). Tombstone rows inside delta files are
+  data rows whose key either reappears later (killed by that level's
+  delete) or is the key's final version (killed by the top-sequence
+  resolved-tombstone delete above). A reader therefore sees exactly
+  LWW-resolved state with no compaction required — ``icebergMirror`` can
+  publish after every MOR epoch. Read cost grows with chain length
+  (one anti-join per delete file), the same debt the lake's own MOR read
+  pays; normal compaction cadence bounds both.
 
-Refused (honestly) when the snapshot has outstanding MOR delta files —
-their shadowing-by-seq semantics have no zero-copy Iceberg encoding;
-``table.compact(spark)`` first. The Avro manifests are produced by the
-repo's own from-scratch OCF codec (arc_spark/formats/avro.py) with the
-spec's field-id annotations.
+The Avro manifests are produced by the repo's own from-scratch OCF codec
+(arc_spark/formats/avro.py) with the spec's field-id annotations.
 
 Scale: the export is O(#files) driver-side metadata + one Spark job over
-the tombstoned keys only. Verification story in tests/test_iceberg_export
-(no Iceberg runtime ships in this sandbox — the round-trip is proved by
-re-reading the metadata chain with our own Avro/JSON readers and
-replaying the spec's scan semantics against ``table.read``).
+the resolved tombstoned keys and one tiny job per outstanding delta
+level (key columns of small delta files only). Verification story in
+tests/test_iceberg_export (no Iceberg runtime ships in this sandbox —
+the round-trip is proved by re-reading the metadata chain with our own
+Avro/JSON readers and replaying the spec's scan semantics against
+``table.read``, plus the hash-exact ``iceberg_round_trip`` oracle query).
 
 Reference note: the reference engine (tripl-ai/arc) has no table format
 of its own — this closes the gap between the engine-specific manifest log
@@ -244,12 +259,6 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
     import pyarrow.parquet as pq
 
     snap = table.snapshot(version)
-    if any(v for v in snap.delta_files.values()):
-        raise ValueError(
-            "export_iceberg requires a compacted snapshot: outstanding "
-            "merge-on-read delta files have no zero-copy Iceberg "
-            "encoding — run table.compact(spark) first"
-        )
     fs = table.fs
     root = table.root
     meta_dir = fs_join(root, "metadata")
@@ -285,31 +294,50 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
     else:
         out_version, base_seq = 1, 0
         snapshot_id = snap.version + 1
-    seq_data, seq_del = base_seq + 1, base_seq + 2
 
-    # -- data manifest: every base file, footer-counted, in place --------
+    # MOR delta chains -> sequence-number levels (module docstring):
+    # level j = the j-th delta file in its bucket's chronological chain
+    # (keys never cross buckets, so per-bucket positions compose into
+    # global levels without any epoch bookkeeping)
+    delta_levels: dict[int, list[str]] = {}
+    for bucket in sorted(snap.delta_files, key=int):
+        for j, rel in enumerate(snap.delta_files[bucket], start=1):
+            delta_levels.setdefault(j, []).append(fs_join(root, rel))
+    n_levels = max(delta_levels, default=0)
+
+    seq_data = base_seq + 1  # base files; delta level j at seq_data + j
+    seq_del = seq_data + n_levels + 1  # top: resolved-tombstone delete
+
+    # -- data manifest: every base + delta file, footer-counted, in place
     entries, total_rows = [], 0
+
+    def _data_entry(path: str, seq: int) -> None:
+        nonlocal total_rows
+        with fs.seekable_input(path) as f:
+            n = pq.ParquetFile(f).metadata.num_rows
+        total_rows += n
+        entries.append({
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,  # DATA
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": fs.size(path),
+                "equality_ids": None,
+            },
+        })
+
     for bucket in sorted(snap.files, key=int):
         for rel in snap.files[bucket]:
-            path = fs_join(root, rel)
-            with fs.seekable_input(path) as f:
-                n = pq.ParquetFile(f).metadata.num_rows
-            total_rows += n
-            entries.append({
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq_data,
-                "file_sequence_number": seq_data,
-                "data_file": {
-                    "content": 0,  # DATA
-                    "file_path": path,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n,
-                    "file_size_in_bytes": fs.size(path),
-                    "equality_ids": None,
-                },
-            })
+            _data_entry(fs_join(root, rel), seq_data)
+    for j in sorted(delta_levels):
+        for path in delta_levels[j]:
+            _data_entry(path, seq_data + j)
 
     manifest_meta = {
         "schema": json.dumps(schema_json),
@@ -332,7 +360,7 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         "manifest_length": fs.size(data_manifest),
         "partition_spec_id": 0,
         "content": 0,
-        "sequence_number": seq_data,
+        "sequence_number": seq_data + n_levels,
         "min_sequence_number": seq_data,
         "added_snapshot_id": snapshot_id,
         "added_files_count": len(entries),
@@ -343,50 +371,73 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         "deleted_rows_count": 0,
     }]
 
-    # -- equality deletes for tombstoned keys ----------------------------
-    deleted_keys = 0
-    if entries:
-        base = spark.read.option("mergeSchema", "true").parquet(
-            *[e["data_file"]["file_path"] for e in entries]
-        )
+    # -- equality deletes: per-level key kills + resolved tombstones -----
+    def _key_exprs(df):
         # metadata-only renames: parquet still carries historical names —
         # resolve each key column through its name history (the same
         # coalescing LakeTable.read does), emitting the CURRENT name so
-        # the delete file's columns match the exported schema
-        key_exprs = []
+        # delete-file columns match the exported schema
+        exprs = []
         for k in snap.key_cols:
             present = [n for n in [k, *snap.column_renames.get(k, [])]
-                       if n in base.columns]
-            key_exprs.append(F.coalesce(*[F.col(n) for n in present]).alias(k))
-        dead = base.filter(F.col("_tombstone")).select(*key_exprs)
-        deleted_keys = dead.count()
-    if deleted_keys:
-        del_dir = fs_join(root, "data", f"iceberg-deletes-{uid}")
-        dead.coalesce(1).write.mode("overwrite").parquet(del_dir)
+                       if n in df.columns]
+            exprs.append(F.coalesce(*[F.col(n) for n in present]).alias(k))
+        return exprs
+
+    del_specs = []  # (key DataFrame, data sequence number, label)
+    for j in sorted(delta_levels):
+        lvl = spark.read.option("mergeSchema", "true").parquet(*delta_levels[j])
+        # ALL keys present in level j — kills every older version of
+        # those keys (base + levels < j); the level's own rows survive
+        # the strictly-smaller rule at the same sequence number
+        del_specs.append(
+            (lvl.select(*_key_exprs(lvl)), seq_data + j, f"level{j}")
+        )
+    resolved = None
+    if entries:
+        # keys whose RESOLVED (max-seq) row is a tombstone: the only
+        # tombstone rows the per-level key deletes leave standing
+        from arc_spark.lake.table import TOMBSTONE_COL
+
+        resolved = table._resolve(spark, snap)
+        dead = resolved.filter(F.col(TOMBSTONE_COL)).select(*snap.key_cols)
+        del_specs.append((dead, seq_del, "tombstones"))
+
+    del_entries, del_counts = [], {}
+    for key_df, seq, label in del_specs:
+        del_dir = fs_join(root, "data", f"iceberg-deletes-{uid}-{label}")
+        key_df.coalesce(1).write.mode("overwrite").parquet(del_dir)
         del_path = next(
             fs_join(del_dir, name) for name in fs.listdir(del_dir)
             if name.endswith(".parquet")
         )
-        del_entry = {
+        with fs.seekable_input(del_path) as f:
+            n = pq.ParquetFile(f).metadata.num_rows
+        if not n:  # nothing to kill at this level — drop the empty file
+            fs.rmtree(del_dir)
+            continue
+        del_counts[label] = n
+        del_entries.append({
             "status": 1,
             "snapshot_id": snapshot_id,
-            "sequence_number": seq_del,
-            "file_sequence_number": seq_del,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
             "data_file": {
                 "content": 2,  # EQUALITY_DELETES
                 "file_path": del_path,
                 "file_format": "PARQUET",
                 "partition": {},
-                "record_count": deleted_keys,
+                "record_count": n,
                 "file_size_in_bytes": fs.size(del_path),
                 "equality_ids": [ids[k] for k in snap.key_cols],
             },
-        }
+        })
+    if del_entries:
         del_manifest = fs_join(meta_dir, f"manifest-deletes-{uid}.avro")
         fs.write_bytes(
             del_manifest,
             write_ocf_bytes(
-                _manifest_entry_schema(), [del_entry], codec="null",
+                _manifest_entry_schema(), del_entries, codec="null",
                 extra_meta={**manifest_meta, "content": "deletes"},
             ),
         )
@@ -396,12 +447,14 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
             "partition_spec_id": 0,
             "content": 1,  # DELETES
             "sequence_number": seq_del,
-            "min_sequence_number": seq_del,
+            "min_sequence_number": min(
+                e["sequence_number"] for e in del_entries
+            ),
             "added_snapshot_id": snapshot_id,
-            "added_files_count": 1,
+            "added_files_count": len(del_entries),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": deleted_keys,
+            "added_rows_count": sum(del_counts.values()),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         })
@@ -500,14 +553,25 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
     fs.write_bytes(
         fs_join(meta_dir, "version-hint.text"), str(out_version).encode()
     )
+    tomb_n = del_counts.get("tombstones", 0)
+    if n_levels and resolved is not None:
+        # with MOR levels the per-level key deletes also kill shadowed
+        # versions, so total_rows - delete_rows over-subtracts (a fresh
+        # delta insert's key-delete kills nothing); count the resolved
+        # frame once instead (MOR exports only — compacted stays free)
+        live_rows = resolved.count() - tomb_n
+    else:
+        # LWW keeps ONE row per key, so each deleted key's only physical
+        # row is its tombstone — the equality delete removes exactly it
+        live_rows = total_rows - tomb_n
     return {
         "metadata": meta_path,
         "manifest_list": manifest_list,
         "data_files": len(entries),
-        "delete_files": 1 if deleted_keys else 0,
+        "delete_files": len(del_entries),
+        "delta_levels": n_levels,
         "physical_rows": total_rows,
-        "deleted_keys": deleted_keys,
-        # LWW keeps ONE row per key, so each deleted key's only physical
-        # row is its tombstone — the equality delete removes exactly it
-        "live_rows": total_rows - deleted_keys,
+        "deleted_keys": tomb_n,
+        "delete_rows": sum(del_counts.values()),
+        "live_rows": live_rows,
     }

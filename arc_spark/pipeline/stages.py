@@ -1908,26 +1908,15 @@ class CDCReplayExecute(PipelineStage):
         if self.params.get("icebergMirror"):
             # continuous Iceberg publication: append a new Iceberg
             # snapshot after the replay so downstream Iceberg readers
-            # track the lake. Requires a compacted state — with MOR debt
-            # the mirror is SKIPPED loudly (use mergeMode=cow, or run
-            # compaction before mirroring)
+            # track the lake. MOR debt exports zero-copy too (delta
+            # levels become sequence-numbered data + equality-delete
+            # files), so the mirror works at every compaction state
             from arc_spark.lake.iceberg_export import export_iceberg
 
-            try:
-                res = export_iceberg(ctx.spark, table)
-                ctx.events.append(
-                    {"stage": self.name, "event": "iceberg.mirror", **res}
-                )
-            except ValueError as e:
-                if "compacted snapshot" not in str(e):
-                    raise
-                logger.warning(
-                    "%s: icebergMirror skipped — %s", self.name, e
-                )
-                ctx.events.append(
-                    {"stage": self.name, "event": "iceberg.mirror",
-                     "status": "skipped_mor_debt"}
-                )
+            res = export_iceberg(ctx.spark, table)
+            ctx.events.append(
+                {"stage": self.name, "event": "iceberg.mirror", **res}
+            )
         out = self.params.get("outputView")
         if out:
             return self.register_output(ctx, table.read(ctx.spark), out)

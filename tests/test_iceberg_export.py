@@ -58,22 +58,34 @@ def _scan_like_iceberg(spark, meta_path):
     # parquet: through schema.name-mapping.default (first mapped name
     # present in the file wins, surfaced under the schema's field name)
     nm = json.loads(meta["properties"]["schema.name-mapping.default"])
-    raw = spark.read.option("mergeSchema", "true").parquet(
-        *[p for p, _ in data_files]
-    )
+    # per-file data sequence numbers: read each sequence group separately
+    # so equality deletes can scope to STRICTLY SMALLER sequences (the
+    # spec rule that encodes MOR shadowing)
+    by_seq: dict[int, list[str]] = {}
+    for p, s in data_files:
+        by_seq.setdefault(s, []).append(p)
+    raw = None
+    for s in sorted(by_seq):
+        part = spark.read.option("mergeSchema", "true").parquet(
+            *by_seq[s]
+        ).withColumn("_seq", F.lit(s))
+        raw = part if raw is None else raw.unionByName(
+            part, allowMissingColumns=True
+        )
     sel = []
     for entry in nm:
         name = schema_fields[entry["field-id"]]
         present = [n for n in entry["names"] if n in raw.columns]
         assert present, f"name mapping unresolvable for {name}: {entry}"
         sel.append(F.col(present[0]).alias(name))
-    out = raw.select(*sel)
+    out = raw.select(*sel, "_seq")
     for path, dseq, eq_ids in deletes:
-        assert all(seq < dseq for _, seq in data_files)
         key_cols = [schema_fields[i] for i in eq_ids]
         dead = spark.read.parquet(path).select(*key_cols)
-        out = out.join(dead, key_cols, "left_anti")
-    return out
+        out = out.filter(F.col("_seq") < dseq).join(
+            dead, key_cols, "left_anti"
+        ).unionByName(out.filter(F.col("_seq") >= dseq))
+    return out.drop("_seq")
 
 
 def test_export_round_trips_live_rows(spark, lake):
@@ -157,7 +169,11 @@ def test_manifest_avro_field_ids_and_counts(spark, lake):
     ]
 
 
-def test_export_refuses_mor_debt(spark, lake, tmp_path):
+def test_export_mor_debt_zero_copy(spark, lake, tmp_path):
+    """Outstanding MOR delta files export WITHOUT compaction: the delta
+    becomes a data file at a higher sequence number plus a same-sequence
+    equality delete of its keys, so the spec scan shadows the base
+    version exactly like the lake's own max-seq resolution."""
     t = LakeTable(lake.root)  # fresh handle
     df = spark.createDataFrame(
         [("rX", "pX", "c", "py", "v", None, 10_000, "upsert")],
@@ -167,13 +183,75 @@ def test_export_refuses_mor_debt(spark, lake, tmp_path):
     r = t.merge(spark, df, epoch=9000, start_seq=10_000, end_seq=10_000,
                 mode="delta")
     assert r["status"] == "committed"
-    with pytest.raises(ValueError, match="compact"):
-        export_iceberg(spark, t)
-    t.compact(spark)
     res = export_iceberg(spark, t)
+    assert res["delta_levels"] >= 1 and res["delete_files"] >= 1
     got = _scan_like_iceberg(spark, res["metadata"])
     want = t.read(spark).select(*got.columns)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the export left the delta chain in place (no forced compaction)
+    assert any(t.snapshot().delta_files.values())
+    t.compact(spark)  # leave the shared fixture compacted for later tests
+    res2 = export_iceberg(spark, t)
+    assert res2["delta_levels"] == 0
+    got2 = _scan_like_iceberg(spark, res2["metadata"])
+    assert got2.exceptAll(want).isEmpty() and want.exceptAll(got2).isEmpty()
+
+
+def test_export_mor_multi_level_tombstones(spark, tmp_path):
+    """Two delta epochs over a base with every MOR shape at once: update
+    shadowing base, delete-then-reinsert across levels, delete whose
+    tombstone is final, and a fresh insert — the spec scan (and the
+    independent read_iceberg) must equal the lake read at every step,
+    with zero data files rewritten."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "mor")
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string, ts timestamp, seq long, op string")
+    base = spark.createDataFrame(
+        [("r", f"p{i}", "c0", "py", f"v{i}", None, i + 1, "upsert")
+         for i in range(6)], ddl)
+    t = LakeTable(d)
+    t.create(base.drop("op").schema, ["repo", "path"],
+             seq_col="seq", num_buckets=4)
+    t.merge(spark, base, epoch=0, start_seq=1, end_seq=6, mode="cow")
+    lvl1 = spark.createDataFrame(
+        [("r", "p0", "c1", "py", "v0b", None, 10, "upsert"),   # update
+         ("r", "p1", "c1", "py", None, None, 11, "delete"),    # del->reins
+         ("r", "p2", "c1", "py", None, None, 12, "delete"),    # final del
+         ("r", "p9", "c1", "py", "new", None, 13, "upsert")],  # insert
+        ddl)
+    t.merge(spark, lvl1, epoch=1, start_seq=10, end_seq=13, mode="delta")
+    lvl2 = spark.createDataFrame(
+        [("r", "p1", "c2", "py", "v1c", None, 20, "upsert"),   # reinsert
+         ("r", "p0", "c2", "py", "v0c", None, 21, "upsert"),   # re-update
+         ("r", "p9", "c2", "py", None, None, 22, "delete")],   # del insert
+        ddl)
+    t.merge(spark, lvl2, epoch=2, start_seq=20, end_seq=22, mode="delta")
+
+    res = export_iceberg(spark, t)
+    assert res["delta_levels"] == 2
+    want = t.read(spark).select("repo", "path", "seq", "content")
+    got = _scan_like_iceberg(spark, res["metadata"]).select(*want.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    ind = read_iceberg(spark, d).select(*want.columns)
+    assert ind.exceptAll(want).isEmpty() and want.exceptAll(ind).isEmpty()
+    assert res["live_rows"] == want.count()
+    # zero-copy: every lake data file (base + delta) referenced in place,
+    # only small key-only delete files written under data/
+    fs = LocalFS()
+    snap = t.snapshot()
+    _, manifests = read_ocf_bytes(fs.read_bytes(res["manifest_list"]))
+    data_paths = set()
+    for m in manifests:
+        _, entries = read_ocf_bytes(fs.read_bytes(m["manifest_path"]))
+        for e in entries:
+            if e["data_file"]["content"] == 0:
+                data_paths.add(e["data_file"]["file_path"])
+    lake_paths = {f"{t.root}/{p}" for fs_ in
+                  (snap.files, snap.delta_files) for b in fs_
+                  for p in fs_[b]}
+    assert data_paths == lake_paths
 
 
 def test_export_maps_renames_into_name_mapping(spark, tmp_path):
@@ -435,25 +513,29 @@ def test_repeated_exports_append_snapshot_history(spark, tmp_path):
     assert old == state1
 
 
-def test_cdc_replay_stage_iceberg_mirror(spark, tmp_path):
+@pytest.mark.parametrize("merge_mode", ["cow", "delta"])
+def test_cdc_replay_stage_iceberg_mirror(spark, tmp_path, merge_mode):
     """icebergMirror: true on CDCReplayExecute appends an Iceberg
-    snapshot after the replay (cow mode) and the mirrored read equals
-    the lake read; with MOR debt it skips loudly instead of lying."""
+    snapshot after the replay and the mirrored read equals the lake
+    read — in BOTH compaction states (cow, and delta with outstanding
+    MOR files exported as sequence-numbered levels)."""
     from arc_spark.lake.iceberg_read import read_iceberg
     from arc_spark.pipeline import run_config
 
-    d = str(tmp_path / "mir")
+    d = str(tmp_path / f"mir_{merge_mode}")
     write_change_stream(spark, f"{d}/ev", 800, seed=4, num_partitions=4)
     cfg = {"stages": [{
         "type": "CDCReplayExecute", "name": "rep",
         "eventsURI": f"{d}/ev", "tableURI": f"{d}/lake",
-        "batchSize": 500, "numBuckets": 4, "mergeMode": "cow",
+        "batchSize": 500, "numBuckets": 4, "mergeMode": merge_mode,
         "icebergMirror": True,
     }]}
     _, ctx = run_config(spark, cfg)
     mirror = [e for e in ctx.events
               if e.get("event") == "iceberg.mirror"]
     assert len(mirror) == 1 and mirror[0]["data_files"] > 0
+    if merge_mode == "delta":
+        assert mirror[0]["delta_levels"] >= 1  # mirrored WITH MOR debt
     got = read_iceberg(spark, f"{d}/lake")
     want = LakeTable(f"{d}/lake").read(spark).select(*got.columns)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
