@@ -222,32 +222,66 @@ def read_iceberg(
             sel.append(F.lit(None).cast(target).alias(name))
     out = raw.select(*sel, "_ice_file_n", "_ice_seq", "_ice_pos")
 
-    for path, dseq, content, eq_ids in deletes:
-        if content == 1:  # position deletes: (file_path, pos)
-            dead = (
+    # Apply deletes in O(1) joins per delete KIND, not per delete FILE: a
+    # filter/anti-join/union per file would double the plan at every
+    # delete (2^N scan branches for an N-file delete chain — fatal for
+    # MOR-exported tables whose chain length is the epoch count since
+    # compaction). Instead each kind folds to one aggregated lookup:
+    # a row dies iff ANY applicable delete entry outranks its data
+    # sequence, i.e. iff MAX(delete seq) over its key outranks it.
+    pos_files = [(p, s) for p, s, c, _ in deletes if c == 1]
+    if pos_files:
+        dead = None
+        for path, dseq in pos_files:
+            d = (
                 spark.read.parquet(path)
                 .select(
                     _NORM_COL(F.col("file_path")).alias("_ice_file_n"),
                     F.col("pos").cast("bigint").alias("_ice_pos"),
+                    F.lit(int(dseq)).alias("_ice_dseq"),
                 )
             )
-            # applies to data files with data_seq <= delete_seq (spec);
-            # rows from newer files pass through untouched
-            older = out.filter(F.col("_ice_seq") <= dseq).join(
-                dead, ["_ice_file_n", "_ice_pos"], "left_anti"
+            dead = d if dead is None else dead.unionByName(d)
+        dead = dead.groupBy("_ice_file_n", "_ice_pos").agg(
+            F.max("_ice_dseq").alias("_ice_dseq")
+        )
+        # position deletes apply to data_seq <= delete_seq (spec)
+        out = (
+            out.join(dead, ["_ice_file_n", "_ice_pos"], "left")
+            .filter(
+                F.col("_ice_dseq").isNull()
+                | (F.col("_ice_dseq") < F.col("_ice_seq"))
             )
-            newer = out.filter(F.col("_ice_seq") > dseq)
-            out = older.unionByName(newer)
-        else:  # equality deletes: schema columns named by equality_ids
-            key_cols = [id_to_name[i] for i in (eq_ids or [])]
-            if not key_cols:
-                raise ValueError(
-                    f"equality-delete file {path} carries no equality_ids"
-                )
-            dead = spark.read.parquet(path).select(*key_cols)
-            newer = out.filter(F.col("_ice_seq") >= dseq)
-            older = out.filter(F.col("_ice_seq") < dseq).join(
-                dead, key_cols, "left_anti"
+            .drop("_ice_dseq")
+        )
+
+    eq_groups: dict[tuple, list] = {}
+    for path, dseq, content, eq_ids in deletes:
+        if content != 2:
+            continue
+        if not eq_ids:
+            raise ValueError(
+                f"equality-delete file {path} carries no equality_ids"
             )
-            out = older.unionByName(newer)
+        eq_groups.setdefault(tuple(eq_ids), []).append((path, dseq))
+    for ids_t, files in eq_groups.items():
+        key_cols = [id_to_name[i] for i in ids_t]
+        dead = None
+        for path, dseq in files:
+            d = spark.read.parquet(path).select(*key_cols).withColumn(
+                "_ice_dseq", F.lit(int(dseq))
+            )
+            dead = d if dead is None else dead.unionByName(d)
+        dead = dead.groupBy(*key_cols).agg(
+            F.max("_ice_dseq").alias("_ice_dseq")
+        )
+        # equality deletes apply to STRICTLY SMALLER data sequences
+        out = (
+            out.join(dead, key_cols, "left")
+            .filter(
+                F.col("_ice_dseq").isNull()
+                | (F.col("_ice_dseq") <= F.col("_ice_seq"))
+            )
+            .drop("_ice_dseq")
+        )
     return out.drop("_ice_file_n", "_ice_seq", "_ice_pos")

@@ -187,3 +187,41 @@ def test_replay_epoch_plan_shape(spark, tmp_path):
     assert "WindowGroupLimit" not in tplan
     assert tplan.count("MapInArrow") == 1
     assert "ArrowEvalPython" not in tplan and "BatchEvalPython" not in tplan
+
+
+def test_iceberg_mor_read_plan_linear_in_chain_length(spark, tmp_path):
+    """read_iceberg over a MOR-exported table applies the whole delete
+    chain with ONE aggregated join per delete kind — a per-delete-file
+    filter/anti-join/union would double the plan at every level (2^L
+    scan branches), which is fatal at production chain lengths. Pin the
+    physical scan count to linear: seq groups + delete files."""
+    from arc_spark.lake.iceberg_export import export_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+    from arc_spark.lake.table import LakeTable
+
+    t = LakeTable(str(tmp_path / "ice_chain"))
+    ddl = "k: long, v: string, seq: long, op: string"
+    df0 = spark.createDataFrame(
+        [(i, f"v{i}", i, "upsert") for i in range(40)], ddl
+    )
+    t.create(df0.drop("op").schema, ["k"], num_buckets=2)
+    t.merge(spark, df0, epoch=0, start_seq=0, end_seq=39)
+    levels = 5
+    for e in range(1, levels + 1):
+        d = spark.createDataFrame(
+            [(e % 7, f"u{e}", 100 + e, "upsert"),
+             ((e + 1) % 7, None, 200 + e, "delete")], ddl
+        )
+        t.merge(spark, d, epoch=e, start_seq=100 + e, end_seq=200 + e,
+                mode="delta", max_delta_chain=64)
+    res = export_iceberg(spark, t)
+    assert res["delta_levels"] == levels
+    got = read_iceberg(spark, t.root)
+    want = t.read(spark).select(*got.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+    # linear budget: (levels+1) data seq groups + (levels+1) delete files
+    # with slack; the exponential shape would blow past 2^levels = 32
+    # base-scan copies alone
+    assert n_scans <= 2 * (levels + 1) + 4, f"{n_scans} scans:\n{plan[:2000]}"
