@@ -575,3 +575,116 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         "delete_rows": sum(del_counts.values()),
         "live_rows": live_rows,
     }
+
+
+# ---------------------------------------------------------------------------
+# GC coordination with the lake's expire_snapshots
+# ---------------------------------------------------------------------------
+
+def expire_iceberg_snapshots(fs, root: str, live_rel: set[str]):
+    """Reconcile the exported Iceberg metadata chain with a lake GC pass.
+
+    ``live_rel`` is the set of ROOT-relative parquet paths the surviving
+    lake manifests still reference. Exported Iceberg snapshots reference
+    lake parquet in place, so a snapshot whose data files are about to be
+    garbage-collected would dangle for Iceberg readers; and the export's
+    own equality-delete parquets live under ``data/`` where the lake GC
+    walk would otherwise reap them while they are still referenced.
+
+    Returns None when the table has no Iceberg export. Otherwise returns
+    ``{"keep_files": set[str], "snapshots_kept": int,
+    "snapshots_dropped": int, "mirror_removed": bool}`` where keep_files
+    are root-relative paths the GC walk must treat as live (surviving
+    snapshots' delete files). Side effects, mirroring Iceberg's own
+    expire_snapshots semantics:
+
+    - snapshots whose data files are all still live SURVIVE untouched;
+    - snapshots referencing any GC'd file are dropped from a NEW metadata
+      version (snapshot-log filtered, current-snapshot-id/refs moved to
+      the newest survivor) — old v*.metadata.json files stay on disk, as
+      real Iceberg leaves them;
+    - manifest-list / manifest Avro files referenced by no surviving
+      snapshot are deleted, as are orphaned ones from crashed exports;
+    - if NO snapshot survives, the whole ``metadata`` directory is
+      removed (the mirror must be re-published with export_iceberg) and
+      ``mirror_removed`` is True.
+    """
+    from arc_spark.formats.avro import read_ocf_bytes
+    from arc_spark.lake.iceberg_read import resolve_metadata_file
+
+    meta_dir = fs_join(root, "metadata")
+    try:
+        meta_path = resolve_metadata_file(fs, root)
+    except (FileNotFoundError, ValueError):
+        return None
+    meta = json.loads(fs.read_bytes(meta_path))
+
+    def rel(p: str) -> str:
+        return p[len(root):].lstrip("/") if p.startswith(root) else p
+
+    surviving, keep_files, keep_avro = [], set(), set()
+    for s in meta.get("snapshots", []):
+        try:
+            _, manifests = read_ocf_bytes(fs.read_bytes(s["manifest-list"]))
+        except FileNotFoundError:
+            continue  # already half-expired: drop it
+        ok, del_rel, avros = True, [], [s["manifest-list"]]
+        for m in manifests:
+            avros.append(m["manifest_path"])
+            _, entries = read_ocf_bytes(fs.read_bytes(m["manifest_path"]))
+            for e in entries:
+                r = rel(e["data_file"]["file_path"])
+                if e["data_file"].get("content", 0) == 0:
+                    if r not in live_rel:
+                        ok = False
+                else:
+                    del_rel.append(r)
+        if ok:
+            surviving.append(s)
+            keep_files |= set(del_rel)
+            keep_avro |= {a.rsplit("/", 1)[-1] for a in avros}
+
+    dropped = len(meta.get("snapshots", [])) - len(surviving)
+    if not surviving:
+        fs.rmtree(meta_dir)
+        return {"keep_files": set(), "snapshots_kept": 0,
+                "snapshots_dropped": dropped, "mirror_removed": True}
+
+    if dropped:
+        cur = max(surviving, key=lambda s: s.get("sequence-number", 0))
+        keep_ids = {s["snapshot-id"] for s in surviving}
+        m = re.match(r".*v(\d+)\.metadata\.json$", meta_path)
+        out_version = int(m.group(1)) + 1
+        now_ms = max(
+            int(time.time() * 1000), int(meta.get("last-updated-ms", 0)) + 1
+        )
+        new_meta = {
+            **meta,
+            "last-updated-ms": now_ms,
+            "current-snapshot-id": cur["snapshot-id"],
+            "refs": {"main": {"snapshot-id": cur["snapshot-id"],
+                              "type": "branch"}},
+            "snapshots": surviving,
+            "snapshot-log": [
+                e for e in meta.get("snapshot-log", [])
+                if e["snapshot-id"] in keep_ids
+            ],
+            "metadata-log": [
+                *meta.get("metadata-log", []),
+                {"metadata-file": meta_path,
+                 "timestamp-ms": int(meta.get("last-updated-ms", 0))},
+            ],
+        }
+        fs.write_bytes(
+            fs_join(meta_dir, f"v{out_version}.metadata.json"),
+            json.dumps(new_meta, indent=2).encode(),
+        )
+        fs.write_bytes(
+            fs_join(meta_dir, "version-hint.text"), str(out_version).encode()
+        )
+    # reap manifest-list/manifest Avro of dropped (or orphaned) snapshots
+    for name in fs.listdir(meta_dir):
+        if name.endswith(".avro") and name not in keep_avro:
+            fs.delete(fs_join(meta_dir, name))
+    return {"keep_files": keep_files, "snapshots_kept": len(surviving),
+            "snapshots_dropped": dropped, "mirror_removed": False}

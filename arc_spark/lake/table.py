@@ -1548,7 +1548,15 @@ class LakeTable:
         """Drop all but the newest ``keep_last`` manifests, then delete data
         files referenced by no surviving manifest (Iceberg
         expire_snapshots + remove_orphan_files). Readers of surviving
-        snapshots are unaffected — files they reference are kept."""
+        snapshots are unaffected — files they reference are kept.
+
+        If the table has an exported Iceberg mirror, the two GC worlds
+        are reconciled in the same pass: Iceberg snapshots whose data
+        files survive stay readable (their equality-delete parquets
+        under ``data/`` are treated as live), snapshots referencing
+        GC'd files are expired from a new metadata version, and if none
+        survive the mirror is removed (re-publish with export_iceberg);
+        see lake/iceberg_export.expire_iceberg_snapshots."""
         d = fs_join(self.root, MANIFEST_DIR)
         versions = sorted(
             int(n[1:-5]) for n in self.fs.listdir(d)
@@ -1559,6 +1567,11 @@ class LakeTable:
         live: set[str] = set()
         for v in keep:
             live |= set(self.snapshot(v).file_list())
+        from arc_spark.lake.iceberg_export import expire_iceberg_snapshots
+
+        ice = expire_iceberg_snapshots(self.fs, self.root, live)
+        if ice is not None:
+            live |= ice["keep_files"]
         removed_files = 0
         data_root = fs_join(self.root, DATA_DIR)
         seen_dirs: list[str] = []
@@ -1584,12 +1597,16 @@ class LakeTable:
                 cur = cur.rsplit("/", 1)[0]
         for d_ in sorted(ancestors, key=len, reverse=True):
             self.fs.rmdir_if_empty(d_)
-        return {
+        out = {
             "status": "expired",
             "manifests_removed": len(to_drop),
             "data_files_removed": removed_files,
             "versions_kept": keep,
         }
+        if ice is not None:
+            out["iceberg"] = {k: v for k, v in ice.items()
+                              if k != "keep_files"}
+        return out
 
 
 def _parquet_rows(fs, paths: list[str]) -> int:

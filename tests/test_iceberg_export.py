@@ -539,3 +539,69 @@ def test_cdc_replay_stage_iceberg_mirror(spark, tmp_path, merge_mode):
     got = read_iceberg(spark, f"{d}/lake")
     want = LakeTable(f"{d}/lake").read(spark).select(*got.columns)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_expire_snapshots_reconciles_iceberg_mirror(spark, tmp_path):
+    """Lake GC and the Iceberg mirror share data files, so
+    expire_snapshots must (a) keep the surviving snapshots' equality-
+    delete parquets alive, (b) expire Iceberg snapshots whose data files
+    it reaps, (c) remove the mirror entirely when nothing survives."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "gc")
+    stream = write_change_stream(spark, f"{d}/ev", 1000, seed=6,
+                                 num_partitions=4)
+    table, _ = create_table_for_stream(spark, stream, f"{d}/lake",
+                                       num_buckets=4)
+    ReplayRunner(spark, stream, table, batch_size=500).run(max_epochs=1)
+    r1 = export_iceberg(spark, table)
+    ReplayRunner(spark, stream, table, batch_size=500).run()
+    r2 = export_iceberg(spark, table)
+    fs = LocalFS()
+    m2 = json.loads(fs.read_bytes(r2["metadata"]))
+    assert len(m2["snapshots"]) == 2
+
+    # keep only the latest lake version: epoch-1 COW rewrote the touched
+    # buckets, so the first export's base files are reaped -> its Iceberg
+    # snapshot must be expired while the second survives intact
+    res = table.expire_snapshots(keep_last=1)
+    assert res["iceberg"]["snapshots_dropped"] == 1
+    assert res["iceberg"]["snapshots_kept"] == 1
+    got = read_iceberg(spark, table.root)
+    want = table.read(spark).select(*got.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    meta_now = json.loads(fs.read_bytes(
+        fs.read_bytes(f"{table.root}/metadata/version-hint.text").decode()
+        .join([f"{table.root}/metadata/v", ".metadata.json"])))
+    assert len(meta_now["snapshots"]) == 1
+    assert meta_now["current-snapshot-id"] == m2["current-snapshot-id"]
+    # the dropped snapshot's manifest avros are gone, survivors remain
+    assert not fs.exists(m2["snapshots"][0]["manifest-list"])
+    assert fs.exists(meta_now["snapshots"][0]["manifest-list"])
+
+    # a full-rewrite compact + expire with NO re-export in between kills
+    # every exported snapshot -> the mirror is removed, not left dangling
+    table.compact(spark)
+    res2 = table.expire_snapshots(keep_last=1)
+    assert res2["iceberg"]["mirror_removed"] is True
+    assert not fs.exists(f"{table.root}/metadata")
+    with pytest.raises((FileNotFoundError, ValueError)):
+        read_iceberg(spark, table.root)
+    # re-publishing starts a fresh chain at v1
+    r3 = export_iceberg(spark, table)
+    assert r3["metadata"].endswith("v1.metadata.json")
+    got3 = read_iceberg(spark, table.root)
+    want3 = table.read(spark).select(*got3.columns)  # post-GC file set
+    assert got3.exceptAll(want3).isEmpty() and want3.exceptAll(got3).isEmpty()
+
+
+def test_expire_snapshots_no_mirror_untouched(spark, tmp_path):
+    """A table that was never exported expires exactly as before."""
+    d = str(tmp_path / "nogc")
+    stream = write_change_stream(spark, f"{d}/ev", 400, seed=2,
+                                 num_partitions=2)
+    table, _ = create_table_for_stream(spark, stream, f"{d}/lake",
+                                       num_buckets=2)
+    ReplayRunner(spark, stream, table, batch_size=200).run()
+    res = table.expire_snapshots(keep_last=1)
+    assert res["status"] == "expired" and "iceberg" not in res
