@@ -1914,9 +1914,11 @@ class CDCReplayExecute(PipelineStage):
             from arc_spark.lake.iceberg_export import export_iceberg
 
             res = export_iceberg(ctx.spark, table)
-            ctx.events.append(
-                {"stage": self.name, "event": "iceberg.mirror", **res}
-            )
+            mirror_event = {
+                "stage": self.name, "event": "iceberg.mirror", **res
+            }
+            ctx.events.append(mirror_event)
+            logger.info(json.dumps(mirror_event))
         out = self.params.get("outputView")
         if out:
             return self.register_output(ctx, table.read(ctx.spark), out)
@@ -2819,8 +2821,9 @@ class IcebergExportExecute(PipelineStage):
     snapshot as an Apache Iceberg v2 table (metadata-only, zero data
     copy; tombstoned keys become an equality-delete file) so any Iceberg
     reader — Spark+runtime jar, Trino, DuckDB, pyiceberg — can consume
-    the replicated state in place. Refuses on outstanding MOR deltas
-    (compact first). See arc_spark.lake.iceberg_export."""
+    the replicated state in place. Outstanding MOR delta chains export
+    zero-copy as sequence-number levels with per-level equality deletes,
+    so no compaction is forced. See arc_spark.lake.iceberg_export."""
 
     stage_type = "IcebergExportExecute"
     REQUIRED = ("tableURI",)

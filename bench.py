@@ -278,6 +278,22 @@ def _cdc_steady_state(master: str, n_events: int) -> dict:
             t0 = time.time()
             runner.run()
             out[f"events_per_sec_{mode}"] = round(tail / (time.time() - t0), 1)
+            if mode == "delta":
+                # publication cost of the Iceberg mirror over the WORST
+                # case this bench produces: the full 8-epoch MOR chain,
+                # exported zero-copy + read back through the spec reader
+                from arc_spark.lake.iceberg_export import export_iceberg
+                from arc_spark.lake.iceberg_read import read_iceberg
+
+                t0 = time.time()
+                res = export_iceberg(spark, table)
+                out["iceberg_mirror_sec"] = round(time.time() - t0, 3)
+                out["iceberg_mirror_delta_levels"] = res["delta_levels"]
+                t0 = time.time()
+                out["iceberg_specread_rows"] = read_iceberg(
+                    spark, table.root
+                ).count()
+                out["iceberg_specread_sec"] = round(time.time() - t0, 3)
         out["delta_vs_cow_speedup"] = round(
             out["events_per_sec_delta"] / out["events_per_sec_cow"], 2
         )

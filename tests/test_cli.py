@@ -305,3 +305,32 @@ def test_example_multi_table_config_runs(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     events2 = [json.loads(l) for l in r2.stderr.splitlines() if l.startswith("{")]
     assert not [e for e in events2 if e.get("event") == "epoch.complete"]
+
+
+def test_example_iceberg_mirror_config_runs(tmp_path):
+    """examples/cdc_iceberg_mirror.conf: MOR replay + per-run Iceberg
+    publication via the CLI; the mirrored spec-read equals the lake."""
+    from arc_spark.cdc.generator import write_change_stream
+    from arc_spark.lake.iceberg_read import read_iceberg
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.session import get_spark
+
+    spark = get_spark("exmir", master="local[4]", shuffle_partitions=8)
+    stream = write_change_stream(
+        spark, str(tmp_path / "ev"), 1500, seed=22, num_partitions=4
+    )
+    r = _run(
+        "--etl.config.uri=examples/cdc_iceberg_mirror.conf",
+        "--etl.config.environment=test",
+        "--etl.config.master=local[4]",
+        f"--events.uri={stream}",
+        f"--table.uri={tmp_path / 'lake'}",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    events = [json.loads(line) for line in r.stderr.splitlines()
+              if line.startswith("{")]
+    mirror = [e for e in events if e.get("event") == "iceberg.mirror"]
+    assert mirror and mirror[0]["data_files"] > 0
+    got = read_iceberg(spark, str(tmp_path / "lake"))
+    want = LakeTable(str(tmp_path / "lake")).read(spark).select(*got.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
