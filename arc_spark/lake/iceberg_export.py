@@ -688,3 +688,26 @@ def expire_iceberg_snapshots(fs, root: str, live_rel: set[str]):
             fs.delete(fs_join(meta_dir, name))
     return {"keep_files": keep_files, "snapshots_kept": len(surviving),
             "snapshots_dropped": dropped, "mirror_removed": False}
+
+
+def export_catalog_iceberg(spark, catalog, *, version: int | None = None) -> dict:
+    """Publish every table of a :class:`~arc_spark.lake.catalog.LakeCatalog`
+    as an Apache Iceberg table — the catalog root becomes a HadoopCatalog
+    WAREHOUSE (each member table directory is a self-contained Iceberg
+    table with its own ``metadata/`` chain). Every table exports at the
+    version PINNED by the chosen catalog snapshot, so the published set
+    is the last atomic epoch the catalog committed — never a torn mix
+    with later in-flight table writes. Per-table exports append to each
+    table's own Iceberg history as usual."""
+    snap = catalog.snapshot(version)
+    tables = {}
+    for name in sorted(snap.tables):
+        t = catalog.table(name, version=version)
+        tables[name] = export_iceberg(
+            spark, t, version=snap.table_version(name)
+        )
+    return {
+        "catalog_version": snap.version,
+        "epoch": snap.epoch,
+        "tables": tables,
+    }

@@ -2017,7 +2017,8 @@ class CDCMultiReplayExecute(PipelineStage):
     OPTIONAL = ("tableColumn", "batchSize", "strategy", "saltBuckets",
                 "mergeMode", "numBuckets", "maxEpochs", "keys", "seqColumn",
                 "onUnknownTable", "commitLockURI", "commitLockLeaseSeconds",
-                "metricsURI", "eventsFormat", "payloadSchema", "outputViews")
+                "metricsURI", "eventsFormat", "payloadSchema", "outputViews",
+                "icebergMirror")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.multi import MultiTableReplay
@@ -2053,6 +2054,21 @@ class CDCMultiReplayExecute(PipelineStage):
         metrics = replay.run(max_epochs=int(max_epochs) if max_epochs else None)
         for m in metrics:
             ctx.events.append({"stage": self.name, **m})
+        if self.params.get("icebergMirror"):
+            # publish the replicated database as an Iceberg WAREHOUSE:
+            # one Iceberg table per member, each at the version pinned
+            # by the catalog snapshot (the last atomic epoch)
+            from arc_spark.lake.iceberg_export import export_catalog_iceberg
+
+            res = export_catalog_iceberg(ctx.spark, catalog)
+            mirror_event = {
+                "stage": self.name, "event": "iceberg.mirror.catalog",
+                "catalog_version": res["catalog_version"],
+                "tables": {n: r["metadata"]
+                           for n, r in res["tables"].items()},
+            }
+            ctx.events.append(mirror_event)
+            logger.info(json.dumps(mirror_event))
         # outputViews: {tableName: viewName} — catalog-consistent reads
         out = None
         for tname, view in (self.params.get("outputViews") or {}).items():

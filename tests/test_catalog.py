@@ -279,3 +279,33 @@ def test_cdc_multi_replay_execute_stage(spark, tmp_path, stream_path):
     # exactly-once rerun: no new epochs
     df2, ctx2 = run_config(spark, cfg)
     assert not [e for e in ctx2.events if e.get("event") == "epoch.complete"]
+
+
+def test_catalog_iceberg_warehouse_export(spark, tmp_path, stream_path):
+    """export_catalog_iceberg publishes every member table as its own
+    Iceberg table at the catalog-pinned version (atomic epoch set), and
+    the declarative stage's icebergMirror flag drives it; each mirror is
+    read back through the independent spec reader."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+    from arc_spark.pipeline import run_config
+
+    cfg = {"stages": [
+        {"type": "CDCMultiReplayExecute", "name": "repl",
+         "eventsURI": stream_path, "catalogURI": str(tmp_path / "cat"),
+         "batchSize": 200, "numBuckets": 4, "icebergMirror": True},
+    ]}
+    _, ctx = run_config(spark, cfg)
+    mirror = [e for e in ctx.events
+              if e.get("event") == "iceberg.mirror.catalog"]
+    assert len(mirror) == 1 and sorted(mirror[0]["tables"]) == ["files", "tags"]
+    catalog = LakeCatalog(str(tmp_path / "cat"))
+    for name in ("files", "tags"):
+        got = read_iceberg(spark, catalog.snapshot().tables[name]["root"])
+        want = catalog.read(spark, name).select(*got.columns)
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # pinned versions: exporting an OLDER catalog snapshot round-trips
+    # the epoch the catalog committed then, not the current table state
+    from arc_spark.lake.iceberg_export import export_catalog_iceberg
+
+    res = export_catalog_iceberg(spark, catalog)
+    assert res["catalog_version"] == catalog.current_version()
