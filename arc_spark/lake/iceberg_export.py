@@ -47,8 +47,15 @@ only metadata, per the public Iceberg table spec
   resolved-tombstone delete above). A reader therefore sees exactly
   LWW-resolved state with no compaction required — ``icebergMirror`` can
   publish after every MOR epoch. Read cost grows with chain length
-  (one anti-join per delete file), the same debt the lake's own MOR read
-  pays; normal compaction cadence bounds both.
+  (one aggregated join per delete kind), the same debt the lake's own
+  MOR read pays; normal compaction cadence bounds both. The level
+  encoding requires per-key seq order to match chain order — true for a
+  seq-ordered binlog replay, but a file-tail stream can apply a LATE
+  (lower-seq) event in a later micro-batch; the export validates both
+  invariants (cross-level, base-vs-delta) with small column-pruned jobs
+  and, when violated, re-encodes ONLY the delta keys' resolved winners
+  as one synthetic level (O(delta keys) write, base stays zero-copy,
+  nothing in the lake mutates; ``zero_copy_chain: false`` in the result).
 
 The Avro manifests are produced by the repo's own from-scratch OCF codec
 (arc_spark/formats/avro.py) with the spec's field-id annotations.
@@ -295,6 +302,26 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         out_version, base_seq = 1, 0
         snapshot_id = snap.version + 1
 
+    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#v{snap.version}#m{out_version}")
+
+    def _key_exprs(df):
+        # metadata-only renames: parquet still carries historical names —
+        # resolve each column through its name history (the same
+        # coalescing LakeTable.read does), emitting the CURRENT name so
+        # delete-file columns match the exported schema
+        exprs = []
+        for k in snap.key_cols:
+            present = [n for n in [k, *snap.column_renames.get(k, [])]
+                       if n in df.columns]
+            exprs.append(F.coalesce(*[F.col(n) for n in present]).alias(k))
+        return exprs
+
+    def _seq_expr(df):
+        present = [n for n in
+                   [snap.seq_col, *snap.column_renames.get(snap.seq_col, [])]
+                   if n in df.columns]
+        return F.coalesce(*[F.col(n) for n in present])
+
     # MOR delta chains -> sequence-number levels (module docstring):
     # level j = the j-th delta file in its bucket's chronological chain
     # (keys never cross buckets, so per-bucket positions compose into
@@ -304,17 +331,109 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         for j, rel in enumerate(snap.delta_files[bucket], start=1):
             delta_levels.setdefault(j, []).append(fs_join(root, rel))
     n_levels = max(delta_levels, default=0)
+    resolved = None
+    dead_keys = None  # keys whose resolved row is a tombstone
+    stats = None
+    zero_copy_chain = True
+
+    from arc_spark.lake.table import TOMBSTONE_COL
+
+    def _pruned(paths: list[str], lvl) -> "DataFrame":
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return raw.select(
+            *_key_exprs(raw),
+            _seq_expr(raw).alias("_seq"),
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("_tomb"),
+            lvl.alias("_lvl"),
+        )
+
+    if n_levels:
+        # The level encoding is valid ONLY when per-key seq order matches
+        # chain order: a seq-ordered binlog replay guarantees this, but a
+        # file-tail stream can apply a LATE (lower-seq) event in a LATER
+        # micro-batch — level j's equality delete would then kill the
+        # true winner below it. ONE column-pruned aggregation over
+        # (key, seq, tombstone, level) checks both invariants (cross-
+        # level order AND base-vs-delta order: the top-level row must
+        # carry the key's max seq) and simultaneously yields the
+        # resolved-tombstone key set the final delete needs — no
+        # full-row shuffle, no separate window pass.
+        lv = None
+        for j in sorted(delta_levels):
+            d = _pruned(delta_levels[j], F.lit(j))
+            lv = d if lv is None else lv.unionByName(d)
+        allk = lv
+        base_paths = [
+            fs_join(root, rel) for b in snap.files for rel in snap.files[b]
+        ]
+        if base_paths:
+            allk = _pruned(base_paths, F.lit(0)).unionByName(lv)
+        from pyspark import StorageLevel
+
+        stats = (
+            allk.groupBy(*snap.key_cols)
+            .agg(
+                F.max("_seq").alias("_win_seq"),
+                F.max_by("_tomb", "_seq").alias("_win_tomb"),
+                F.max_by("_seq", "_lvl").alias("_top_seq"),
+                F.max("_lvl").alias("_max_lvl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        zero_copy_chain = stats.filter(
+            (F.col("_max_lvl") > 0)
+            & (F.col("_top_seq") != F.col("_win_seq"))
+        ).isEmpty()
+        dead_keys = stats.filter(F.col("_win_tomb")).select(*snap.key_cols)
+        if not zero_copy_chain:
+            # Out-of-order chain: re-encode ONLY the delta keys' resolved
+            # winners as a single synthetic level (base stays zero-copy;
+            # the write is O(delta keys), far cheaper than compaction and
+            # mutates nothing in the lake). The level-1 equality delete
+            # (derived from this file's keys) kills every base version;
+            # keys whose resolved row is a tombstone are excluded here
+            # and die via the top-sequence tombstone delete instead.
+            resolved = table._resolve(spark, snap)
+            winners = resolved.join(
+                lv.select(*snap.key_cols).distinct(), snap.key_cols,
+                "leftsemi",
+            )
+            live = winners.filter(
+                ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+            ).drop(TOMBSTONE_COL)
+            reenc_dir = fs_join(root, "data", f"iceberg-reencode-{uid}")
+            live.write.mode("overwrite").parquet(reenc_dir)
+            delta_levels = {1: [
+                fs_join(reenc_dir, name) for name in fs.listdir(reenc_dir)
+                if name.endswith(".parquet")
+            ]}
+            n_levels = 1
 
     seq_data = base_seq + 1  # base files; delta level j at seq_data + j
     seq_del = seq_data + n_levels + 1  # top: resolved-tombstone delete
 
     # -- data manifest: every base + delta file, footer-counted, in place
-    entries, total_rows = [], 0
+    # (footer reads are IO-bound and independent — a thread pool keeps a
+    # many-hundred-file MOR export off the serial driver path)
+    from concurrent.futures import ThreadPoolExecutor
 
-    def _data_entry(path: str, seq: int) -> None:
-        nonlocal total_rows
+    file_seqs = [
+        (fs_join(root, rel), seq_data)
+        for bucket in sorted(snap.files, key=int)
+        for rel in snap.files[bucket]
+    ] + [
+        (path, seq_data + j)
+        for j in sorted(delta_levels) for path in delta_levels[j]
+    ]
+
+    def _footer_rows(path: str) -> int:
         with fs.seekable_input(path) as f:
-            n = pq.ParquetFile(f).metadata.num_rows
+            return pq.ParquetFile(f).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        counts = list(pool.map(_footer_rows, [p for p, _ in file_seqs]))
+    entries, total_rows = [], 0
+    for (path, seq), n in zip(file_seqs, counts):
         total_rows += n
         entries.append({
             "status": 1,  # ADDED
@@ -332,13 +451,6 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
             },
         })
 
-    for bucket in sorted(snap.files, key=int):
-        for rel in snap.files[bucket]:
-            _data_entry(fs_join(root, rel), seq_data)
-    for j in sorted(delta_levels):
-        for path in delta_levels[j]:
-            _data_entry(path, seq_data + j)
-
     manifest_meta = {
         "schema": json.dumps(schema_json),
         "schema-id": "0",
@@ -346,7 +458,6 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         "partition-spec-id": "0",
         "format-version": "2",
     }
-    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#v{snap.version}#m{out_version}")
     data_manifest = fs_join(meta_dir, f"manifest-data-{uid}.avro")
     fs.write_bytes(
         data_manifest,
@@ -372,51 +483,14 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
     }]
 
     # -- equality deletes: per-level key kills + resolved tombstones -----
-    def _key_exprs(df):
-        # metadata-only renames: parquet still carries historical names —
-        # resolve each key column through its name history (the same
-        # coalescing LakeTable.read does), emitting the CURRENT name so
-        # delete-file columns match the exported schema
-        exprs = []
-        for k in snap.key_cols:
-            present = [n for n in [k, *snap.column_renames.get(k, [])]
-                       if n in df.columns]
-            exprs.append(F.coalesce(*[F.col(n) for n in present]).alias(k))
-        return exprs
-
-    del_specs = []  # (key DataFrame, data sequence number, label)
-    for j in sorted(delta_levels):
-        lvl = spark.read.option("mergeSchema", "true").parquet(*delta_levels[j])
-        # ALL keys present in level j — kills every older version of
-        # those keys (base + levels < j); the level's own rows survive
-        # the strictly-smaller rule at the same sequence number
-        del_specs.append(
-            (lvl.select(*_key_exprs(lvl)), seq_data + j, f"level{j}")
-        )
-    resolved = None
-    if entries:
-        # keys whose RESOLVED (max-seq) row is a tombstone: the only
-        # tombstone rows the per-level key deletes leave standing
-        from arc_spark.lake.table import TOMBSTONE_COL
-
-        resolved = table._resolve(spark, snap)
-        dead = resolved.filter(F.col(TOMBSTONE_COL)).select(*snap.key_cols)
-        del_specs.append((dead, seq_del, "tombstones"))
-
     del_entries, del_counts = [], {}
-    for key_df, seq, label in del_specs:
-        del_dir = fs_join(root, "data", f"iceberg-deletes-{uid}-{label}")
-        key_df.coalesce(1).write.mode("overwrite").parquet(del_dir)
-        del_path = next(
-            fs_join(del_dir, name) for name in fs.listdir(del_dir)
-            if name.endswith(".parquet")
-        )
-        with fs.seekable_input(del_path) as f:
+
+    def _del_entry(path: str, seq: int, label: str) -> None:
+        with fs.seekable_input(path) as f:
             n = pq.ParquetFile(f).metadata.num_rows
-        if not n:  # nothing to kill at this level — drop the empty file
-            fs.rmtree(del_dir)
-            continue
-        del_counts[label] = n
+        if not n:
+            return
+        del_counts[label] = del_counts.get(label, 0) + n
         del_entries.append({
             "status": 1,
             "snapshot_id": snapshot_id,
@@ -424,14 +498,60 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
             "file_sequence_number": seq,
             "data_file": {
                 "content": 2,  # EQUALITY_DELETES
-                "file_path": del_path,
+                "file_path": path,
                 "file_format": "PARQUET",
                 "partition": {},
                 "record_count": n,
-                "file_size_in_bytes": fs.size(del_path),
+                "file_size_in_bytes": fs.size(path),
                 "equality_ids": [ids[k] for k in snap.key_cols],
             },
         })
+
+    if n_levels:
+        # ALL keys present in level j — kills every older version of
+        # those keys (base + levels < j); the level's own rows survive
+        # the strictly-smaller rule at the same sequence number. ONE
+        # level-partitioned write produces every level's delete file —
+        # a job per level made job overhead dominate long-chain exports.
+        src = lv if zero_copy_chain else (
+            lv.select(*snap.key_cols).distinct().withColumn(
+                "_lvl", F.lit(1)
+            )
+        )
+        keys_dir = fs_join(root, "data", f"iceberg-deletes-{uid}-levels")
+        (
+            src.select(*snap.key_cols, "_lvl")
+            .repartition("_lvl")
+            .write.mode("overwrite")
+            .partitionBy("_lvl")
+            .parquet(keys_dir)
+        )
+        for entry in sorted(fs.listdir(keys_dir)):
+            if not entry.startswith("_lvl="):
+                continue
+            j = int(entry.split("=", 1)[1])
+            for fn in fs.listdir(fs_join(keys_dir, entry)):
+                if fn.endswith(".parquet"):
+                    _del_entry(fs_join(keys_dir, entry, fn),
+                               seq_data + j, f"level{j}")
+    if entries:
+        # keys whose RESOLVED (max-seq) row is a tombstone: the only
+        # tombstone rows the per-level key deletes leave standing. With
+        # MOR levels these come from the pruned stats aggregation above;
+        # a compacted table takes the no-shuffle clean-read path.
+        if dead_keys is not None:
+            dead = dead_keys
+        else:
+            if resolved is None:
+                resolved = table._resolve(spark, snap)
+            dead = resolved.filter(F.col(TOMBSTONE_COL)).select(*snap.key_cols)
+        tomb_dir = fs_join(root, "data", f"iceberg-deletes-{uid}-tombstones")
+        dead.coalesce(1).write.mode("overwrite").parquet(tomb_dir)
+        for fn in fs.listdir(tomb_dir):
+            if fn.endswith(".parquet"):
+                _del_entry(fs_join(tomb_dir, fn), seq_del, "tombstones")
+        if "tombstones" not in del_counts:  # nothing tombstoned — drop it
+            fs.rmtree(tomb_dir)
     if del_entries:
         del_manifest = fs_join(meta_dir, f"manifest-deletes-{uid}.avro")
         fs.write_bytes(
@@ -554,12 +674,14 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         fs_join(meta_dir, "version-hint.text"), str(out_version).encode()
     )
     tomb_n = del_counts.get("tombstones", 0)
-    if n_levels and resolved is not None:
+    if stats is not None:
         # with MOR levels the per-level key deletes also kill shadowed
         # versions, so total_rows - delete_rows over-subtracts (a fresh
-        # delta insert's key-delete kills nothing); count the resolved
-        # frame once instead (MOR exports only — compacted stays free)
-        live_rows = resolved.count() - tomb_n
+        # delta insert's key-delete kills nothing); the pruned stats
+        # aggregation already knows each key's winner — live rows are
+        # the keys whose winner is not a tombstone
+        live_rows = stats.filter(~F.col("_win_tomb")).count()
+        stats.unpersist()
     else:
         # LWW keeps ONE row per key, so each deleted key's only physical
         # row is its tombstone — the equality delete removes exactly it
@@ -570,6 +692,10 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
         "data_files": len(entries),
         "delete_files": len(del_entries),
         "delta_levels": n_levels,
+        # False: the chain was out-of-order (late lower-seq events in a
+        # later delta) and the delta keys' winners were re-encoded as one
+        # synthetic level — base files still referenced in place
+        "zero_copy_chain": zero_copy_chain,
         "physical_rows": total_rows,
         "deleted_keys": tomb_n,
         "delete_rows": sum(del_counts.values()),

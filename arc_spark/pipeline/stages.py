@@ -1944,7 +1944,8 @@ class CDCStreamExecute(PipelineStage):
                 "maxFilesPerTrigger",
                 "outputView", "commitLockURI", "commitLockLeaseSeconds",
                 "onBad", "quarantineURI", "metricsURI", "eventsFormat",
-                "payloadSchema", "redeliveryDedup", "kafkaOptions")
+                "payloadSchema", "redeliveryDedup", "kafkaOptions",
+                "icebergMirror")
 
     def execute(self, ctx: PipelineContext) -> DataFrame | None:
         from arc_spark.cdc.bootstrap import create_table_for_stream
@@ -1994,6 +1995,18 @@ class CDCStreamExecute(PipelineStage):
         )
         for b in replay.run_available():
             ctx.events.append({"stage": self.name, **b})
+        if self.params.get("icebergMirror"):
+            # availableNow drained everything present — publish ONE
+            # Iceberg snapshot for the drained state (MOR debt exports
+            # zero-copy as sequence-number levels, same as the batch twin)
+            from arc_spark.lake.iceberg_export import export_iceberg
+
+            res = export_iceberg(ctx.spark, table)
+            mirror_event = {
+                "stage": self.name, "event": "iceberg.mirror", **res
+            }
+            ctx.events.append(mirror_event)
+            logger.info(json.dumps(mirror_event))
         out = self.params.get("outputView")
         if out:
             return self.register_output(ctx, table.read(ctx.spark), out)

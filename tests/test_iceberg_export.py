@@ -605,3 +605,45 @@ def test_expire_snapshots_no_mirror_untouched(spark, tmp_path):
     ReplayRunner(spark, stream, table, batch_size=200).run()
     res = table.expire_snapshots(keep_last=1)
     assert res["status"] == "expired" and "iceberg" not in res
+
+
+def test_export_mor_out_of_order_chain_reencodes(spark, tmp_path):
+    """A late LOWER-seq event applied in a LATER delta epoch (the
+    file-tail streaming shape) breaks the zero-copy level invariant —
+    the export must detect it and re-encode the delta keys' resolved
+    winners instead of letting a level delete kill the true winner."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "ooo")
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string, ts timestamp, seq long, op string")
+    base = spark.createDataFrame(
+        [("r", f"p{i}", "c0", "py", f"v{i}", None, i + 100, "upsert")
+         for i in range(4)], ddl)
+    t = LakeTable(d)
+    t.create(base.drop("op").schema, ["repo", "path"],
+             seq_col="seq", num_buckets=2)
+    t.merge(spark, base, epoch=0, start_seq=100, end_seq=103, mode="cow")
+    # epoch 1 carries a NEWER update for p0 (seq 300)
+    lvl1 = spark.createDataFrame(
+        [("r", "p0", "c1", "py", "winner", None, 300, "upsert")], ddl)
+    t.merge(spark, lvl1, epoch=1, start_seq=300, end_seq=300, mode="delta")
+    # epoch 2 carries LATE, OLDER events: a stale p0 update (seq 50,
+    # loses to both base and lvl1) and a late delete for p1 (seq 40,
+    # loses to base seq 101)
+    lvl2 = spark.createDataFrame(
+        [("r", "p0", "cX", "py", "stale", None, 50, "upsert"),
+         ("r", "p1", "cX", "py", None, None, 40, "delete")], ddl)
+    t.merge(spark, lvl2, epoch=2, start_seq=40, end_seq=50, mode="delta")
+
+    res = export_iceberg(spark, t)
+    assert res["zero_copy_chain"] is False and res["delta_levels"] == 1
+    want = t.read(spark).select("repo", "path", "seq", "content")
+    got = _scan_like_iceberg(spark, res["metadata"]).select(*want.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    ind = read_iceberg(spark, d).select(*want.columns)
+    assert ind.exceptAll(want).isEmpty() and want.exceptAll(ind).isEmpty()
+    # p0 must surface the seq-300 winner, p1 must survive the late delete
+    rows = {(r["path"]): (r["seq"], r["content"]) for r in ind.collect()}
+    assert rows["p0"] == (300, "winner") and rows["p1"][0] == 101
+    assert res["live_rows"] == want.count()

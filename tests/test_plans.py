@@ -208,14 +208,16 @@ def test_iceberg_mor_read_plan_linear_in_chain_length(spark, tmp_path):
     t.merge(spark, df0, epoch=0, start_seq=0, end_seq=39)
     levels = 5
     for e in range(1, levels + 1):
+        # seq-ordered chain (the binlog-replay shape): epoch e's seqs all
+        # exceed epoch e-1's, so the zero-copy level encoding is valid
         d = spark.createDataFrame(
-            [(e % 7, f"u{e}", 100 + e, "upsert"),
-             ((e + 1) % 7, None, 200 + e, "delete")], ddl
+            [(e % 7, f"u{e}", 100 * e, "upsert"),
+             ((e + 1) % 7, None, 100 * e + 1, "delete")], ddl
         )
-        t.merge(spark, d, epoch=e, start_seq=100 + e, end_seq=200 + e,
+        t.merge(spark, d, epoch=e, start_seq=100 * e, end_seq=100 * e + 1,
                 mode="delta", max_delta_chain=64)
     res = export_iceberg(spark, t)
-    assert res["delta_levels"] == levels
+    assert res["delta_levels"] == levels and res["zero_copy_chain"]
     got = read_iceberg(spark, t.root)
     want = t.read(spark).select(*got.columns)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

@@ -281,3 +281,28 @@ def test_cdc_stream_execute_stage(spark, stream_path, expected, tmp_path):
     assert LakeTable(str(tmp_path / "slake")).current_version() == v1
     assert not [e for e in ctx2.events
                 if e.get("stage") == "stream" and e.get("status") == "committed"]
+
+
+def test_cdc_stream_execute_iceberg_mirror(spark, stream_path, tmp_path):
+    """icebergMirror on the STREAMING twin: after availableNow drains,
+    one Iceberg snapshot is published for the drained state and the
+    spec read equals the lake read (MOR debt included)."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+    from arc_spark.lake.table import LakeTable
+    from arc_spark.pipeline import run_config
+
+    cfg = {"stages": [{
+        "type": "CDCStreamExecute", "name": "stream",
+        "eventsURI": stream_path,
+        "tableURI": str(tmp_path / "mlake"),
+        "checkpointURI": str(tmp_path / "mckpt"),
+        "maxFilesPerTrigger": 4,
+        "mergeMode": "delta",
+        "icebergMirror": True,
+    }]}
+    _, ctx = run_config(spark, cfg)
+    mirror = [e for e in ctx.events if e.get("event") == "iceberg.mirror"]
+    assert len(mirror) == 1 and mirror[0]["data_files"] > 0
+    got = read_iceberg(spark, str(tmp_path / "mlake"))
+    want = LakeTable(str(tmp_path / "mlake")).read(spark).select(*got.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
