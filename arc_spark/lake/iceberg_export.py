@@ -259,7 +259,9 @@ def _manifest_file_schema():
 # the export
 # ---------------------------------------------------------------------------
 
-def export_iceberg(spark, table, *, version: int | None = None) -> dict:
+def export_iceberg(
+    spark, table, *, version: int | None = None, _retry: int = 0
+) -> dict:
     """Write Iceberg v2 metadata for ``table``'s snapshot (current by
     default) next to its data. Returns a summary dict (metadata path,
     data/delete file counts, row counts). See module docstring."""
@@ -280,7 +282,8 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
     try:
         from arc_spark.lake.iceberg_read import resolve_metadata_file
 
-        prev_path = resolve_metadata_file(fs, root)
+        # writers append to the true head, never a stale hint
+        prev_path = resolve_metadata_file(fs, root, prefer_hint=False)
         prev = json.loads(fs.read_bytes(prev_path))
     except (FileNotFoundError, ValueError):
         pass
@@ -668,11 +671,34 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
               if prev else []),
         ],
     }
+    # CAS commit (same discipline as the lake's manifest commits): two
+    # concurrent exporters would mint the SAME snapshot-id/sequence
+    # numbers from the same prev — the loser must re-read the winner's
+    # metadata and re-derive, not clobber. create_exclusive detects the
+    # race; the retry recursion re-reads prev and produces fresh ids
+    # (the losing attempt's manifest Avro / delete files are orphans the
+    # next expire_snapshots reaps).
     meta_path = fs_join(meta_dir, f"v{out_version}.metadata.json")
-    fs.write_bytes(meta_path, json.dumps(metadata, indent=2).encode())
-    fs.write_bytes(
-        fs_join(meta_dir, "version-hint.text"), str(out_version).encode()
-    )
+    try:
+        fs.create_exclusive(meta_path, json.dumps(metadata, indent=2).encode())
+    except FileExistsError:
+        if _retry >= 3:
+            raise RuntimeError(
+                f"export_iceberg: lost the metadata CAS at {meta_path} "
+                "3 times — concurrent exporters are racing faster than "
+                "the retry budget"
+            )
+        return export_iceberg(spark, table, version=version, _retry=_retry + 1)
+    # version hint is best-effort last-writer-wins (HadoopCatalog
+    # semantics); never move it backwards, and the resolver falls back
+    # to the highest v*.metadata.json when the hint dangles
+    hint_path = fs_join(meta_dir, "version-hint.text")
+    try:
+        cur_hint = int(fs.read_bytes(hint_path).decode().strip())
+    except (FileNotFoundError, ValueError):
+        cur_hint = 0
+    if out_version >= cur_hint:
+        fs.write_bytes(hint_path, str(out_version).encode())
     tomb_n = del_counts.get("tombstones", 0)
     if stats is not None:
         # with MOR levels the per-level key deletes also kill shadowed
@@ -707,7 +733,8 @@ def export_iceberg(spark, table, *, version: int | None = None) -> dict:
 # GC coordination with the lake's expire_snapshots
 # ---------------------------------------------------------------------------
 
-def expire_iceberg_snapshots(fs, root: str, live_rel: set[str]):
+def expire_iceberg_snapshots(fs, root: str, live_rel: set[str], *,
+                             _retry: int = 0):
     """Reconcile the exported Iceberg metadata chain with a lake GC pass.
 
     ``live_rel`` is the set of ROOT-relative parquet paths the surviving
@@ -730,7 +757,10 @@ def expire_iceberg_snapshots(fs, root: str, live_rel: set[str]):
       the newest survivor) — old v*.metadata.json files stay on disk, as
       real Iceberg leaves them;
     - manifest-list / manifest Avro files referenced by no surviving
-      snapshot are deleted, as are orphaned ones from crashed exports;
+      snapshot are deleted, as are orphaned ones from crashed or
+      CAS-losing exports. Like the lake GC that calls this, the reap
+      assumes no export is mid-flight (the standard GC-vs-writer
+      discipline: maintenance owns the table while it runs);
     - if NO snapshot survives, the whole ``metadata`` directory is
       removed (the mirror must be re-published with export_iceberg) and
       ``mirror_removed`` is True.
@@ -740,7 +770,7 @@ def expire_iceberg_snapshots(fs, root: str, live_rel: set[str]):
 
     meta_dir = fs_join(root, "metadata")
     try:
-        meta_path = resolve_metadata_file(fs, root)
+        meta_path = resolve_metadata_file(fs, root, prefer_hint=False)
     except (FileNotFoundError, ValueError):
         return None
     meta = json.loads(fs.read_bytes(meta_path))
@@ -801,10 +831,24 @@ def expire_iceberg_snapshots(fs, root: str, live_rel: set[str]):
                  "timestamp-ms": int(meta.get("last-updated-ms", 0))},
             ],
         }
-        fs.write_bytes(
-            fs_join(meta_dir, f"v{out_version}.metadata.json"),
-            json.dumps(new_meta, indent=2).encode(),
-        )
+        try:
+            # CAS: a concurrent export may have landed this version — its
+            # metadata references snapshots our filtering never saw, so
+            # redo the reconciliation against the new chain instead of
+            # clobbering it
+            fs.create_exclusive(
+                fs_join(meta_dir, f"v{out_version}.metadata.json"),
+                json.dumps(new_meta, indent=2).encode(),
+            )
+        except FileExistsError:
+            if _retry >= 3:
+                raise RuntimeError(
+                    f"expire_iceberg_snapshots: lost the metadata CAS at "
+                    f"{meta_dir} v{out_version} 3 times"
+                )
+            return expire_iceberg_snapshots(
+                fs, root, live_rel, _retry=_retry + 1
+            )
         fs.write_bytes(
             fs_join(meta_dir, "version-hint.text"), str(out_version).encode()
         )

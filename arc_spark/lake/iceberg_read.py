@@ -90,11 +90,16 @@ def _norm_path(p: str) -> str:
 _NORM_COL = lambda c: F.regexp_replace(c, r"^file:/+", "/")  # noqa: E731
 
 
-def resolve_metadata_file(fs, table_path: str) -> str:
-    """version-hint.text if present, else the highest v*.metadata.json."""
+def resolve_metadata_file(fs, table_path: str, *,
+                          prefer_hint: bool = True) -> str:
+    """version-hint.text if present (readers), else the highest
+    v*.metadata.json. WRITERS pass ``prefer_hint=False``: appending to a
+    stale hint instead of the true chain head would fork history when a
+    prior writer crashed between its metadata commit and the hint update
+    (the hint is best-effort, HadoopCatalog-style)."""
     meta_dir = fs_join(table_path, "metadata")
     hint = fs_join(meta_dir, "version-hint.text")
-    if fs.exists(hint):
+    if prefer_hint and fs.exists(hint):
         v = fs.read_bytes(hint).decode().strip()
         cand = fs_join(meta_dir, f"v{v}.metadata.json")
         if fs.exists(cand):

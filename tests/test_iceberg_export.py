@@ -647,3 +647,75 @@ def test_export_mor_out_of_order_chain_reencodes(spark, tmp_path):
     rows = {(r["path"]): (r["seq"], r["content"]) for r in ind.collect()}
     assert rows["p0"] == (300, "winner") and rows["p1"][0] == 101
     assert res["live_rows"] == want.count()
+
+
+def test_export_metadata_commit_is_cas(spark, tmp_path):
+    """A concurrent exporter landing the same metadata version must not
+    be clobbered: the CAS loser re-reads the winner's chain and commits
+    the NEXT version with fresh snapshot ids (monotone, no duplicates)."""
+    d = str(tmp_path / "cas")
+    write_change_stream(spark, f"{d}/ev", 400, seed=12, num_partitions=2)
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake",
+                                       num_buckets=2)
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=400).run()
+    r1 = export_iceberg(spark, table)
+    fs = LocalFS()
+    # simulate a concurrent export winning v2: pre-create it as a copy
+    # of v1 with a distinct snapshot id
+    m1 = json.loads(fs.read_bytes(r1["metadata"]))
+    m2 = {**m1, "snapshots": [{**m1["snapshots"][0], "snapshot-id": 999}],
+          "current-snapshot-id": 999,
+          "refs": {"main": {"snapshot-id": 999, "type": "branch"}}}
+    fs.write_bytes(f"{d}/lake/metadata/v2.metadata.json",
+                   json.dumps(m2).encode())
+    fs.write_bytes(f"{d}/lake/metadata/version-hint.text", b"2")
+    r3 = export_iceberg(spark, table)
+    assert r3["metadata"].endswith("v3.metadata.json")
+    m3 = json.loads(fs.read_bytes(r3["metadata"]))
+    sids = [s["snapshot-id"] for s in m3["snapshots"]]
+    assert len(sids) == len(set(sids)) and max(sids) > 999
+    # hint never moves backwards
+    assert fs.read_bytes(f"{d}/lake/metadata/version-hint.text") == b"3"
+
+
+def test_export_cas_loser_retries_against_winner(spark, tmp_path):
+    """Exercise the actual CAS-loss branch: a 'concurrent' export lands
+    the target metadata version between our read and our commit; the
+    loser must retry, absorb the winner's snapshot into the chain, and
+    commit the next version."""
+    d = str(tmp_path / "casf")
+    write_change_stream(spark, f"{d}/ev", 300, seed=13, num_partitions=2)
+    table, _ = create_table_for_stream(spark, f"{d}/ev", f"{d}/lake",
+                                       num_buckets=2)
+    ReplayRunner(spark, f"{d}/ev", table, batch_size=300).run()
+    r1 = export_iceberg(spark, table)
+    inner = LocalFS()
+    m1 = json.loads(inner.read_bytes(r1["metadata"]))
+    winner = {**m1,
+              "snapshots": [{**m1["snapshots"][0], "snapshot-id": 999}],
+              "current-snapshot-id": 999,
+              "refs": {"main": {"snapshot-id": 999, "type": "branch"}}}
+
+    class RacedFS:
+        """First metadata.json create_exclusive loses to a racing writer."""
+
+        def __init__(self):
+            self.raced = False
+
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+        def create_exclusive(self, path, data):
+            if not self.raced and path.endswith(".metadata.json"):
+                self.raced = True
+                inner.write_bytes(path, json.dumps(winner).encode())
+            return inner.create_exclusive(path, data)
+
+    table._fs = RacedFS()
+    r = export_iceberg(spark, table)
+    assert table._fs.raced  # the injected race actually fired
+    assert r["metadata"].endswith("v3.metadata.json")
+    m3 = json.loads(inner.read_bytes(r["metadata"]))
+    sids = [s["snapshot-id"] for s in m3["snapshots"]]
+    assert 999 in sids and len(sids) == len(set(sids))
+    assert m3["current-snapshot-id"] == max(sids)
