@@ -788,6 +788,23 @@ def _iceberg_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain LWW oracle, so any spec drift in either the writer or the
     reader (sequence numbers, delete scope, name mapping, schema types)
     diverges."""
+    return _iceberg_round_trip_mode(spark, sf_dir, "cow")
+
+
+def _iceberg_round_trip_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOR shape of the Iceberg loop: the replay commits merge-on-read
+    delta epochs and the export runs WITHOUT compaction — outstanding
+    delta chains become sequence-number levels with per-level equality
+    deletes (arc_spark/lake/iceberg_export.py module docstring), which
+    the independent spec reader must resolve to the same LWW state the
+    oracle computes. This is the per-epoch `icebergMirror` publication
+    path at 100 TB (no forced compaction before publishing)."""
+    return _iceberg_round_trip_mode(spark, sf_dir, "delta")
+
+
+def _iceberg_round_trip_mode(
+    spark: SparkSession, sf_dir: str, merge_mode: str
+) -> DataFrame:
     import tempfile
 
     from pyspark.sql import functions as F
@@ -805,7 +822,7 @@ def _iceberg_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_seq = ev.agg(F.max("event_id")).first()[0]
     ReplayRunner(
         spark, f"{d}/ev", table,
-        batch_size=max(1, int(max_seq) // 4 + 1), merge_mode="cow",
+        batch_size=max(1, int(max_seq) // 4 + 1), merge_mode=merge_mode,
     ).run()
     export_iceberg(spark, table)
     return read_iceberg(spark, f"{d}/lake").select(
@@ -1543,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statistics_lineitem": _statistics_lineitem,
         "cdc_replay_mini": _cdc_replay_mini,
         "iceberg_round_trip": _iceberg_round_trip,
+        "iceberg_round_trip_mor": _iceberg_round_trip_mor,
         "cdc_bootstrap": _cdc_bootstrap,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
@@ -2305,6 +2323,9 @@ def oracle_sql() -> dict[str, str]:
     # byte-for-byte, so its oracle IS cdc_replay_mini's plain LWW — any
     # divergence is spec drift in the writer or the reader
     oracles["iceberg_round_trip"] = oracles["cdc_replay_mini"]
+    # the MOR shape (delta levels + per-level equality deletes, exported
+    # without compaction) must resolve to the SAME LWW state
+    oracles["iceberg_round_trip_mor"] = oracles["cdc_replay_mini"]
     return oracles
 
 
