@@ -429,14 +429,17 @@ def export_iceberg(
         for j in sorted(delta_levels) for path in delta_levels[j]
     ]
 
-    def _footer_rows(path: str) -> int:
+    def _footer_stats(path: str) -> tuple[int, int]:
+        """(row count, byte size) — one footer read + one stat, pooled so
+        a many-hundred-file export never walks files serially."""
         with fs.seekable_input(path) as f:
-            return pq.ParquetFile(f).metadata.num_rows
+            n = pq.ParquetFile(f).metadata.num_rows
+        return n, fs.size(path)
 
     with ThreadPoolExecutor(max_workers=16) as pool:
-        counts = list(pool.map(_footer_rows, [p for p, _ in file_seqs]))
+        fstats = list(pool.map(_footer_stats, [p for p, _ in file_seqs]))
     entries, total_rows = [], 0
-    for (path, seq), n in zip(file_seqs, counts):
+    for (path, seq), (n, size) in zip(file_seqs, fstats):
         total_rows += n
         entries.append({
             "status": 1,  # ADDED
@@ -449,7 +452,7 @@ def export_iceberg(
                 "file_format": "PARQUET",
                 "partition": {},
                 "record_count": n,
-                "file_size_in_bytes": fs.size(path),
+                "file_size_in_bytes": size,
                 "equality_ids": None,
             },
         })
@@ -489,8 +492,7 @@ def export_iceberg(
     del_entries, del_counts = [], {}
 
     def _del_entry(path: str, seq: int, label: str) -> None:
-        with fs.seekable_input(path) as f:
-            n = pq.ParquetFile(f).metadata.num_rows
+        n, size = _footer_stats(path)
         if not n:
             return
         del_counts[label] = del_counts.get(label, 0) + n
@@ -505,7 +507,7 @@ def export_iceberg(
                 "file_format": "PARQUET",
                 "partition": {},
                 "record_count": n,
-                "file_size_in_bytes": fs.size(path),
+                "file_size_in_bytes": size,
                 "equality_ids": [ids[k] for k in snap.key_cols],
             },
         })
@@ -674,14 +676,22 @@ def export_iceberg(
     # CAS commit (same discipline as the lake's manifest commits): two
     # concurrent exporters would mint the SAME snapshot-id/sequence
     # numbers from the same prev — the loser must re-read the winner's
-    # metadata and re-derive, not clobber. create_exclusive detects the
-    # race; the retry recursion re-reads prev and produces fresh ids
-    # (the losing attempt's manifest Avro / delete files are orphans the
-    # next expire_snapshots reaps).
+    # metadata and re-derive, not clobber. With the table's CommitLocker
+    # the check-then-put (and the hint update) serialize on ANY backend;
+    # without one, create_exclusive detects the race where the fs CAS is
+    # honest (POSIX, HDFS, native S3 conditional PUT) and the Hadoop-
+    # connector object-store caveat is the lake's own, warned once there.
+    # Either way the loser retries: the recursion re-reads prev and
+    # produces fresh ids (the losing attempt's manifest Avro / delete
+    # files are orphans the next expire_snapshots reaps).
     meta_path = fs_join(meta_dir, f"v{out_version}.metadata.json")
-    try:
-        fs.create_exclusive(meta_path, json.dumps(metadata, indent=2).encode())
-    except FileExistsError:
+    committed = _cas_metadata(
+        fs, getattr(table, "locker", None), root, meta_path,
+        json.dumps(metadata, indent=2).encode(), out_version,
+    )
+    if not committed:
+        if stats is not None:
+            stats.unpersist()  # the retry builds (and persists) a fresh one
         if _retry >= 3:
             raise RuntimeError(
                 f"export_iceberg: lost the metadata CAS at {meta_path} "
@@ -689,16 +699,6 @@ def export_iceberg(
                 "the retry budget"
             )
         return export_iceberg(spark, table, version=version, _retry=_retry + 1)
-    # version hint is best-effort last-writer-wins (HadoopCatalog
-    # semantics); never move it backwards, and the resolver falls back
-    # to the highest v*.metadata.json when the hint dangles
-    hint_path = fs_join(meta_dir, "version-hint.text")
-    try:
-        cur_hint = int(fs.read_bytes(hint_path).decode().strip())
-    except (FileNotFoundError, ValueError):
-        cur_hint = 0
-    if out_version >= cur_hint:
-        fs.write_bytes(hint_path, str(out_version).encode())
     tomb_n = del_counts.get("tombstones", 0)
     if stats is not None:
         # with MOR levels the per-level key deletes also kill shadowed
@@ -729,12 +729,51 @@ def export_iceberg(
     }
 
 
+def _cas_metadata(fs, locker, root: str, meta_path: str, payload: bytes,
+                  out_version: int) -> bool:
+    """Atomically publish an Iceberg metadata version + advance the hint.
+
+    Returns False when the version already exists (the caller lost the
+    race and must re-derive against the winner's chain). With a
+    CommitLocker the check-then-put AND the hint update serialize on any
+    backend; without one, ``create_exclusive`` is the CAS (atomic on
+    POSIX/HDFS/native-S3; the Hadoop-connector object-store caveat is
+    shared with — and warned by — the lake's own manifest commit) and
+    the hint update is best-effort: it writes the HIGHEST existing
+    version rather than blindly our own, so a slow loser cannot regress
+    the hint past a newer winner (readers also fall back to the highest
+    v* when a hint dangles)."""
+    meta_dir = meta_path.rsplit("/", 1)[0]
+    hint_path = fs_join(meta_dir, "version-hint.text")
+    if locker is not None:
+        token = locker.acquire(fs_join(root, "_iceberg_commit"))
+        try:
+            if fs.exists(meta_path):
+                return False
+            fs.write_bytes(meta_path, payload)
+            fs.write_bytes(hint_path, str(out_version).encode())
+            return True
+        finally:
+            locker.release(fs_join(root, "_iceberg_commit"), token)
+    try:
+        fs.create_exclusive(meta_path, payload)
+    except FileExistsError:
+        return False
+    highest = out_version
+    for name in fs.listdir(meta_dir):
+        m = re.match(r"v(\d+)\.metadata\.json$", name)
+        if m:
+            highest = max(highest, int(m.group(1)))
+    fs.write_bytes(hint_path, str(highest).encode())
+    return True
+
+
 # ---------------------------------------------------------------------------
 # GC coordination with the lake's expire_snapshots
 # ---------------------------------------------------------------------------
 
 def expire_iceberg_snapshots(fs, root: str, live_rel: set[str], *,
-                             _retry: int = 0):
+                             locker=None, _retry: int = 0):
     """Reconcile the exported Iceberg metadata chain with a lake GC pass.
 
     ``live_rel`` is the set of ROOT-relative parquet paths the surviving
@@ -784,20 +823,29 @@ def expire_iceberg_snapshots(fs, root: str, live_rel: set[str], *,
             _, manifests = read_ocf_bytes(fs.read_bytes(s["manifest-list"]))
         except FileNotFoundError:
             continue  # already half-expired: drop it
-        ok, del_rel, avros = True, [], [s["manifest-list"]]
+        ok, own_rel, avros = True, [], [s["manifest-list"]]
         for m in manifests:
             avros.append(m["manifest_path"])
             _, entries = read_ocf_bytes(fs.read_bytes(m["manifest_path"]))
             for e in entries:
                 r = rel(e["data_file"]["file_path"])
-                if e["data_file"].get("content", 0) == 0:
+                if (
+                    e["data_file"].get("content", 0) == 0
+                    and not r.startswith("data/iceberg-")
+                ):
+                    # a LAKE parquet referenced in place: the snapshot
+                    # survives iff the lake GC keeps it
                     if r not in live_rel:
                         ok = False
                 else:
-                    del_rel.append(r)
+                    # EXPORT-OWNED file (equality deletes, re-encoded
+                    # delta winners): it lives in no lake manifest by
+                    # construction — it survives exactly as long as its
+                    # snapshot does, so it must never vote against it
+                    own_rel.append(r)
         if ok:
             surviving.append(s)
-            keep_files |= set(del_rel)
+            keep_files |= set(own_rel)
             keep_avro |= {a.rsplit("/", 1)[-1] for a in avros}
 
     dropped = len(meta.get("snapshots", [])) - len(surviving)
@@ -831,27 +879,24 @@ def expire_iceberg_snapshots(fs, root: str, live_rel: set[str], *,
                  "timestamp-ms": int(meta.get("last-updated-ms", 0))},
             ],
         }
-        try:
-            # CAS: a concurrent export may have landed this version — its
-            # metadata references snapshots our filtering never saw, so
-            # redo the reconciliation against the new chain instead of
-            # clobbering it
-            fs.create_exclusive(
-                fs_join(meta_dir, f"v{out_version}.metadata.json"),
-                json.dumps(new_meta, indent=2).encode(),
-            )
-        except FileExistsError:
+        # CAS: a concurrent export may have landed this version — its
+        # metadata references snapshots our filtering never saw, so
+        # redo the reconciliation against the new chain instead of
+        # clobbering it
+        committed = _cas_metadata(
+            fs, locker, root,
+            fs_join(meta_dir, f"v{out_version}.metadata.json"),
+            json.dumps(new_meta, indent=2).encode(), out_version,
+        )
+        if not committed:
             if _retry >= 3:
                 raise RuntimeError(
                     f"expire_iceberg_snapshots: lost the metadata CAS at "
                     f"{meta_dir} v{out_version} 3 times"
                 )
             return expire_iceberg_snapshots(
-                fs, root, live_rel, _retry=_retry + 1
+                fs, root, live_rel, locker=locker, _retry=_retry + 1
             )
-        fs.write_bytes(
-            fs_join(meta_dir, "version-hint.text"), str(out_version).encode()
-        )
     # reap manifest-list/manifest Avro of dropped (or orphaned) snapshots
     for name in fs.listdir(meta_dir):
         if name.endswith(".avro") and name not in keep_avro:

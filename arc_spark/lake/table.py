@@ -1569,7 +1569,8 @@ class LakeTable:
             live |= set(self.snapshot(v).file_list())
         from arc_spark.lake.iceberg_export import expire_iceberg_snapshots
 
-        ice = expire_iceberg_snapshots(self.fs, self.root, live)
+        ice = expire_iceberg_snapshots(self.fs, self.root, live,
+                                       locker=self.locker)
         if ice is not None:
             live |= ice["keep_files"]
         removed_files = 0

@@ -304,8 +304,17 @@ def test_catalog_iceberg_warehouse_export(spark, tmp_path, stream_path):
         want = catalog.read(spark, name).select(*got.columns)
         assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
     # pinned versions: exporting an OLDER catalog snapshot round-trips
-    # the epoch the catalog committed then, not the current table state
+    # the epoch the catalog committed THEN, not the current table state
     from arc_spark.lake.iceberg_export import export_catalog_iceberg
 
-    res = export_catalog_iceberg(spark, catalog)
-    assert res["catalog_version"] == catalog.current_version()
+    old_v = catalog.current_version() - 1  # one atomic epoch back
+    res = export_catalog_iceberg(spark, catalog, version=old_v)
+    assert res["catalog_version"] == old_v
+    for name in ("files", "tags"):
+        got = read_iceberg(spark, catalog.snapshot().tables[name]["root"])
+        want = catalog.read(spark, name, version=old_v).select(*got.columns)
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the older pin differs from the current state for at least one table
+    cur = catalog.read(spark, "files")
+    old = catalog.read(spark, "files", version=old_v)
+    assert cur.exceptAll(old).count() > 0

@@ -719,3 +719,40 @@ def test_export_cas_loser_retries_against_winner(spark, tmp_path):
     sids = [s["snapshot-id"] for s in m3["snapshots"]]
     assert 999 in sids and len(sids) == len(set(sids))
     assert m3["current-snapshot-id"] == max(sids)
+
+
+def test_expire_keeps_reencoded_export_files(spark, tmp_path):
+    """Regression (review finding): re-encoded delta winners live under
+    data/iceberg-reencode-* — export-OWNED files in no lake manifest.
+    They must never vote a snapshot dead, and GC must keep them while
+    their snapshot survives."""
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "regc")
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string, ts timestamp, seq long, op string")
+    base = spark.createDataFrame(
+        [("r", f"p{i}", "c0", "py", f"v{i}", None, i + 100, "upsert")
+         for i in range(4)], ddl)
+    t = LakeTable(d)
+    t.create(base.drop("op").schema, ["repo", "path"],
+             seq_col="seq", num_buckets=2)
+    t.merge(spark, base, epoch=0, start_seq=100, end_seq=103, mode="cow")
+    # out-of-order chain -> re-encoded export
+    t.merge(spark, spark.createDataFrame(
+        [("r", "p0", "c1", "py", "w", None, 300, "upsert")], ddl),
+        epoch=1, start_seq=300, end_seq=300, mode="delta")
+    t.merge(spark, spark.createDataFrame(
+        [("r", "p0", "cX", "py", "stale", None, 50, "upsert")], ddl),
+        epoch=2, start_seq=40, end_seq=50, mode="delta")
+    res = export_iceberg(spark, t)
+    assert res["zero_copy_chain"] is False
+    want = t.read(spark).select("repo", "path", "seq", "content")
+
+    # zero lake files are GC-able (keep everything) — the mirror must
+    # survive INTACT, re-encoded file included
+    gc = t.expire_snapshots(keep_last=100)
+    assert gc["iceberg"]["snapshots_dropped"] == 0
+    assert gc["iceberg"]["mirror_removed"] is False
+    got = read_iceberg(spark, d).select(*want.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
