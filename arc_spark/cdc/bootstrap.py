@@ -55,6 +55,15 @@ def create_table_for_stream(
             [*_payload_struct(payload_schema).fields,
              StructField(seq_col, LongType(), True)]
         )
+    elif events_format == "iceberg":
+        from arc_spark.lake.iceberg_read import read_iceberg
+
+        first = (
+            events_path[0]
+            if isinstance(events_path, (list, tuple))
+            else events_path
+        )
+        stream_schema = read_iceberg(spark, first).schema
     else:
         paths = (
             list(events_path)

@@ -83,9 +83,10 @@ class ReplayRunner:
         # tail — fine for small tails and tests, O(stream · epochs) at
         # scale: stage big tails once with stage_debezium() and replay
         # the parquet.
-        if events_format not in ("parquet", "debezium"):
+        if events_format not in ("parquet", "debezium", "iceberg"):
             raise ValueError(
-                f"events_format must be parquet/debezium, got {events_format!r}"
+                "events_format must be parquet/debezium/iceberg, "
+                f"got {events_format!r}"
             )
         if events_format == "debezium" and payload_schema is None:
             raise ValueError("events_format='debezium' requires payload_schema")
@@ -172,6 +173,23 @@ class ReplayRunner:
 
             raw = self.spark.read.text(paths)
             return parse_debezium(raw, self.payload_schema).drop("_ts_ms")
+        if self.events_format == "iceberg":
+            # the events source is an Iceberg table (the Kafka->Iceberg
+            # landing-zone shape): read the current snapshot with the
+            # engine's spec reader — no runtime jar. Resume stays the
+            # normal seq cursor (epochs window on seq), and for the
+            # append-only event tables this shape implies, the per-epoch
+            # seq filter pushes straight into the parquet scan (no delete
+            # joins in the plan)
+            from arc_spark.lake.iceberg_read import read_iceberg
+
+            df = None
+            for p in paths:
+                d = read_iceberg(self.spark, p)
+                df = d if df is None else df.unionByName(
+                    d, allowMissingColumns=True
+                )
+            return df
         # mergeSchema: a binlog's later files may carry columns earlier
         # files lack (the schema-evolution case); without it Spark infers
         # the schema from ONE footer and can silently drop the new column

@@ -926,3 +926,228 @@ def export_catalog_iceberg(spark, catalog, *, version: int | None = None) -> dic
         "epoch": snap.epoch,
         "tables": tables,
     }
+
+
+def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
+    """Land a plain DataFrame as (or append a snapshot to) an Apache
+    Iceberg v2 table at ``root`` — the minimal landing-zone writer.
+
+    This is the inbound half of the event-stream story: a connector
+    (e.g. parsed Debezium envelopes) lands batches here and the replay
+    tails the table with ``events_format='iceberg'`` — resume stays the
+    seq cursor, so the landing zone needs no offset bookkeeping of its
+    own. ``mode='append'`` adds this batch's files to the previous
+    snapshot's file set (a real Iceberg append); ``mode='overwrite'``
+    starts the table over with only this batch. The metadata chain,
+    name mapping, CAS commit and snapshot history follow the same code
+    paths the lake exporter uses, so everything ``read_iceberg`` / any
+    spec-compliant reader supports (time travel, schema-id reuse) holds
+    here too. No deletes are ever written — a landing zone is
+    append-only by design; use a LakeTable when you need upserts."""
+    import pyarrow.parquet as pq
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+    fs = get_fs(root, spark)
+    meta_dir = fs_join(root, "metadata")
+    fs.mkdirs(meta_dir)
+
+    prev, prev_path = None, None
+    try:
+        from arc_spark.lake.iceberg_read import (
+            _load_snapshot_files,
+            resolve_metadata_file,
+        )
+
+        prev_path = resolve_metadata_file(fs, root, prefer_hint=False)
+        prev = json.loads(fs.read_bytes(prev_path))
+    except (FileNotFoundError, ValueError):
+        pass
+
+    batch_dir = fs_join(root, "data", f"append-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(batch_dir)
+    new_files = [
+        fs_join(batch_dir, name) for name in fs.listdir(batch_dir)
+        if name.endswith(".parquet")
+    ]
+
+    if prev:
+        m = re.match(r".*v(\d+)\.metadata\.json$", prev_path)
+        out_version = int(m.group(1)) + 1
+        base_seq = int(prev.get("last-sequence-number", 0))
+        snapshot_id = max(
+            (s["snapshot-id"] for s in prev.get("snapshots", [])), default=0
+        ) + 1
+        now_ms = max(int(time.time() * 1000),
+                     int(prev.get("last-updated-ms", 0)) + 1)
+    else:
+        out_version, base_seq, snapshot_id = 1, 0, 1
+        now_ms = int(time.time() * 1000)
+    seq = base_seq + 1
+
+    # carry the previous snapshot's live files forward at their original
+    # data sequence numbers (a true append — old files are EXISTING)
+    carried = []
+    if prev and mode == "append" and prev.get("current-snapshot-id") is not None:
+        data_files, deletes = _load_snapshot_files(fs, prev)
+        if deletes:
+            raise ValueError(
+                "write_iceberg appends to append-only tables; this table "
+                "carries delete files — it belongs to an upsert writer"
+            )
+        carried = [(p, s) for p, s in data_files]
+
+    schema_json, name_mapping, _ids, last_col_id = _build_schema(
+        df.schema, {}
+    )
+    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#w{out_version}")
+
+    def _stats(path):
+        with fs.seekable_input(path) as f:
+            return pq.ParquetFile(f).metadata.num_rows, fs.size(path)
+
+    entries, total_rows, new_rows = [], 0, 0
+    for path, fseq, status in (
+        [(p, s, 0) for p, s in carried]          # EXISTING
+        + [(p, seq, 1) for p in new_files]        # ADDED
+    ):
+        n, size = _stats(path)
+        total_rows += n
+        if status == 1:
+            new_rows += n
+        entries.append({
+            "status": status,
+            "snapshot_id": snapshot_id,
+            "sequence_number": fseq,
+            "file_sequence_number": fseq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": size, "equality_ids": None,
+            },
+        })
+
+    manifest_meta = {
+        "schema": json.dumps(schema_json), "schema-id": "0",
+        "partition-spec": "[]", "partition-spec-id": "0",
+        "format-version": "2",
+    }
+    data_manifest = fs_join(meta_dir, f"manifest-data-{uid}.avro")
+    fs.write_bytes(
+        data_manifest,
+        write_ocf_bytes(
+            _manifest_entry_schema(), entries, codec="null",
+            extra_meta={**manifest_meta, "content": "data"},
+        ),
+    )
+    manifest_list = fs_join(meta_dir, f"snap-{snapshot_id}-{uid}.avro")
+    fs.write_bytes(
+        manifest_list,
+        write_ocf_bytes(
+            _manifest_file_schema(),
+            [{
+                "manifest_path": data_manifest,
+                "manifest_length": fs.size(data_manifest),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    [s for _, s in carried] + [seq]
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(new_files),
+                "existing_files_count": len(carried),
+                "deleted_files_count": 0,
+                "added_rows_count": new_rows,
+                "existing_rows_count": total_rows - new_rows,
+                "deleted_rows_count": 0,
+            }],
+            codec="null",
+            extra_meta={"snapshot-id": str(snapshot_id),
+                        "sequence-number": str(seq), "format-version": "2"},
+        ),
+    )
+
+    schemas, schema_id = [schema_json], 0
+    if prev:
+        schemas = list(prev.get("schemas") or [])
+
+        def _body(s):
+            return json.dumps(
+                {k: v for k, v in s.items() if k != "schema-id"},
+                sort_keys=True,
+            )
+
+        match = next(
+            (s["schema-id"] for s in schemas if _body(s) == _body(schema_json)),
+            None,
+        )
+        if match is None:
+            schema_id = max(s["schema-id"] for s in schemas) + 1
+            schemas.append({**schema_json, "schema-id": schema_id})
+        else:
+            schema_id = match
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": prev["table-uuid"] if prev else str(
+            uuid.uuid5(uuid.NAMESPACE_URL, root)
+        ),
+        "location": root,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(
+            last_col_id, int(prev.get("last-column-id", 0)) if prev else 0
+        ),
+        "current-schema-id": schema_id,
+        "schemas": schemas,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping),
+            "write.format.default": "parquet",
+            "commit.retry.num-retries": "1",
+        },
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshots": [
+            *([s for s in prev.get("snapshots", [])] if prev else []),
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": now_ms,
+                "sequence-number": seq,
+                "summary": {
+                    "operation": "append" if mode == "append" else "overwrite",
+                    "added-data-files": str(len(new_files)),
+                    "added-records": str(new_rows),
+                },
+                "manifest-list": manifest_list,
+                "schema-id": schema_id,
+            },
+        ],
+        "snapshot-log": [
+            *(prev.get("snapshot-log", []) if prev else []),
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms},
+        ],
+        "metadata-log": [
+            *(prev.get("metadata-log", []) if prev else []),
+            *([{"metadata-file": prev_path,
+                "timestamp-ms": int(prev.get("last-updated-ms", 0))}]
+              if prev else []),
+        ],
+    }
+    meta_path = fs_join(meta_dir, f"v{out_version}.metadata.json")
+    if not _cas_metadata(fs, None, root, meta_path,
+                         json.dumps(metadata, indent=2).encode(), out_version):
+        return write_iceberg(spark, df, root, mode=mode)  # lost the race
+    return {
+        "metadata": meta_path,
+        "manifest_list": manifest_list,
+        "data_files": len(entries),
+        "added_files": len(new_files),
+        "added_rows": new_rows,
+        "total_rows": total_rows,
+        "snapshot_id": snapshot_id,
+    }

@@ -756,3 +756,54 @@ def test_expire_keeps_reencoded_export_files(spark, tmp_path):
     assert gc["iceberg"]["mirror_removed"] is False
     got = read_iceberg(spark, d).select(*want.columns)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_write_iceberg_landing_zone_and_replay_tail(spark, tmp_path):
+    """The landing-zone loop: batches of change events land via
+    write_iceberg (true appends: later snapshots carry earlier files as
+    EXISTING at their original sequence numbers), the replay tails the
+    table with events_format='iceberg', resumes on its normal seq
+    cursor, and the final lake equals a plain-parquet replay of the same
+    stream."""
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "land")
+    stream = write_change_stream(spark, f"{d}/ev", 1000, seed=9,
+                                 num_partitions=4)
+    ev = spark.read.parquet(stream)
+    # land in two batches (seq-split like a connector would)
+    r1 = write_iceberg(spark, ev.filter("seq < 500"), f"{d}/ice")
+    r2 = write_iceberg(spark, ev.filter("seq >= 500"), f"{d}/ice")
+    assert r2["metadata"].endswith("v2.metadata.json")
+    assert r2["total_rows"] == 1000 and r2["added_rows"] == r2["total_rows"] - r1["added_rows"]
+    landed = read_iceberg(spark, f"{d}/ice")
+    assert landed.count() == 1000
+    # time travel: the first landed snapshot is still exactly batch 1
+    assert read_iceberg(
+        spark, f"{d}/ice", snapshot_id=r1["snapshot_id"]
+    ).count() == r1["added_rows"]
+
+    # tail the Iceberg table with the replay runner (resume mid-way)
+    table, _ = create_table_for_stream(
+        spark, f"{d}/ice", f"{d}/lake", num_buckets=4,
+        events_format="iceberg",
+    )
+    ReplayRunner(spark, f"{d}/ice", table, batch_size=300,
+                 events_format="iceberg").run(max_epochs=2)
+    ReplayRunner(spark, f"{d}/ice", table, batch_size=300,
+                 events_format="iceberg").run()  # resume from cursor
+    want_table, _ = create_table_for_stream(spark, stream, f"{d}/plake",
+                                            num_buckets=4)
+    ReplayRunner(spark, stream, want_table, batch_size=300).run()
+    cols = sorted(table.read(spark).columns)
+    got = table.read(spark).select(*cols)
+    want = want_table.read(spark).select(*cols)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # a landing zone is append-only: write_iceberg refuses tables that
+    # carry delete files (an upsert writer's output)
+    t2 = LakeTable(f"{d}/lake")
+    export_iceberg(spark, t2)
+    with pytest.raises(ValueError, match="append-only"):
+        write_iceberg(spark, ev.limit(1), f"{d}/lake")
