@@ -802,6 +802,47 @@ def _iceberg_round_trip_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _iceberg_round_trip_mode(spark, sf_dir, "delta")
 
 
+def _iceberg_landing_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The landing-zone deployment shape, oracle-gated end-to-end: the
+    change stream lands in an append-only Iceberg table in three
+    write_iceberg batches (true appends: earlier files carried as
+    EXISTING at their sequence numbers), the replay tails THAT table
+    via the spec reader (events_format='iceberg', seq-cursor resume),
+    and the final lake state must hash-match the plain LWW oracle —
+    certifying writer, reader, and tail in one loop
+    (arc_spark/lake/iceberg_export.write_iceberg)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+    from arc_spark.lake.iceberg_export import write_iceberg
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = _events_as_changes(spark, sf_dir, with_commit=True)
+    d = tempfile.mkdtemp(prefix="iceland_")
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    cut1, cut2 = max_seq // 3, 2 * max_seq // 3
+    for lo, hi in [(0, cut1), (cut1, cut2), (cut2, max_seq + 1)]:
+        write_iceberg(
+            spark,
+            changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi)),
+            f"{d}/ice",
+        )
+    table, _ = create_table_for_stream(
+        spark, f"{d}/ice", f"{d}/lake", num_buckets=16,
+        events_format="iceberg",
+    )
+    ReplayRunner(
+        spark, f"{d}/ice", table,
+        batch_size=max(1, max_seq // 4 + 1), events_format="iceberg",
+    ).run()
+    return table.read(spark).select(
+        "repo", "path", "seq", "commit", "value", "content_sha256"
+    )
+
+
 def _iceberg_round_trip_mode(
     spark: SparkSession, sf_dir: str, merge_mode: str
 ) -> DataFrame:
@@ -1561,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mini": _cdc_replay_mini,
         "iceberg_round_trip": _iceberg_round_trip,
         "iceberg_round_trip_mor": _iceberg_round_trip_mor,
+        "iceberg_landing_tail": _iceberg_landing_tail,
         "cdc_bootstrap": _cdc_bootstrap,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
@@ -2326,6 +2368,10 @@ def oracle_sql() -> dict[str, str]:
     # the MOR shape (delta levels + per-level equality deletes, exported
     # without compaction) must resolve to the SAME LWW state
     oracles["iceberg_round_trip_mor"] = oracles["cdc_replay_mini"]
+    # landing-zone tail: events land in an append-only Iceberg table and
+    # the replay tails it — the stream's content is identical, so the
+    # LWW endpoint is identical
+    oracles["iceberg_landing_tail"] = oracles["cdc_replay_mini"]
     return oracles
 
 
