@@ -290,3 +290,75 @@ def read_iceberg(
             .drop("_ice_dseq")
         )
     return out.drop("_ice_file_n", "_ice_seq", "_ice_pos")
+
+
+def read_iceberg_appends(
+    spark: SparkSession,
+    table_path: str,
+    since_snapshot_id: int | None = None,
+    *,
+    metadata_file: str | None = None,
+):
+    """Incremental consumption of an APPEND-ONLY Iceberg table: the rows
+    in data files added strictly after ``since_snapshot_id`` (None =
+    everything), plus the current snapshot id to store as the consumer's
+    cursor. The complement of ``write_iceberg`` for consumers that have
+    no monotone column to window on (with one, prefer a plain seq
+    cursor — it also survives compaction rewrites).
+
+    Every snapshot in the traversed range must be an ``append``
+    (operation in its summary): an overwrite/delete rewrites history, so
+    "files added since" stops meaning "rows added since" — that case
+    raises instead of silently double- or under-reading. Returns
+    ``(DataFrame, current_snapshot_id)``; an empty range returns an
+    empty frame of the table's schema.
+    """
+    fs = get_fs(table_path, spark)
+    meta_path = metadata_file or resolve_metadata_file(fs, table_path)
+    meta = json.loads(fs.read_bytes(meta_path))
+    snaps = meta.get("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None or cur_id not in by_id:
+        raise ValueError(f"{table_path} has no current snapshot")
+    if since_snapshot_id is not None and since_snapshot_id not in by_id:
+        raise ValueError(
+            f"snapshot {since_snapshot_id} not in the table's history "
+            f"(expired?) — available: {sorted(by_id)}; re-bootstrap the "
+            "consumer from a full read"
+        )
+    since_seq = (
+        int(by_id[since_snapshot_id].get("sequence-number", 0))
+        if since_snapshot_id is not None else -1
+    )
+    cur_seq = int(by_id[cur_id].get("sequence-number", 0))
+    for s in snaps:
+        seq = int(s.get("sequence-number", 0))
+        if since_seq < seq <= cur_seq:
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op != "append":
+                raise ValueError(
+                    f"snapshot {s['snapshot-id']} is {op!r}, not append — "
+                    "incremental file-diff reads are only sound on "
+                    "append-only tables"
+                )
+    data_files, deletes = _load_snapshot_files(fs, meta, cur_id)
+    if deletes:
+        raise ValueError(
+            "table carries delete files — not append-only; use "
+            "read_iceberg for the resolved current state"
+        )
+    new_paths = [p for p, s in data_files if s > since_seq]
+    if not new_paths:
+        schema = next(
+            s for s in (meta.get("schemas") or [meta.get("schema")])
+            if s and s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+        )
+        ddl = ", ".join(
+            f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+        )
+        return spark.createDataFrame([], ddl), cur_id
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*new_paths),
+        cur_id,
+    )

@@ -807,3 +807,50 @@ def test_write_iceberg_landing_zone_and_replay_tail(spark, tmp_path):
     export_iceberg(spark, t2)
     with pytest.raises(ValueError, match="append-only"):
         write_iceberg(spark, ev.limit(1), f"{d}/lake")
+
+
+def test_read_iceberg_appends_incremental_consumer(spark, tmp_path):
+    """Snapshot-cursor consumption of an append-only landing zone:
+    read_iceberg_appends returns exactly the rows landed after the
+    stored snapshot id, an empty frame at head, and refuses ranges that
+    contain non-append snapshots or tables with delete files."""
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg_appends
+
+    d = str(tmp_path / "inc")
+    ev = spark.range(300).selectExpr(
+        "concat('r', id % 5) AS repo", "concat('p', id) AS path",
+        "id AS seq", "concat('v', id) AS content")
+    r1 = write_iceberg(spark, ev.filter("seq < 100"), f"{d}/ice")
+    write_iceberg(spark, ev.filter("seq >= 100 and seq < 200"), f"{d}/ice")
+    r3 = write_iceberg(spark, ev.filter("seq >= 200"), f"{d}/ice")
+
+    got, cur = read_iceberg_appends(spark, f"{d}/ice", r1["snapshot_id"])
+    assert cur == r3["snapshot_id"]
+    want = ev.filter("seq >= 100")
+    assert got.select(*want.columns).exceptAll(want).isEmpty()
+    assert want.exceptAll(got.select(*want.columns)).isEmpty()
+    # at head: empty frame, same schema, cursor unchanged
+    empty, cur2 = read_iceberg_appends(spark, f"{d}/ice", cur)
+    assert cur2 == cur and empty.count() == 0
+    assert sorted(empty.columns) == sorted(want.columns)
+    # full read when no cursor yet
+    allrows, _ = read_iceberg_appends(spark, f"{d}/ice")
+    assert allrows.count() == 300
+    # expired/unknown cursor errors loudly
+    with pytest.raises(ValueError, match="not in the table's history"):
+        read_iceberg_appends(spark, f"{d}/ice", 424242)
+
+
+def test_read_iceberg_appends_refuses_non_append_history(spark, lake):
+    """A lake-exported table is overwrite-shaped history with delete
+    files — incremental file diffs are unsound there and must refuse."""
+    from arc_spark.lake.iceberg_read import read_iceberg_appends
+
+    export_iceberg(spark, lake)
+    res2 = export_iceberg(spark, lake)  # second snapshot: overwrite op
+    fs = LocalFS()
+    meta = json.loads(fs.read_bytes(res2["metadata"]))
+    first_sid = meta["snapshots"][0]["snapshot-id"]
+    with pytest.raises(ValueError, match="append|delete files"):
+        read_iceberg_appends(spark, lake.root, first_sid)
