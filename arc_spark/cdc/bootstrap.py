@@ -56,14 +56,31 @@ def create_table_for_stream(
              StructField(seq_col, LongType(), True)]
         )
     elif events_format == "iceberg":
-        from arc_spark.lake.iceberg_read import read_iceberg
+        # schema straight from each table's metadata JSON (zero data-file
+        # IO — no reason to build the full merge-inference scan just for
+        # .schema), merged across ALL paths like the parquet branch: a
+        # sharded landing zone where one shard carries an extra column
+        # must not silently drop it from the table
+        from arc_spark.lake.iceberg_read import iceberg_table_schema
 
-        first = (
-            events_path[0]
+        paths = (
+            list(events_path)
             if isinstance(events_path, (list, tuple))
-            else events_path
+            else [events_path]
         )
-        stream_schema = read_iceberg(spark, first).schema
+        merged: dict[str, StructField] = {}
+        for p in paths:
+            for f in iceberg_table_schema(spark, p).fields:
+                seen = merged.get(f.name)
+                if seen is None:
+                    merged[f.name] = f
+                elif seen.dataType != f.dataType:
+                    raise ValueError(
+                        f"iceberg landing shards disagree on column "
+                        f"{f.name!r}: {seen.dataType.simpleString()} vs "
+                        f"{f.dataType.simpleString()} ({p})"
+                    )
+        stream_schema = StructType(list(merged.values()))
     else:
         paths = (
             list(events_path)

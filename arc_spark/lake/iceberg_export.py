@@ -265,8 +265,6 @@ def export_iceberg(
     """Write Iceberg v2 metadata for ``table``'s snapshot (current by
     default) next to its data. Returns a summary dict (metadata path,
     data/delete file counts, row counts). See module docstring."""
-    import pyarrow.parquet as pq
-
     snap = table.snapshot(version)
     fs = table.fs
     root = table.root
@@ -305,7 +303,15 @@ def export_iceberg(
         out_version, base_seq = 1, 0
         snapshot_id = snap.version + 1
 
-    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#v{snap.version}#m{out_version}")
+    # the uid names this ATTEMPT's manifest avros and re-encode/delete
+    # data dirs. It must be unique per attempt, not deterministic per
+    # (root, version): two concurrent exporters racing from the same
+    # prev would otherwise write the SAME paths with plain write_bytes
+    # and Spark overwrite-writes — the winner's committed snapshot could
+    # end up pointing at the loser's content, which no metadata CAS can
+    # undo. Iceberg's own commit UUID plays this role; a loser's files
+    # really are orphans (distinct paths) the next expire reaps.
+    uid = f"{out_version}-{uuid.uuid4().hex[:16]}"
 
     def _key_exprs(df):
         # metadata-only renames: parquet still carries historical names —
@@ -416,10 +422,8 @@ def export_iceberg(
     seq_del = seq_data + n_levels + 1  # top: resolved-tombstone delete
 
     # -- data manifest: every base + delta file, footer-counted, in place
-    # (footer reads are IO-bound and independent — a thread pool keeps a
-    # many-hundred-file MOR export off the serial driver path)
-    from concurrent.futures import ThreadPoolExecutor
-
+    # (footer reads are IO-bound and independent — the pooled helper
+    # keeps a many-hundred-file MOR export off the serial driver path)
     file_seqs = [
         (fs_join(root, rel), seq_data)
         for bucket in sorted(snap.files, key=int)
@@ -429,15 +433,7 @@ def export_iceberg(
         for j in sorted(delta_levels) for path in delta_levels[j]
     ]
 
-    def _footer_stats(path: str) -> tuple[int, int]:
-        """(row count, byte size) — one footer read + one stat, pooled so
-        a many-hundred-file export never walks files serially."""
-        with fs.seekable_input(path) as f:
-            n = pq.ParquetFile(f).metadata.num_rows
-        return n, fs.size(path)
-
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        fstats = list(pool.map(_footer_stats, [p for p, _ in file_seqs]))
+    fstats = _pooled_stats(fs, [p for p, _ in file_seqs])
     entries, total_rows = [], 0
     for (path, seq), (n, size) in zip(file_seqs, fstats):
         total_rows += n
@@ -492,7 +488,7 @@ def export_iceberg(
     del_entries, del_counts = [], {}
 
     def _del_entry(path: str, seq: int, label: str) -> None:
-        n, size = _footer_stats(path)
+        n, size = _footer_stats(fs, path)
         if not n:
             return
         del_counts[label] = del_counts.get(label, 0) + n
@@ -600,23 +596,7 @@ def export_iceberg(
     # schema history: reuse the prior schema-id when unchanged, else
     # append with the next id (positional field ids are stable for the
     # lake's additive evolution; see module docstring)
-    schemas, schema_id = [schema_json], 0
-    if prev:
-        schemas = list(prev.get("schemas") or [])
-
-        def _body(s):
-            return json.dumps({k: v for k, v in s.items() if k != "schema-id"},
-                              sort_keys=True)
-
-        match = next(
-            (s["schema-id"] for s in schemas if _body(s) == _body(schema_json)),
-            None,
-        )
-        if match is None:
-            schema_id = max(s["schema-id"] for s in schemas) + 1
-            schemas.append({**schema_json, "schema-id": schema_id})
-        else:
-            schema_id = match
+    schemas, schema_id = _schema_history(prev, schema_json)
 
     new_snapshot = {
         "snapshot-id": snapshot_id,
@@ -729,6 +709,56 @@ def export_iceberg(
     }
 
 
+def _footer_stats(fs, path: str) -> tuple[int, int]:
+    """(row count, byte size) for one parquet file — a footer read plus
+    a stat. Shared by the exporter and the landing-zone writer so the
+    manifest stats can never drift between them."""
+    import pyarrow.parquet as pq
+
+    with fs.seekable_input(path) as f:
+        n = pq.ParquetFile(f).metadata.num_rows
+    return n, fs.size(path)
+
+
+def _pooled_stats(fs, paths) -> list[tuple[int, int]]:
+    """_footer_stats over many files on a thread pool — the reads are
+    IO-bound and independent, so a many-hundred-file commit never walks
+    object-store footers serially on the driver."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    if not paths:
+        return []
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(lambda p: _footer_stats(fs, p), paths))
+
+
+def _schema_history(prev: dict | None, schema_json: dict):
+    """(schemas, schema_id): reuse the matching schema-id from the
+    previous metadata's history when the body is unchanged, else mint
+    the next id and append — Iceberg's schema-evolution bookkeeping,
+    shared by the exporter and the landing-zone writer."""
+    if not prev:
+        return [schema_json], 0
+    schemas = list(prev.get("schemas") or [])
+    if not schemas:
+        return [schema_json], 0
+
+    def _body(s):
+        return json.dumps({k: v for k, v in s.items() if k != "schema-id"},
+                          sort_keys=True)
+
+    match = next(
+        (s["schema-id"] for s in schemas if _body(s) == _body(schema_json)),
+        None,
+    )
+    if match is not None:
+        return schemas, match
+    schema_id = max(s["schema-id"] for s in schemas) + 1
+    schemas.append({**schema_json, "schema-id": schema_id})
+    return schemas, schema_id
+
+
 def _cas_metadata(fs, locker, root: str, meta_path: str, payload: bytes,
                   out_version: int) -> bool:
     """Atomically publish an Iceberg metadata version + advance the hint.
@@ -740,9 +770,10 @@ def _cas_metadata(fs, locker, root: str, meta_path: str, payload: bytes,
     POSIX/HDFS/native-S3; the Hadoop-connector object-store caveat is
     shared with — and warned by — the lake's own manifest commit) and
     the hint update is best-effort: it writes the HIGHEST existing
-    version rather than blindly our own, so a slow loser cannot regress
-    the hint past a newer winner (readers also fall back to the highest
-    v* when a hint dangles)."""
+    version (verify-and-repair once after writing, narrowing the
+    list-then-write race to a single re-list). Correctness never rests
+    on the hint — resolve_metadata_file treats it as advisory and never
+    serves a hint below the newest listed version."""
     meta_dir = meta_path.rsplit("/", 1)[0]
     hint_path = fs_join(meta_dir, "version-hint.text")
     if locker is not None:
@@ -759,12 +790,27 @@ def _cas_metadata(fs, locker, root: str, meta_path: str, payload: bytes,
         fs.create_exclusive(meta_path, payload)
     except FileExistsError:
         return False
-    highest = out_version
-    for name in fs.listdir(meta_dir):
-        m = re.match(r"v(\d+)\.metadata\.json$", name)
-        if m:
-            highest = max(highest, int(m.group(1)))
-    fs.write_bytes(hint_path, str(highest).encode())
+
+    def _highest() -> int:
+        h = out_version
+        for name in fs.listdir(meta_dir):
+            m = re.match(r"v(\d+)\.metadata\.json$", name)
+            if m:
+                h = max(h, int(m.group(1)))
+        return h
+
+    # The list-then-write is a TOCTOU (a newer winner can commit + write
+    # its hint between our listdir and our write, and our write would
+    # regress it), so verify-and-repair once after writing: re-list and,
+    # if a newer version appeared, advance the hint to it. The residual
+    # window is one re-list wide — and harmless, because readers treat
+    # the hint as advisory (resolve_metadata_file never trusts a hint
+    # below the newest listed version).
+    wrote = _highest()
+    fs.write_bytes(hint_path, str(wrote).encode())
+    healed = _highest()
+    if healed > wrote:
+        fs.write_bytes(hint_path, str(healed).encode())
     return True
 
 
@@ -928,7 +974,8 @@ def export_catalog_iceberg(spark, catalog, *, version: int | None = None) -> dic
     }
 
 
-def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
+def write_iceberg(spark, df, root: str, *, mode: str = "append",
+                  _retry: int = 0, _batch_dir: str | None = None) -> dict:
     """Land a plain DataFrame as (or append a snapshot to) an Apache
     Iceberg v2 table at ``root`` — the minimal landing-zone writer.
 
@@ -944,8 +991,6 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
     spec-compliant reader supports (time travel, schema-id reuse) holds
     here too. No deletes are ever written — a landing zone is
     append-only by design; use a LakeTable when you need upserts."""
-    import pyarrow.parquet as pq
-
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     fs = get_fs(root, spark)
@@ -964,13 +1009,6 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
     except (FileNotFoundError, ValueError):
         pass
 
-    batch_dir = fs_join(root, "data", f"append-{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(batch_dir)
-    new_files = [
-        fs_join(batch_dir, name) for name in fs.listdir(batch_dir)
-        if name.endswith(".parquet")
-    ]
-
     if prev:
         m = re.match(r".*v(\d+)\.metadata\.json$", prev_path)
         out_version = int(m.group(1)) + 1
@@ -985,41 +1023,67 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
         now_ms = int(time.time() * 1000)
     seq = base_seq + 1
 
-    # carry the previous snapshot's live files forward at their original
-    # data sequence numbers (a true append — old files are EXISTING)
+    # Carry the previous snapshot's live files forward at their original
+    # data sequence numbers (a true append — old files are EXISTING),
+    # with record counts / sizes / adding-snapshot ids straight from the
+    # previous manifest: an append is O(this batch) footer IO, not
+    # O(table files), and entry snapshot_id keeps meaning "snapshot that
+    # ADDED the file" (Iceberg v2 spec) for provenance tooling.
+    # Validated BEFORE any batch write so a refused call (a table with
+    # delete files belongs to an upsert writer) leaves no orphans inside
+    # the foreign table's data directory.
     carried = []
     if prev and mode == "append" and prev.get("current-snapshot-id") is not None:
-        data_files, deletes = _load_snapshot_files(fs, prev)
+        data_files, deletes = _load_snapshot_files(fs, prev, with_stats=True)
         if deletes:
             raise ValueError(
                 "write_iceberg appends to append-only tables; this table "
                 "carries delete files — it belongs to an upsert writer"
             )
-        carried = [(p, s) for p, s in data_files]
+        carried = data_files
+
+    # a CAS-loss retry reuses the already-written batch files — only the
+    # metadata derivation repeats
+    batch_dir = _batch_dir
+    if batch_dir is None:
+        batch_dir = fs_join(root, "data", f"append-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(batch_dir)
+    new_files = [
+        fs_join(batch_dir, name) for name in fs.listdir(batch_dir)
+        if name.endswith(".parquet")
+    ]
 
     schema_json, name_mapping, _ids, last_col_id = _build_schema(
         df.schema, {}
     )
-    uid = uuid.uuid5(uuid.NAMESPACE_URL, f"{root}#w{out_version}")
-
-    def _stats(path):
-        with fs.seekable_input(path) as f:
-            return pq.ParquetFile(f).metadata.num_rows, fs.size(path)
+    # per-ATTEMPT uid (see export_iceberg): concurrent writers racing
+    # from the same prev must never share manifest avro paths
+    uid = f"w{out_version}-{uuid.uuid4().hex[:16]}"
 
     entries, total_rows, new_rows = [], 0, 0
-    for path, fseq, status in (
-        [(p, s, 0) for p, s in carried]          # EXISTING
-        + [(p, seq, 1) for p in new_files]        # ADDED
-    ):
-        n, size = _stats(path)
+    for path, fseq, n, size, added_by in carried:  # EXISTING
+        if n is None or size is None:  # foreign manifest without stats
+            n, size = _footer_stats(fs, path)
         total_rows += n
-        if status == 1:
-            new_rows += n
         entries.append({
-            "status": status,
-            "snapshot_id": snapshot_id,
+            "status": 0,
+            "snapshot_id": added_by if added_by is not None else snapshot_id,
             "sequence_number": fseq,
             "file_sequence_number": fseq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": size, "equality_ids": None,
+            },
+        })
+    for path, (n, size) in zip(new_files, _pooled_stats(fs, new_files)):
+        total_rows += n
+        new_rows += n
+        entries.append({
+            "status": 1,  # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
             "data_file": {
                 "content": 0, "file_path": path, "file_format": "PARQUET",
                 "partition": {}, "record_count": n,
@@ -1051,7 +1115,7 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
                 "partition_spec_id": 0, "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": min(
-                    [s for _, s in carried] + [seq]
+                    [c[1] for c in carried] + [seq]
                 ),
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": len(new_files),
@@ -1067,25 +1131,7 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
         ),
     )
 
-    schemas, schema_id = [schema_json], 0
-    if prev:
-        schemas = list(prev.get("schemas") or [])
-
-        def _body(s):
-            return json.dumps(
-                {k: v for k, v in s.items() if k != "schema-id"},
-                sort_keys=True,
-            )
-
-        match = next(
-            (s["schema-id"] for s in schemas if _body(s) == _body(schema_json)),
-            None,
-        )
-        if match is None:
-            schema_id = max(s["schema-id"] for s in schemas) + 1
-            schemas.append({**schema_json, "schema-id": schema_id})
-        else:
-            schema_id = match
+    schemas, schema_id = _schema_history(prev, schema_json)
 
     metadata = {
         "format-version": 2,
@@ -1141,7 +1187,16 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append") -> dict:
     meta_path = fs_join(meta_dir, f"v{out_version}.metadata.json")
     if not _cas_metadata(fs, None, root, meta_path,
                          json.dumps(metadata, indent=2).encode(), out_version):
-        return write_iceberg(spark, df, root, mode=mode)  # lost the race
+        if _retry >= 3:
+            raise RuntimeError(
+                f"write_iceberg: lost the metadata CAS at {meta_path} 3 "
+                "times — concurrent writers are racing faster than the "
+                "retry budget"
+            )
+        # lost the race: re-derive against the winner's chain, keeping
+        # this attempt's batch files (they are committed by the retry)
+        return write_iceberg(spark, df, root, mode=mode,
+                             _retry=_retry + 1, _batch_dir=batch_dir)
     return {
         "metadata": meta_path,
         "manifest_list": manifest_list,

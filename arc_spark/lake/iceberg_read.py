@@ -92,36 +92,55 @@ _NORM_COL = lambda c: F.regexp_replace(c, r"^file:/+", "/")  # noqa: E731
 
 def resolve_metadata_file(fs, table_path: str, *,
                           prefer_hint: bool = True) -> str:
-    """version-hint.text if present (readers), else the highest
-    v*.metadata.json. WRITERS pass ``prefer_hint=False``: appending to a
-    stale hint instead of the true chain head would fork history when a
-    prior writer crashed between its metadata commit and the hint update
-    (the hint is best-effort, HadoopCatalog-style)."""
+    """The HIGHEST v*.metadata.json — for readers and writers alike.
+
+    version-hint.text is treated the way HadoopTableOperations treats
+    it: a best-effort accelerator, never authoritative. Resolving the
+    hint directly would (a) fork history when a writer appends past a
+    stale hint (crash between metadata commit and hint update), and
+    (b) serve stale snapshots when a slow CAS loser's hint write races
+    a newer winner's — and a replay tailing the table through a stale
+    snapshot would advance its seq cursor past rows it never saw. One
+    listdir per resolution is the price of neither. The hint is only
+    consulted when it is at least as new as the newest listed file
+    (listings on some object stores can lag a just-committed write).
+    ``prefer_hint`` is kept for call-site documentation; both values
+    resolve identically now."""
     meta_dir = fs_join(table_path, "metadata")
-    hint = fs_join(meta_dir, "version-hint.text")
-    if prefer_hint and fs.exists(hint):
-        v = fs.read_bytes(hint).decode().strip()
-        cand = fs_join(meta_dir, f"v{v}.metadata.json")
-        if fs.exists(cand):
-            return cand
     versions = []
     for name in fs.listdir(meta_dir):
         m = re.match(r"v(\d+)\.metadata\.json$", name)
         if m:
             versions.append((int(m.group(1)), name))
-    if not versions:
+    best = max(versions, default=(0, None))
+    hint = fs_join(meta_dir, "version-hint.text")
+    if fs.exists(hint):
+        try:
+            v = int(fs.read_bytes(hint).decode().strip())
+        except ValueError:
+            v = 0
+        cand = fs_join(meta_dir, f"v{v}.metadata.json")
+        if v >= best[0] and fs.exists(cand):
+            return cand
+    if best[1] is None:
         raise FileNotFoundError(
             f"no v*.metadata.json under {meta_dir} — not an Iceberg table "
             "(HadoopCatalog layout expected)"
         )
-    return fs_join(meta_dir, max(versions)[1])
+    return fs_join(meta_dir, best[1])
 
 
-def _load_snapshot_files(fs, meta: dict, snapshot_id=None):
+def _load_snapshot_files(fs, meta: dict, snapshot_id=None, *,
+                         with_stats: bool = False):
     """(data_files, deletes) for the chosen snapshot.
 
     data_files: [(path, data_seq)]; deletes: [(path, seq, content,
-    equality_ids)] with content 1=position, 2=equality."""
+    equality_ids)] with content 1=position, 2=equality.
+
+    ``with_stats=True`` widens each data_files tuple to (path, data_seq,
+    record_count, file_size_in_bytes, added_snapshot_id) so appenders
+    can carry prior entries forward without re-reading N parquet footers
+    per commit (the stats are already in the manifest being parsed)."""
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next(
@@ -148,7 +167,15 @@ def _load_snapshot_files(fs, meta: dict, snapshot_id=None):
             d = e["data_file"]
             content = d.get("content", 0)
             if content == 0:
-                data_files.append((d["file_path"], seq))
+                if with_stats:
+                    data_files.append((
+                        d["file_path"], seq,
+                        d.get("record_count"),
+                        d.get("file_size_in_bytes"),
+                        e.get("snapshot_id"),
+                    ))
+                else:
+                    data_files.append((d["file_path"], seq))
             elif content == 1:
                 deletes.append((d["file_path"], seq, 1, None))
             elif content == 2:
@@ -335,10 +362,14 @@ def read_iceberg_appends(
     for s in snaps:
         seq = int(s.get("sequence-number", 0))
         if since_seq < seq <= cur_seq:
-            op = (s.get("summary") or {}).get("operation", "append")
+            # fail CLOSED on a missing operation: a snapshot written by
+            # an engine that omits summary.operation could be a rewrite,
+            # and treating it as append would double-read rewritten rows
+            op = (s.get("summary") or {}).get("operation")
             if op != "append":
+                what = repr(op) if op is not None else "missing its operation"
                 raise ValueError(
-                    f"snapshot {s['snapshot-id']} is {op!r}, not append — "
+                    f"snapshot {s['snapshot-id']} is {what}, not append — "
                     "incremental file-diff reads are only sound on "
                     "append-only tables"
                 )
@@ -362,3 +393,23 @@ def read_iceberg_appends(
         spark.read.option("mergeSchema", "true").parquet(*new_paths),
         cur_id,
     )
+
+
+def iceberg_table_schema(spark: SparkSession, table_path: str):
+    """The table's CURRENT schema as a Spark StructType, resolved purely
+    from the metadata JSON — zero data-file IO. The cheap alternative to
+    building a full read_iceberg scan just to call ``.schema`` (which
+    footer-reads every data file for merge inference)."""
+    fs = get_fs(table_path, spark)
+    meta = json.loads(fs.read_bytes(resolve_metadata_file(fs, table_path)))
+    schema = next(
+        (s for s in (meta.get("schemas") or [meta.get("schema")])
+         if s and s.get("schema-id", 0) == meta.get("current-schema-id", 0)),
+        None,
+    )
+    if schema is None:
+        raise ValueError(f"{table_path}: no current schema in metadata")
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    )
+    return spark.createDataFrame([], ddl).schema
