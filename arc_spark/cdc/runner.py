@@ -128,12 +128,17 @@ class ReplayRunner:
         self.valid_ops = tuple(valid_ops)
         # At-least-once redelivery collapse (see apply.collapse_redelivered):
         # "auto" = on for debezium tails (the connector's delivery contract
-        # is at-least-once — a restart re-emits events verbatim), off for
-        # the native staged-parquet format (seq unique by construction).
+        # is at-least-once — a restart re-emits events verbatim) AND for
+        # iceberg landing zones (a producer that crashes between a
+        # successful write_iceberg commit and its own upstream checkpoint
+        # re-lands the SAME batch as a new snapshot — duplicate seqs in one
+        # epoch window, which the thin strategy's join-back would keep
+        # verbatim and the lake MERGE would double-apply); off for the
+        # native staged-parquet format (seq unique by construction).
         # Costs one thin column-pruned aggregate per epoch when on; the
         # fat rows are untouched unless duplicates actually exist.
         if redelivery_dedup == "auto":
-            redelivery_dedup = events_format == "debezium"
+            redelivery_dedup = events_format in ("debezium", "iceberg")
         self.redelivery_dedup = bool(redelivery_dedup)
         # Transaction-boundary atomicity (debezium only): a tail of the
         # connector's transaction METADATA topic. When set, run() caps the

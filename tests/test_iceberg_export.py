@@ -809,6 +809,44 @@ def test_write_iceberg_landing_zone_and_replay_tail(spark, tmp_path):
         write_iceberg(spark, ev.limit(1), f"{d}/lake")
 
 
+def test_iceberg_tail_collapses_redelivered_batch(spark, tmp_path):
+    """At-least-once landing: a producer that crashes between a
+    successful write_iceberg commit and its own upstream checkpoint
+    re-lands the SAME batch as a new snapshot — duplicate (keys, seq)
+    rows inside one replay epoch. events_format='iceberg' defaults
+    redelivery_dedup on (like debezium/kafka), so the tail collapses the
+    verbatim copies and the final lake equals the never-duplicated
+    replay."""
+    from arc_spark.lake.iceberg_export import write_iceberg
+
+    d = str(tmp_path / "redeliver")
+    stream = write_change_stream(spark, f"{d}/ev", 800, seed=23,
+                                 num_partitions=4)
+    ev = spark.read.parquet(stream)
+    write_iceberg(spark, ev.filter("seq < 400"), f"{d}/ice")
+    # the crash-retry: batch 1 lands AGAIN, verbatim, then the tail
+    write_iceberg(spark, ev.filter("seq < 400"), f"{d}/ice")
+    write_iceberg(spark, ev.filter("seq >= 400"), f"{d}/ice")
+
+    table, _ = create_table_for_stream(
+        spark, f"{d}/ice", f"{d}/lake", num_buckets=4,
+        events_format="iceberg",
+    )
+    runner = ReplayRunner(spark, f"{d}/ice", table, batch_size=500,
+                          events_format="iceberg")
+    assert runner.redelivery_dedup is True  # the auto default
+    metrics = runner.run()
+    assert sum(m.get("events_redelivered", 0) for m in metrics) > 0
+
+    want_table, _ = create_table_for_stream(spark, stream, f"{d}/plake",
+                                            num_buckets=4)
+    ReplayRunner(spark, stream, want_table, batch_size=500).run()
+    cols = sorted(table.read(spark).columns)
+    got = table.read(spark).select(*cols)
+    want = want_table.read(spark).select(*cols)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_read_iceberg_appends_incremental_consumer(spark, tmp_path):
     """Snapshot-cursor consumption of an append-only landing zone:
     read_iceberg_appends returns exactly the rows landed after the
