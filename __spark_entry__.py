@@ -843,6 +843,61 @@ def _iceberg_landing_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iceberg_compaction_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The landing-zone MAINTENANCE loop in the hash gate: the change
+    stream lands in five small write_iceberg batches, the replay tails
+    partway (seq cursor), compact_iceberg bin-packs the small files into
+    one ``replace`` snapshot and expire_iceberg_landing reclaims the
+    rewritten inputs mid-stream, then the tail resumes over the
+    compacted table — the final lake state must still hash-match the
+    plain LWW oracle, certifying that a rewrite+expiry changes no
+    logical content under an active consumer
+    (arc_spark/lake/iceberg_export.compact_iceberg /
+    expire_iceberg_landing)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from arc_spark.cdc.bootstrap import create_table_for_stream
+    from arc_spark.cdc.runner import ReplayRunner
+    from arc_spark.lake.iceberg_export import (
+        compact_iceberg,
+        expire_iceberg_landing,
+        write_iceberg,
+    )
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    changes = _events_as_changes(spark, sf_dir, with_commit=True)
+    d = tempfile.mkdtemp(prefix="icecompact_")
+    max_seq = int(ev.agg(F.max("event_id")).first()[0])
+    cuts = [i * (max_seq + 1) // 5 for i in range(6)]
+    for lo, hi in zip(cuts, cuts[1:]):
+        write_iceberg(
+            spark,
+            changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi)),
+            f"{d}/ice",
+        )
+    table, _ = create_table_for_stream(
+        spark, f"{d}/ice", f"{d}/lake", num_buckets=16,
+        events_format="iceberg",
+    )
+    batch = max(1, max_seq // 4 + 1)
+    ReplayRunner(
+        spark, f"{d}/ice", table, batch_size=batch,
+        events_format="iceberg",
+    ).run(max_epochs=2)
+    # maintenance mid-stream: rewrite + reclaim under the live consumer
+    compact_iceberg(spark, f"{d}/ice", small_file_mb=256, min_input_files=2)
+    expire_iceberg_landing(spark, f"{d}/ice", keep_last=1)
+    ReplayRunner(  # resume over the compacted, expired table
+        spark, f"{d}/ice", table, batch_size=batch,
+        events_format="iceberg",
+    ).run()
+    return table.read(spark).select(
+        "repo", "path", "seq", "commit", "value", "content_sha256"
+    )
+
+
 def _iceberg_round_trip_mode(
     spark: SparkSession, sf_dir: str, merge_mode: str
 ) -> DataFrame:
@@ -1603,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_round_trip": _iceberg_round_trip,
         "iceberg_round_trip_mor": _iceberg_round_trip_mor,
         "iceberg_landing_tail": _iceberg_landing_tail,
+        "iceberg_compaction_loop": _iceberg_compaction_loop,
         "cdc_bootstrap": _cdc_bootstrap,
         "cdc_quarantine": _cdc_quarantine,
         "cdc_rollback": _cdc_rollback,
@@ -2372,6 +2428,9 @@ def oracle_sql() -> dict[str, str]:
     # the replay tails it — the stream's content is identical, so the
     # LWW endpoint is identical
     oracles["iceberg_landing_tail"] = oracles["cdc_replay_mini"]
+    # compaction loop: a replace snapshot + expiry changes no logical
+    # content, so the LWW endpoint is again identical
+    oracles["iceberg_compaction_loop"] = oracles["cdc_replay_mini"]
     return oracles
 
 

@@ -1091,8 +1091,63 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
             },
         })
 
+    schemas, schema_id = _schema_history(prev, schema_json)
+    meta_path, manifest_list = _publish_landing_snapshot(
+        fs, root,
+        prev=prev, prev_path=prev_path, uid=uid, entries=entries,
+        seq=seq, min_seq=min([c[1] for c in carried] + [seq]),
+        snapshot_id=snapshot_id, out_version=out_version, now_ms=now_ms,
+        operation="append" if mode == "append" else "overwrite",
+        summary={"added-data-files": str(len(new_files)),
+                 "added-records": str(new_rows)},
+        schemas=schemas, schema_id=schema_id, schema_json=schema_json,
+        name_mapping=name_mapping,
+        last_col_id=max(
+            last_col_id, int(prev.get("last-column-id", 0)) if prev else 0
+        ),
+        counts=(len(new_files), len(carried), 0,
+                new_rows, total_rows - new_rows, 0),
+    )
+    if meta_path is None:
+        if _retry >= 3:
+            raise RuntimeError(
+                f"write_iceberg: lost the metadata CAS at {root} "
+                f"v{out_version} 3 times — concurrent writers are racing "
+                "faster than the retry budget"
+            )
+        # lost the race: re-derive against the winner's chain, keeping
+        # this attempt's batch files (they are committed by the retry)
+        return write_iceberg(spark, df, root, mode=mode,
+                             _retry=_retry + 1, _batch_dir=batch_dir)
+    return {
+        "metadata": meta_path,
+        "manifest_list": manifest_list,
+        "data_files": len(entries),
+        "added_files": len(new_files),
+        "added_rows": new_rows,
+        "total_rows": total_rows,
+        "snapshot_id": snapshot_id,
+    }
+
+
+def _publish_landing_snapshot(
+    fs, root: str, *, prev, prev_path, uid, entries, seq, min_seq,
+    snapshot_id, out_version, now_ms, operation, summary, schemas,
+    schema_id, schema_json, name_mapping, last_col_id, counts,
+):
+    """Write one landing-zone snapshot — manifest avro, manifest list,
+    metadata JSON — and CAS-commit it. Shared by :func:`write_iceberg`
+    (append/overwrite) and :func:`compact_iceberg` (replace) so the two
+    writers can never drift on the spec bookkeeping. ``counts`` is
+    (added_files, existing_files, deleted_files, added_rows,
+    existing_rows, deleted_rows). Returns ``(meta_path, manifest_list)``
+    or ``(None, None)`` when the CAS loses — the caller owns the retry
+    policy (re-derive against the winner's chain)."""
+    meta_dir = fs_join(root, "metadata")
+    (n_added, n_existing, n_deleted,
+     added_rows, existing_rows, deleted_rows) = counts
     manifest_meta = {
-        "schema": json.dumps(schema_json), "schema-id": "0",
+        "schema": json.dumps(schema_json), "schema-id": str(schema_id),
         "partition-spec": "[]", "partition-spec-id": "0",
         "format-version": "2",
     }
@@ -1114,25 +1169,20 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
                 "manifest_length": fs.size(data_manifest),
                 "partition_spec_id": 0, "content": 0,
                 "sequence_number": seq,
-                "min_sequence_number": min(
-                    [c[1] for c in carried] + [seq]
-                ),
+                "min_sequence_number": min_seq,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(new_files),
-                "existing_files_count": len(carried),
-                "deleted_files_count": 0,
-                "added_rows_count": new_rows,
-                "existing_rows_count": total_rows - new_rows,
-                "deleted_rows_count": 0,
+                "added_files_count": n_added,
+                "existing_files_count": n_existing,
+                "deleted_files_count": n_deleted,
+                "added_rows_count": added_rows,
+                "existing_rows_count": existing_rows,
+                "deleted_rows_count": deleted_rows,
             }],
             codec="null",
             extra_meta={"snapshot-id": str(snapshot_id),
                         "sequence-number": str(seq), "format-version": "2"},
         ),
     )
-
-    schemas, schema_id = _schema_history(prev, schema_json)
-
     metadata = {
         "format-version": 2,
         "table-uuid": prev["table-uuid"] if prev else str(
@@ -1141,9 +1191,7 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
         "location": root,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max(
-            last_col_id, int(prev.get("last-column-id", 0)) if prev else 0
-        ),
+        "last-column-id": last_col_id,
         "current-schema-id": schema_id,
         "schemas": schemas,
         "default-spec-id": 0,
@@ -1164,11 +1212,7 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
                 "snapshot-id": snapshot_id,
                 "timestamp-ms": now_ms,
                 "sequence-number": seq,
-                "summary": {
-                    "operation": "append" if mode == "append" else "overwrite",
-                    "added-data-files": str(len(new_files)),
-                    "added-records": str(new_rows),
-                },
+                "summary": {"operation": operation, **summary},
                 "manifest-list": manifest_list,
                 "schema-id": schema_id,
             },
@@ -1187,22 +1231,304 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
     meta_path = fs_join(meta_dir, f"v{out_version}.metadata.json")
     if not _cas_metadata(fs, None, root, meta_path,
                          json.dumps(metadata, indent=2).encode(), out_version):
+        return None, None
+    return meta_path, manifest_list
+
+
+def compact_iceberg(
+    spark, root: str, *,
+    small_file_mb: int = 32,
+    target_file_mb: int = 128,
+    min_input_files: int = 4,
+    _retry: int = 0, _out: tuple | None = None,
+) -> dict:
+    """Bin-pack an append-only landing zone's small files into
+    target-sized ones, committed as one Iceberg ``replace`` snapshot.
+
+    The 100 TB problem this solves: a replay tailing the landing zone
+    per-epoch leaves one small parquet batch per commit — after 10^4
+    epochs the table is 10^4 tiny files and every full scan pays 10^4
+    file opens. Compaction reads the files smaller than
+    ``small_file_mb`` in ONE Spark job, repartitions them to
+    ~``target_file_mb`` outputs, and commits a snapshot that carries the
+    untouched big files as EXISTING and the packed files as ADDED. Old
+    files stay on disk (older snapshots and snapshot-cursor consumers
+    still reference them — Iceberg's retention model) until expiry.
+
+    Logical content is unchanged, so the snapshot's operation is
+    ``replace``: `read_iceberg_appends` skips it (a consumer's cursor
+    never double-reads), time travel to pre-compaction snapshots still
+    works, and the seq-cursor replay tail is oblivious. Rewritten rows
+    keep a data sequence number equal to the newest input's, mirroring
+    Iceberg's rewrite rule (sequence preserved, never advanced past
+    concurrent deletes — moot here, landing zones carry none, but kept
+    spec-shaped).
+
+    Concurrency: appenders may race this commit — a lost CAS re-derives
+    against the winner's chain, reusing the already-packed output (the
+    inputs are immutable; the winner only added files). A racing SECOND
+    compactor is refused (its rewrite removed our inputs): maintenance
+    owns the table while it runs, same discipline as the lake GC.
+
+    Returns ``{"status": "noop"|"compacted", ...}`` with file/row
+    counts; reference analogue: Iceberg's RewriteDataFiles action.
+    """
+    from arc_spark.lake.iceberg_read import (
+        _load_snapshot_files,
+        resolve_metadata_file,
+    )
+
+    fs = get_fs(root, spark)
+    prev_path = resolve_metadata_file(fs, root, prefer_hint=False)
+    prev = json.loads(fs.read_bytes(prev_path))
+    if prev.get("current-snapshot-id") is None:
+        return {"status": "noop", "reason": "no current snapshot"}
+    data_files, deletes = _load_snapshot_files(fs, prev, with_stats=True)
+    if deletes:
+        raise ValueError(
+            "compact_iceberg maintains append-only landing zones; this "
+            "table carries delete files — it belongs to an upsert writer "
+            "(use LakeTable.compact for the lake's own tables)"
+        )
+    # foreign manifests may omit stats; fill from footers once
+    need = [t[0] for t in data_files if t[2] is None or t[3] is None]
+    if need:
+        fixed = dict(zip(need, _pooled_stats(fs, need)))
+        data_files = [
+            (p, s, *(fixed[p] if p in need else (n, sz)), a)
+            for p, s, n, sz, a in data_files
+        ]
+
+    if _out is None:
+        small = [t for t in data_files if t[3] < small_file_mb * 1024 * 1024]
+        if len(small) < min_input_files:
+            return {"status": "noop", "small_files": len(small),
+                    "min_input_files": min_input_files}
+        small_paths = [t[0] for t in small]
+        total_bytes = sum(t[3] for t in small)
+        n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        out_dir = fs_join(root, "data", f"compact-{uuid.uuid4().hex[:12]}")
+        (spark.read.option("mergeSchema", "true").parquet(*small_paths)
+             .repartition(int(n_out)).write.mode("overwrite")
+             .parquet(out_dir))
+    else:
+        # CAS-loss retry: the packed output and input set are fixed; only
+        # the metadata derivation repeats against the winner's chain
+        out_dir, small_paths = _out
+        live = {t[0] for t in data_files}
+        gone = [p for p in small_paths if p not in live]
+        if gone:
+            raise RuntimeError(
+                "compact_iceberg: a concurrent rewrite removed "
+                f"{len(gone)} of this compaction's input files (e.g. "
+                f"{gone[0]}) — two compactors are racing; run one"
+            )
+    small_set = set(small_paths)
+    kept = [t for t in data_files if t[0] not in small_set]
+    small = [t for t in data_files if t[0] in small_set]
+    new_files = sorted(
+        fs_join(out_dir, name) for name in fs.listdir(out_dir)
+        if name.endswith(".parquet")
+    )
+
+    m = re.match(r".*v(\d+)\.metadata\.json$", prev_path)
+    out_version = int(m.group(1)) + 1
+    seq = int(prev.get("last-sequence-number", 0)) + 1
+    snapshot_id = max(s["snapshot-id"] for s in prev["snapshots"]) + 1
+    now_ms = max(int(time.time() * 1000),
+                 int(prev.get("last-updated-ms", 0)) + 1)
+    rewrite_seq = max(t[1] for t in small)  # newest input's data sequence
+
+    entries, kept_rows = [], 0
+    for path, fseq, n, size, added_by in kept:  # EXISTING, stats carried
+        kept_rows += n
+        entries.append({
+            "status": 0,
+            "snapshot_id": added_by if added_by is not None else snapshot_id,
+            "sequence_number": fseq,
+            "file_sequence_number": fseq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": size, "equality_ids": None,
+            },
+        })
+    packed_rows = 0
+    for path, (n, size) in zip(new_files, _pooled_stats(fs, new_files)):
+        packed_rows += n
+        entries.append({
+            "status": 1,  # ADDED — but by a replace: appends-consumers skip
+            "snapshot_id": snapshot_id,
+            "sequence_number": rewrite_seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": size, "equality_ids": None,
+            },
+        })
+    in_rows = sum(t[2] for t in small)
+    if packed_rows != in_rows:
+        raise RuntimeError(
+            f"compact_iceberg: packed {packed_rows} rows from {in_rows} "
+            "input rows — refusing to commit a lossy rewrite"
+        )
+
+    # current schema verbatim: a rewrite never evolves the schema
+    schemas = list(prev.get("schemas") or [])
+    schema_id = int(prev.get("current-schema-id", 0))
+    schema_json = next(s for s in schemas if s.get("schema-id") == schema_id)
+    name_mapping = json.loads(
+        (prev.get("properties") or {}).get("schema.name-mapping.default", "[]")
+    )
+    meta_path, manifest_list = _publish_landing_snapshot(
+        fs, root,
+        prev=prev, prev_path=prev_path,
+        uid=f"c{out_version}-{uuid.uuid4().hex[:16]}",
+        entries=entries, seq=seq,
+        min_seq=min([t[1] for t in kept] + [rewrite_seq]),
+        snapshot_id=snapshot_id, out_version=out_version, now_ms=now_ms,
+        operation="replace",
+        summary={"added-data-files": str(len(new_files)),
+                 "deleted-data-files": str(len(small)),
+                 "added-records": str(packed_rows),
+                 "deleted-records": str(in_rows)},
+        schemas=schemas, schema_id=schema_id, schema_json=schema_json,
+        name_mapping=name_mapping,
+        last_col_id=int(prev.get("last-column-id", 0)),
+        counts=(len(new_files), len(kept), len(small),
+                packed_rows, kept_rows, in_rows),
+    )
+    if meta_path is None:
         if _retry >= 3:
             raise RuntimeError(
-                f"write_iceberg: lost the metadata CAS at {meta_path} 3 "
-                "times — concurrent writers are racing faster than the "
-                "retry budget"
+                f"compact_iceberg: lost the metadata CAS at {root} "
+                f"v{out_version} 3 times — writers are racing faster than "
+                "the retry budget"
             )
-        # lost the race: re-derive against the winner's chain, keeping
-        # this attempt's batch files (they are committed by the retry)
-        return write_iceberg(spark, df, root, mode=mode,
-                             _retry=_retry + 1, _batch_dir=batch_dir)
+        return compact_iceberg(
+            spark, root, small_file_mb=small_file_mb,
+            target_file_mb=target_file_mb, min_input_files=min_input_files,
+            _retry=_retry + 1, _out=(out_dir, small_paths),
+        )
     return {
+        "status": "compacted",
         "metadata": meta_path,
         "manifest_list": manifest_list,
-        "data_files": len(entries),
-        "added_files": len(new_files),
-        "added_rows": new_rows,
-        "total_rows": total_rows,
+        "input_files": len(small),
+        "output_files": len(new_files),
+        "rows": packed_rows,
+        "kept_files": len(kept),
         "snapshot_id": snapshot_id,
+    }
+
+
+def expire_iceberg_landing(spark, root: str, *, keep_last: int = 2,
+                           _retry: int = 0) -> dict:
+    """Expire old snapshots of an append-only landing zone and reclaim
+    the files only they reference — the space-recovery half of
+    :func:`compact_iceberg` (the rewrite keeps its small input files on
+    disk for older snapshots and snapshot-cursor consumers; this is what
+    finally deletes them).
+
+    Keeps the newest ``keep_last`` snapshots (the current one always
+    survives), commits a new metadata version listing only the
+    survivors, then deletes data files and manifest Avros referenced by
+    no survivor. Old ``v*.metadata.json`` files stay on disk, as real
+    Iceberg leaves them. A consumer whose ``read_iceberg_appends``
+    cursor names an expired snapshot gets that function's explicit
+    re-bootstrap error rather than silent row loss. Maintenance owns
+    the table while this runs (the lake-GC discipline); a CAS loss to a
+    racing appender re-derives once against the winner's chain.
+
+    Mirrors Iceberg's own ``expire_snapshots`` semantics;
+    :func:`expire_iceberg_snapshots` is the sibling for lake-mirror
+    exports (where file liveness is decided by the lake GC, not age).
+    """
+    from arc_spark.formats.avro import read_ocf_bytes
+    from arc_spark.lake.iceberg_read import resolve_metadata_file
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs = get_fs(root, spark)
+    meta_dir = fs_join(root, "metadata")
+    meta_path = resolve_metadata_file(fs, root, prefer_hint=False)
+    meta = json.loads(fs.read_bytes(meta_path))
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: int(s.get("sequence-number", 0)))
+    if len(snaps) <= keep_last:
+        return {"status": "noop", "snapshots": len(snaps),
+                "keep_last": keep_last}
+    kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+
+    def _files_and_avros(snapshot):
+        """(every data-file path an entry references, manifest avros)."""
+        paths, avros = set(), [snapshot["manifest-list"]]
+        _, manifests = read_ocf_bytes(fs.read_bytes(snapshot["manifest-list"]))
+        for m in manifests:
+            avros.append(m["manifest_path"])
+            _, entries = read_ocf_bytes(fs.read_bytes(m["manifest_path"]))
+            for e in entries:
+                paths.add(e["data_file"]["file_path"])
+        return paths, avros
+
+    keep_files, keep_avro = set(), set()
+    for s in kept:
+        p, a = _files_and_avros(s)
+        keep_files |= p
+        keep_avro |= {x.rsplit("/", 1)[-1] for x in a}
+    drop_files = set()
+    for s in dropped:
+        try:
+            p, _ = _files_and_avros(s)
+        except FileNotFoundError:
+            continue  # already half-expired
+        drop_files |= p
+    reap = sorted(drop_files - keep_files)
+
+    keep_ids = {s["snapshot-id"] for s in kept}
+    m = re.match(r".*v(\d+)\.metadata\.json$", meta_path)
+    out_version = int(m.group(1)) + 1
+    new_meta = {
+        **meta,
+        "last-updated-ms": max(
+            int(time.time() * 1000), int(meta.get("last-updated-ms", 0)) + 1
+        ),
+        "snapshots": kept,
+        "snapshot-log": [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in keep_ids
+        ],
+        "metadata-log": [
+            *meta.get("metadata-log", []),
+            {"metadata-file": meta_path,
+             "timestamp-ms": int(meta.get("last-updated-ms", 0))},
+        ],
+    }
+    if not _cas_metadata(
+        fs, None, root, fs_join(meta_dir, f"v{out_version}.metadata.json"),
+        json.dumps(new_meta, indent=2).encode(), out_version,
+    ):
+        if _retry >= 3:
+            raise RuntimeError(
+                f"expire_iceberg_landing: lost the metadata CAS at {root} "
+                f"v{out_version} 3 times"
+            )
+        return expire_iceberg_landing(spark, root, keep_last=keep_last,
+                                      _retry=_retry + 1)
+    # the new version is committed: nothing can reach the dropped
+    # snapshots through the chain head anymore — reap their exclusives
+    for p in reap:
+        try:
+            fs.delete(p)
+        except FileNotFoundError:
+            pass
+    for name in fs.listdir(meta_dir):
+        if name.endswith(".avro") and name not in keep_avro:
+            fs.delete(fs_join(meta_dir, name))
+    return {
+        "status": "expired",
+        "snapshots_kept": len(kept),
+        "snapshots_dropped": len(dropped),
+        "data_files_deleted": len(reap),
     }

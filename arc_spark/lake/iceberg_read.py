@@ -319,6 +319,37 @@ def read_iceberg(
     return out.drop("_ice_file_n", "_ice_seq", "_ice_pos")
 
 
+def _added_data_files(fs, snap: dict) -> list[str]:
+    """The data files a snapshot ADDED — the per-snapshot diff unit of
+    Iceberg's incremental append scan. Manifests whose
+    ``added_snapshot_id`` names a different snapshot are skipped without
+    parsing (a reused manifest carries no additions from this one);
+    inside a manifest, only status=1 (ADDED) data entries whose entry
+    snapshot_id matches count — an EXISTING carry-forward of the same
+    file must not re-read."""
+    sid = snap["snapshot-id"]
+    _, manifests = read_ocf_bytes(fs.read_bytes(snap["manifest-list"]))
+    out = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue  # delete manifest: nothing to read incrementally
+        added_by = m.get("added_snapshot_id")
+        if added_by is not None and added_by != sid:
+            continue
+        if m.get("added_files_count") == 0:
+            continue
+        _, entries = read_ocf_bytes(fs.read_bytes(m["manifest_path"]))
+        for e in entries:
+            if e.get("status") != 1:
+                continue
+            esid = e.get("snapshot_id")
+            if esid is not None and esid != sid:
+                continue
+            if e["data_file"].get("content", 0) == 0:
+                out.append(e["data_file"]["file_path"])
+    return out
+
+
 def read_iceberg_appends(
     spark: SparkSession,
     table_path: str,
@@ -331,14 +362,20 @@ def read_iceberg_appends(
     everything), plus the current snapshot id to store as the consumer's
     cursor. The complement of ``write_iceberg`` for consumers that have
     no monotone column to window on (with one, prefer a plain seq
-    cursor — it also survives compaction rewrites).
+    cursor).
 
-    Every snapshot in the traversed range must be an ``append``
-    (operation in its summary): an overwrite/delete rewrites history, so
-    "files added since" stops meaning "rows added since" — that case
-    raises instead of silently double- or under-reading. Returns
-    ``(DataFrame, current_snapshot_id)``; an empty range returns an
-    empty frame of the table's schema.
+    Snapshot semantics follow Iceberg's own incremental append scan: the
+    diff is the union of each traversed snapshot's ADDED files (read
+    from THAT snapshot's manifests — so rows landed before a compaction
+    are consumed from the pre-rewrite files, which snapshot retention
+    keeps on disk until expiry). ``replace`` snapshots (compaction
+    rewrites, e.g. :func:`~arc_spark.lake.iceberg_export.compact_iceberg`)
+    change no logical content and are skipped. Any OTHER operation —
+    overwrite, delete, or a snapshot missing its summary.operation —
+    rewrites history, so "files added since" stops meaning "rows added
+    since": that case raises instead of silently double- or
+    under-reading. Returns ``(DataFrame, current_snapshot_id)``; an
+    empty range returns an empty frame of the table's schema.
     """
     fs = get_fs(table_path, spark)
     meta_path = metadata_file or resolve_metadata_file(fs, table_path)
@@ -359,27 +396,34 @@ def read_iceberg_appends(
         if since_snapshot_id is not None else -1
     )
     cur_seq = int(by_id[cur_id].get("sequence-number", 0))
-    for s in snaps:
-        seq = int(s.get("sequence-number", 0))
-        if since_seq < seq <= cur_seq:
-            # fail CLOSED on a missing operation: a snapshot written by
-            # an engine that omits summary.operation could be a rewrite,
-            # and treating it as append would double-read rewritten rows
-            op = (s.get("summary") or {}).get("operation")
-            if op != "append":
-                what = repr(op) if op is not None else "missing its operation"
-                raise ValueError(
-                    f"snapshot {s['snapshot-id']} is {what}, not append — "
-                    "incremental file-diff reads are only sound on "
-                    "append-only tables"
-                )
-    data_files, deletes = _load_snapshot_files(fs, meta, cur_id)
+    # the append-only contract is checked on the CURRENT state, not just
+    # the traversed range: live delete files mean some consumed row may
+    # since have been logically deleted — a file-diff read cannot see it
+    _, deletes = _load_snapshot_files(fs, meta, cur_id)
     if deletes:
         raise ValueError(
             "table carries delete files — not append-only; use "
             "read_iceberg for the resolved current state"
         )
-    new_paths = [p for p, s in data_files if s > since_seq]
+    new_paths: list[str] = []
+    for s in sorted(snaps, key=lambda s: int(s.get("sequence-number", 0))):
+        seq = int(s.get("sequence-number", 0))
+        if not (since_seq < seq <= cur_seq):
+            continue
+        # fail CLOSED on a missing operation: a snapshot written by
+        # an engine that omits summary.operation could be a rewrite,
+        # and treating it as append would double-read rewritten rows
+        op = (s.get("summary") or {}).get("operation")
+        if op == "replace":
+            continue  # compaction: files moved, no logical content change
+        if op != "append":
+            what = repr(op) if op is not None else "missing its operation"
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} is {what}, not append — "
+                "incremental file-diff reads are only sound on "
+                "append-only tables"
+            )
+        new_paths.extend(_added_data_files(fs, s))
     if not new_paths:
         schema = next(
             s for s in (meta.get("schemas") or [meta.get("schema")])

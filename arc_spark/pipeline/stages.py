@@ -2872,6 +2872,46 @@ class IcebergExportExecute(PipelineStage):
 
 
 @register_stage
+class IcebergCompactExecute(PipelineStage):
+    """Engine-specific maintenance stage for an append-only Iceberg
+    LANDING ZONE (the table ``write_iceberg`` feeds and
+    ``eventsFormat=iceberg`` tails): bin-pack files smaller than
+    ``smallFileMB`` into ~``targetFileMB`` outputs as one ``replace``
+    snapshot (compact_iceberg), then optionally expire history down to
+    ``keepLast`` snapshots and reclaim the rewritten inputs
+    (expire_iceberg_landing). Snapshot-cursor consumers skip the replace
+    snapshot, so nothing double-reads; an expired cursor fails loudly
+    toward re-bootstrap. The declarative form of Iceberg's
+    RewriteDataFiles + ExpireSnapshots maintenance pair."""
+
+    stage_type = "IcebergCompactExecute"
+    REQUIRED = ("tableURI",)
+    OPTIONAL = ("smallFileMB", "targetFileMB", "minInputFiles", "keepLast")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame | None:
+        from arc_spark.lake.iceberg_export import (
+            compact_iceberg,
+            expire_iceberg_landing,
+        )
+
+        res = compact_iceberg(
+            ctx.spark, self.params["tableURI"],
+            small_file_mb=int(self.params.get("smallFileMB", 32)),
+            target_file_mb=int(self.params.get("targetFileMB", 128)),
+            min_input_files=int(self.params.get("minInputFiles", 4)),
+        )
+        keep_last = self.params.get("keepLast")
+        if keep_last is not None:
+            res["expire"] = expire_iceberg_landing(
+                ctx.spark, self.params["tableURI"],
+                keep_last=int(keep_last),
+            )
+        ctx.user_data[f"{self.name}.result"] = res
+        ctx.events.append({"stage": self.name, **res})
+        return None
+
+
+@register_stage
 class LakeRollbackExecute(PipelineStage):
     """Engine-specific maintenance stage: restore the table to a prior
     snapshot as a NEW manifest version (LakeTable.rollback) — the

@@ -892,3 +892,135 @@ def test_read_iceberg_appends_refuses_non_append_history(spark, lake):
     first_sid = meta["snapshots"][0]["snapshot-id"]
     with pytest.raises(ValueError, match="append|delete files"):
         read_iceberg_appends(spark, lake.root, first_sid)
+
+
+def test_compact_iceberg_landing_maintenance_loop(spark, tmp_path):
+    """The landing-zone maintenance loop at 10^4-epoch scale, miniature:
+    many small per-epoch appends -> compact_iceberg bin-packs them into
+    a single replace snapshot (content hash-identical, time travel
+    intact) -> expire_iceberg_landing reclaims the rewritten inputs.
+    A snapshot-cursor consumer reading ACROSS the compaction sees
+    exactly the rows it had not consumed, never the rewrite."""
+    from arc_spark.lake.iceberg_export import (
+        compact_iceberg,
+        expire_iceberg_landing,
+        write_iceberg,
+    )
+    from arc_spark.lake.iceberg_read import read_iceberg, read_iceberg_appends
+
+    root = str(tmp_path / "land")
+    sids = []
+    for i in range(5):
+        r = write_iceberg(
+            spark,
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 7 as v"),
+            root,
+        )
+        sids.append(r["snapshot_id"])
+    cursor = sids[1]  # consumer has read batches 1-2
+    before = read_iceberg(spark, root)
+    assert before.count() == 50
+
+    res = compact_iceberg(spark, root, small_file_mb=32, min_input_files=2)
+    assert res["status"] == "compacted" and res["rows"] == 50
+    assert res["output_files"] < res["input_files"]
+    after = read_iceberg(spark, root)
+    assert after.exceptAll(before).isEmpty()
+    assert before.exceptAll(after).isEmpty()
+    # time travel to a pre-compaction snapshot still reads the old files
+    assert read_iceberg(spark, root, snapshot_id=sids[2]).count() == 30
+
+    # a post-compaction append, then the consumer catches up: batches
+    # 3-5 (30 rows) + the new batch (10) — the replace snapshot itself
+    # contributes NOTHING (no double-read of rewritten rows)
+    write_iceberg(
+        spark, spark.range(50, 60).selectExpr("id", "id * 7 as v"), root
+    )
+    inc, _cur = read_iceberg_appends(spark, root, cursor)
+    assert inc.count() == 40
+    assert inc.agg(F.min("id"), F.max("id")).first() == (20, 59)
+
+    # below min_input_files -> honest noop
+    assert compact_iceberg(spark, root, small_file_mb=0)["status"] == "noop"
+
+    # expiry reclaims the rewritten small files; survivors read intact
+    import os
+
+    def n_parquet(d):
+        return sum(
+            len([f for f in fl if f.endswith(".parquet")])
+            for _, _, fl in os.walk(d)
+        )
+
+    n_before = n_parquet(f"{root}/data")
+    gc = expire_iceberg_landing(spark, root, keep_last=2)
+    assert gc["status"] == "expired" and gc["data_files_deleted"] > 0
+    assert n_parquet(f"{root}/data") < n_before
+    assert read_iceberg(spark, root).count() == 60
+    # an expired cursor fails loudly toward re-bootstrap
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        read_iceberg_appends(spark, root, sids[0])
+
+
+def test_iceberg_tail_replay_across_compaction(spark, tmp_path):
+    """A replay tailing the landing zone is oblivious to a mid-stream
+    compaction (it reads table state through a seq cursor, not file
+    diffs): land half, replay, compact, land the rest, resume — final
+    lake equals the plain-parquet replay."""
+    from arc_spark.lake.iceberg_export import compact_iceberg, write_iceberg
+
+    d = str(tmp_path / "tailc")
+    stream = write_change_stream(spark, f"{d}/ev", 900, seed=31,
+                                 num_partitions=4)
+    ev = spark.read.parquet(stream)
+    for lo, hi in ((0, 200), (200, 350), (350, 450)):
+        write_iceberg(spark, ev.filter(f"seq >= {lo} and seq < {hi}"),
+                      f"{d}/ice")
+    table, _ = create_table_for_stream(
+        spark, f"{d}/ice", f"{d}/lake", num_buckets=4,
+        events_format="iceberg",
+    )
+    ReplayRunner(spark, f"{d}/ice", table, batch_size=300,
+                 events_format="iceberg").run()
+    assert compact_iceberg(spark, f"{d}/ice", small_file_mb=32,
+                           min_input_files=2)["status"] == "compacted"
+    write_iceberg(spark, ev.filter("seq >= 450"), f"{d}/ice")
+    ReplayRunner(spark, f"{d}/ice", table, batch_size=300,
+                 events_format="iceberg").run()
+
+    want_table, _ = create_table_for_stream(spark, stream, f"{d}/plake",
+                                            num_buckets=4)
+    ReplayRunner(spark, stream, want_table, batch_size=300).run()
+    cols = sorted(table.read(spark).columns)
+    got = table.read(spark).select(*cols)
+    want = want_table.read(spark).select(*cols)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_iceberg_compact_stage(spark, tmp_path):
+    """Declarative maintenance: IcebergCompactExecute compacts and
+    (with keepLast) expires a landing zone; content unchanged."""
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+    from arc_spark.pipeline import run_config
+
+    root = str(tmp_path / "stage_land")
+    for i in range(4):
+        write_iceberg(
+            spark,
+            spark.range(i * 5, (i + 1) * 5).selectExpr("id", "id * 2 as v"),
+            root,
+        )
+    # materialize: expiry deletes the pre-compaction files a lazy plan
+    # over the old snapshot would still reference
+    before = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    cfg = {"stages": [{
+        "type": "IcebergCompactExecute", "name": "gc", "tableURI": root,
+        "smallFileMB": 32, "minInputFiles": 2, "keepLast": 1,
+    }]}
+    _, ctx = run_config(spark, cfg)
+    res = ctx.user_data["gc.result"]
+    assert res["status"] == "compacted"
+    assert res["expire"]["status"] == "expired"
+    after = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    assert after == before
