@@ -1060,10 +1060,17 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
     # from the same prev must never share manifest avro paths
     uid = f"w{out_version}-{uuid.uuid4().hex[:16]}"
 
+    # foreign manifests may omit stats; fill from footers in one pool
+    need = [c[0] for c in carried if c[2] is None or c[3] is None]
+    if need:
+        fixed = dict(zip(need, _pooled_stats(fs, need)))
+        carried = [
+            (p, s, *(fixed[p] if p in fixed else (n, sz)), a)
+            for p, s, n, sz, a in carried
+        ]
+
     entries, total_rows, new_rows = [], 0, 0
     for path, fseq, n, size, added_by in carried:  # EXISTING
-        if n is None or size is None:  # foreign manifest without stats
-            n, size = _footer_stats(fs, path)
         total_rows += n
         entries.append({
             "status": 0,
@@ -1295,7 +1302,7 @@ def compact_iceberg(
     if need:
         fixed = dict(zip(need, _pooled_stats(fs, need)))
         data_files = [
-            (p, s, *(fixed[p] if p in need else (n, sz)), a)
+            (p, s, *(fixed[p] if p in fixed else (n, sz)), a)
             for p, s, n, sz, a in data_files
         ]
 
@@ -1375,9 +1382,19 @@ def compact_iceberg(
         )
 
     # current schema verbatim: a rewrite never evolves the schema
-    schemas = list(prev.get("schemas") or [])
     schema_id = int(prev.get("current-schema-id", 0))
-    schema_json = next(s for s in schemas if s.get("schema-id") == schema_id)
+    schemas = list(prev.get("schemas") or [])
+    if not schemas and prev.get("schema"):
+        # v1-style metadata: single "schema" field instead of history
+        schemas = [{**prev["schema"], "schema-id": schema_id}]
+    schema_json = next(
+        (s for s in schemas if s.get("schema-id") == schema_id), None
+    )
+    if schema_json is None:
+        raise ValueError(
+            f"compact_iceberg: current schema id {schema_id} not found in "
+            f"{prev_path} — table metadata carries no resolvable schema"
+        )
     name_mapping = json.loads(
         (prev.get("properties") or {}).get("schema.name-mapping.default", "[]")
     )
@@ -1477,13 +1494,14 @@ def expire_iceberg_landing(spark, root: str, *, keep_last: int = 2,
         p, a = _files_and_avros(s)
         keep_files |= p
         keep_avro |= {x.rsplit("/", 1)[-1] for x in a}
-    drop_files = set()
+    drop_files, drop_avro = set(), set()
     for s in dropped:
         try:
-            p, _ = _files_and_avros(s)
+            p, a = _files_and_avros(s)
         except FileNotFoundError:
             continue  # already half-expired
         drop_files |= p
+        drop_avro |= {x.rsplit("/", 1)[-1] for x in a}
     reap = sorted(drop_files - keep_files)
 
     keep_ids = {s["snapshot-id"] for s in kept}
@@ -1523,9 +1541,15 @@ def expire_iceberg_landing(spark, root: str, *, keep_last: int = 2,
             fs.delete(p)
         except FileNotFoundError:
             pass
-    for name in fs.listdir(meta_dir):
-        if name.endswith(".avro") and name not in keep_avro:
+    # avro reap scoped to the DROPPED snapshots' manifests — never a
+    # blanket "everything unknown" sweep, which would race a concurrent
+    # appender's just-committed manifests (the one race the docstring
+    # promises to survive) and leave the table head dangling
+    for name in sorted(drop_avro - keep_avro):
+        try:
             fs.delete(fs_join(meta_dir, name))
+        except FileNotFoundError:
+            pass
     return {
         "status": "expired",
         "snapshots_kept": len(kept),

@@ -374,8 +374,13 @@ def read_iceberg_appends(
     overwrite, delete, or a snapshot missing its summary.operation —
     rewrites history, so "files added since" stops meaning "rows added
     since": that case raises instead of silently double- or
-    under-reading. Returns ``(DataFrame, current_snapshot_id)``; an
-    empty range returns an empty frame of the table's schema.
+    under-reading. ``since_snapshot_id=None`` is the consumer's
+    BOOTSTRAP: it reads the current snapshot's full live file set (not
+    a snapshot diff — after a compaction + expiry the surviving append
+    snapshots no longer cover rows that live only in rewritten files),
+    so "everything" really is everything. Returns ``(DataFrame,
+    current_snapshot_id)``; an empty range returns an empty frame of
+    the table's schema.
     """
     fs = get_fs(table_path, spark)
     meta_path = metadata_file or resolve_metadata_file(fs, table_path)
@@ -399,31 +404,37 @@ def read_iceberg_appends(
     # the append-only contract is checked on the CURRENT state, not just
     # the traversed range: live delete files mean some consumed row may
     # since have been logically deleted — a file-diff read cannot see it
-    _, deletes = _load_snapshot_files(fs, meta, cur_id)
+    live_files, deletes = _load_snapshot_files(fs, meta, cur_id)
     if deletes:
         raise ValueError(
             "table carries delete files — not append-only; use "
             "read_iceberg for the resolved current state"
         )
-    new_paths: list[str] = []
-    for s in sorted(snaps, key=lambda s: int(s.get("sequence-number", 0))):
-        seq = int(s.get("sequence-number", 0))
-        if not (since_seq < seq <= cur_seq):
-            continue
-        # fail CLOSED on a missing operation: a snapshot written by
-        # an engine that omits summary.operation could be a rewrite,
-        # and treating it as append would double-read rewritten rows
-        op = (s.get("summary") or {}).get("operation")
-        if op == "replace":
-            continue  # compaction: files moved, no logical content change
-        if op != "append":
-            what = repr(op) if op is not None else "missing its operation"
-            raise ValueError(
-                f"snapshot {s['snapshot-id']} is {what}, not append — "
-                "incremental file-diff reads are only sound on "
-                "append-only tables"
-            )
-        new_paths.extend(_added_data_files(fs, s))
+    if since_snapshot_id is None:
+        # bootstrap: the full current live set, never a snapshot diff —
+        # surviving append snapshots may not cover rows whose original
+        # files a compaction rewrote and an expiry reclaimed
+        new_paths = [p for p, _s in live_files]
+    else:
+        new_paths = []
+        for s in sorted(snaps, key=lambda s: int(s.get("sequence-number", 0))):
+            seq = int(s.get("sequence-number", 0))
+            if not (since_seq < seq <= cur_seq):
+                continue
+            # fail CLOSED on a missing operation: a snapshot written by
+            # an engine that omits summary.operation could be a rewrite,
+            # and treating it as append would double-read rewritten rows
+            op = (s.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue  # compaction: files moved, no logical content change
+            if op != "append":
+                what = repr(op) if op is not None else "missing its operation"
+                raise ValueError(
+                    f"snapshot {s['snapshot-id']} is {what}, not append — "
+                    "incremental file-diff reads are only sound on "
+                    "append-only tables"
+                )
+            new_paths.extend(_added_data_files(fs, s))
     if not new_paths:
         schema = next(
             s for s in (meta.get("schemas") or [meta.get("schema")])

@@ -957,6 +957,12 @@ def test_compact_iceberg_landing_maintenance_loop(spark, tmp_path):
     assert gc["status"] == "expired" and gc["data_files_deleted"] > 0
     assert n_parquet(f"{root}/data") < n_before
     assert read_iceberg(spark, root).count() == 60
+    # a FRESH consumer (since=None) bootstraps from the full live file
+    # set — after compaction + expiry the surviving append snapshots no
+    # longer cover the rewritten rows, so a snapshot diff would
+    # silently under-read
+    boot, _ = read_iceberg_appends(spark, root, None)
+    assert boot.count() == 60
     # an expired cursor fails loudly toward re-bootstrap
     with pytest.raises(ValueError, match="re-bootstrap"):
         read_iceberg_appends(spark, root, sids[0])
