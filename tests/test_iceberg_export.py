@@ -1030,3 +1030,83 @@ def test_iceberg_compact_stage(spark, tmp_path):
     assert res["expire"]["status"] == "expired"
     after = sorted(map(tuple, read_iceberg(spark, root).collect()))
     assert after == before
+
+
+def test_compact_cas_loser_retries_against_appender(spark, tmp_path, monkeypatch):
+    """compact_iceberg loses its metadata CAS to a concurrent APPEND and
+    must retry against the winner's chain, reusing the already-packed
+    output and carrying the winner's new file as EXISTING."""
+    import arc_spark.lake.iceberg_export as ice
+    from arc_spark.lake.iceberg_export import compact_iceberg, write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    root = str(tmp_path / "race")
+    for i in range(4):
+        write_iceberg(
+            spark,
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 3 as v"),
+            root,
+        )
+    inner = LocalFS()
+
+    class RacedFS:
+        """The compactor's first metadata commit loses to a real append."""
+
+        def __init__(self):
+            self.raced = False
+
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+        def create_exclusive(self, path, data):
+            if not self.raced and path.endswith(".metadata.json"):
+                self.raced = True  # set FIRST: the append below re-enters
+                write_iceberg(
+                    spark,
+                    spark.range(40, 50).selectExpr("id", "id * 3 as v"),
+                    root,
+                )
+            return inner.create_exclusive(path, data)
+
+    raced = RacedFS()
+    monkeypatch.setattr(ice, "get_fs", lambda *a, **k: raced)
+    res = compact_iceberg(spark, root, small_file_mb=32, min_input_files=2)
+    monkeypatch.undo()
+    assert raced.raced  # the injected race actually fired
+    assert res["status"] == "compacted"
+    # the winner's appended file is carried, every row survives
+    got = read_iceberg(spark, root)
+    assert got.count() == 50
+    assert got.agg(F.min("id"), F.max("id")).first() == (0, 49)
+    # exactly one packed output dir: the retry reused the first attempt's
+    import os
+
+    compact_dirs = [
+        n for n in os.listdir(f"{root}/data") if n.startswith("compact-")
+    ]
+    assert len(compact_dirs) == 1
+
+
+def test_expire_reap_spares_concurrent_appender_manifests(spark, tmp_path):
+    """The expiry avro reap is scoped to the DROPPED snapshots' own
+    manifests: an avro landed in metadata/ by a mid-flight concurrent
+    appender (not yet referenced by any snapshot this expire saw) must
+    survive, or the appender's commit would reference deleted files."""
+    from arc_spark.lake.iceberg_export import (
+        expire_iceberg_landing,
+        write_iceberg,
+    )
+
+    root = str(tmp_path / "spare")
+    for i in range(3):
+        write_iceberg(
+            spark,
+            spark.range(i * 5, (i + 1) * 5).selectExpr("id"),
+            root,
+        )
+    inner = LocalFS()
+    stranger = f"{root}/metadata/manifest-data-w9-deadbeefcafe.avro"
+    inner.write_bytes(stranger, b"mid-flight appender manifest")
+    res = expire_iceberg_landing(spark, root, keep_last=1)
+    assert res["status"] == "expired" and res["snapshots_dropped"] == 2
+    assert inner.exists(stranger)  # scoped reap never touched it
