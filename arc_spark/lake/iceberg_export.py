@@ -1256,9 +1256,13 @@ def compact_iceberg(
     per-epoch leaves one small parquet batch per commit — after 10^4
     epochs the table is 10^4 tiny files and every full scan pays 10^4
     file opens. Compaction reads the files smaller than
-    ``small_file_mb`` in ONE Spark job, repartitions them to
-    ~``target_file_mb`` outputs, and commits a snapshot that carries the
-    untouched big files as EXISTING and the packed files as ADDED. Old
+    ``small_file_mb`` in ONE Spark job, coalesces them to
+    ~``target_file_mb`` outputs (coalesce, not repartition: bin-packing
+    needs no key placement, and a repartition would shuffle every
+    rewritten byte twice — the scan's own split packing already groups
+    small files into right-sized read partitions), and commits a
+    snapshot that carries the untouched big files as EXISTING and the
+    packed files as ADDED. Old
     files stay on disk (older snapshots and snapshot-cursor consumers
     still reference them — Iceberg's retention model) until expiry.
 
@@ -1316,7 +1320,7 @@ def compact_iceberg(
         n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
         out_dir = fs_join(root, "data", f"compact-{uuid.uuid4().hex[:12]}")
         (spark.read.option("mergeSchema", "true").parquet(*small_paths)
-             .repartition(int(n_out)).write.mode("overwrite")
+             .coalesce(int(n_out)).write.mode("overwrite")
              .parquet(out_dir))
     else:
         # CAS-loss retry: the packed output and input set are fixed; only

@@ -2845,6 +2845,37 @@ class IcebergExtract(PipelineStage):
 
 
 @register_stage
+class IcebergAppendsExtract(PipelineStage):
+    """Engine-specific incremental source: the rows an append-only
+    Iceberg table (e.g. a write_iceberg landing zone) gained after
+    ``sinceSnapshotId`` — Iceberg incremental-append-scan semantics
+    (per-snapshot ADDED diffing; compaction ``replace`` snapshots are
+    skipped, anything history-rewriting fails closed). Omitting
+    ``sinceSnapshotId`` bootstraps from the full current live file set.
+    The new cursor lands in ``ctx.user_data["<name>.snapshot_id"]`` and
+    the stage event, for the caller to persist between runs. See
+    arc_spark.lake.iceberg_read.read_iceberg_appends."""
+
+    stage_type = "IcebergAppendsExtract"
+    REQUIRED = ("inputURI", "outputView")
+    OPTIONAL = ("sinceSnapshotId", "metadataFile")
+
+    def execute(self, ctx: PipelineContext) -> DataFrame:
+        from arc_spark.lake.iceberg_read import read_iceberg_appends
+
+        since = self.params.get("sinceSnapshotId")
+        df, cursor = read_iceberg_appends(
+            ctx.spark,
+            self.params["inputURI"],
+            int(since) if since is not None else None,
+            metadata_file=self.params.get("metadataFile"),
+        )
+        ctx.user_data[f"{self.name}.snapshot_id"] = cursor
+        ctx.events.append({"stage": self.name, "snapshot_id": cursor})
+        return self.register_output(ctx, df, self.params["outputView"])
+
+
+@register_stage
 class IcebergExportExecute(PipelineStage):
     """Engine-specific interop stage: publish the lake table's current
     snapshot as an Apache Iceberg v2 table (metadata-only, zero data

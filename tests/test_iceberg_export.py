@@ -1110,3 +1110,26 @@ def test_expire_reap_spares_concurrent_appender_manifests(spark, tmp_path):
     res = expire_iceberg_landing(spark, root, keep_last=1)
     assert res["status"] == "expired" and res["snapshots_dropped"] == 2
     assert inner.exists(stranger)  # scoped reap never touched it
+
+
+def test_iceberg_appends_extract_stage(spark, tmp_path):
+    """Declarative incremental consumer: bootstrap without a cursor,
+    then resume with the emitted snapshot_id — only the new batch."""
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.pipeline import run_config
+
+    root = str(tmp_path / "appext")
+    write_iceberg(spark, spark.range(0, 20).selectExpr("id"), root)
+    cfg = {"stages": [{
+        "type": "IcebergAppendsExtract", "name": "tail",
+        "inputURI": root, "outputView": "appends",
+    }]}
+    df, ctx = run_config(spark, cfg)
+    assert df.count() == 20
+    cursor = ctx.user_data["tail.snapshot_id"]
+
+    write_iceberg(spark, spark.range(20, 25).selectExpr("id"), root)
+    cfg["stages"][0]["sinceSnapshotId"] = cursor
+    df2, ctx2 = run_config(spark, cfg)
+    assert df2.count() == 5
+    assert ctx2.user_data["tail.snapshot_id"] != cursor
