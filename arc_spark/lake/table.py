@@ -123,6 +123,14 @@ class Snapshot:
     # names (and their aliases) retired by alter_schema(drop=...): re-adding
     # one would resurrect old file values, so merges/adds reject them
     dropped_columns: list[str] = field(default_factory=list)
+    # per-file seq bounds: rel path -> [min_seq, max_seq] from the parquet
+    # footer at write time (the Iceberg manifest-entry lower/upper-bounds
+    # analogue). Lets changes_since prune at FILE granularity — a file
+    # whose max_seq <= cursor cannot contribute OR shadow any row that
+    # survives the cursor filter, so compaction files (which carry no
+    # epoch in their path) stop being "conservatively included". Absent
+    # entry = unknown = conservative include; older manifests parse fine.
+    file_stats: dict[str, list] = field(default_factory=dict)
     # bucket-count evolution (grow_buckets): spec under which a FILES
     # entry was written, for entries not yet split to ``num_buckets``.
     # Every live spec divides num_buckets, so a storage bucket ``b`` at
@@ -261,6 +269,7 @@ class LakeTable:
             bucket_rows=m.get("bucket_rows", {}),
             column_renames=m.get("column_renames", {}),
             dropped_columns=m.get("dropped_columns", []),
+            file_stats=m.get("file_stats", {}),
             bucket_specs={k: int(v) for k, v in m.get("bucket_specs", {}).items()},
         )
 
@@ -336,6 +345,7 @@ class LakeTable:
             "files": {},
             "delta_files": {},
             "bucket_rows": {},
+            "file_stats": {},
             "committed_epochs": {},
             "counters": {},
             "column_renames": {},
@@ -445,6 +455,7 @@ class LakeTable:
                 "files": snap.files,
                 "delta_files": snap.delta_files,
                 "bucket_rows": snap.bucket_rows,
+                "file_stats": snap.file_stats,
                 "committed_epochs": snap.committed_epochs,
                 "counters": {
                     "altered": {
@@ -559,6 +570,7 @@ class LakeTable:
                 "files": snap.files,
                 "delta_files": {},
                 "bucket_rows": snap.bucket_rows,
+                "file_stats": _live_file_stats(snap.file_stats, {}, snap.files, {}),
                 "committed_epochs": snap.committed_epochs,
                 "counters": {
                     "grew_buckets": {"from": snap.num_buckets, "to": new_b},
@@ -612,6 +624,7 @@ class LakeTable:
         spark: SparkSession,
         snap: Snapshot,
         buckets: set[str] | None = None,
+        file_filter=None,
     ) -> DataFrame:
         """Tombstone-carrying rows for the given buckets (default all),
         with any MOR deltas LWW-resolved against the base.
@@ -628,37 +641,55 @@ class LakeTable:
         along; every caller is closed over them (full reads request
         everything, lookup semi-joins on keys, changes_since filters by
         seq over files it would have had to read anyway, and writers
-        expand to the storage closure)."""
+        expand to the storage closure).
+
+        ``file_filter`` (rel path -> bool) drops individual files from the
+        scan. ONLY sound for callers that afterwards keep rows with
+        ``seq > S`` while dropping only files with ``max_seq <= S``
+        (changes_since): any row a dropped file holds has seq <= S, so it
+        can neither survive the caller's filter nor out-rank (shadow) a
+        surviving row — LWW resolution over the kept files alone yields
+        the identical post-filter result. A bucket whose delta files are
+        ALL dropped streams through the clean (no-window) path: its kept
+        base files are a single COW generation (unique keys), so no
+        resolution is needed."""
+        ff = file_filter if file_filter is not None else (lambda p: True)
         cover = snap.base_cover()
         if buckets is None:
             sel = set(cover) | set(snap.delta_files)
         else:
             sel = {str(b) for b in buckets}
+
+        def _deltas(c: str) -> list[str]:
+            return [p for p in snap.delta_files.get(c, []) if ff(p)]
+
+        def _base(b: str) -> list[str]:
+            return [p for p in snap.files.get(b, []) if ff(p)]
+
         # group requested buckets under their storage entry; a storage
         # entry is dirty if ANY requested bucket it covers carries deltas
+        # (post-filter: stale deltas must not force the window shuffle)
         by_storage: dict[str, set[str]] = {}
         no_base_dirty: list[str] = []
         for c in sel:
             b = cover.get(c)
             if b is not None:
                 by_storage.setdefault(b, set()).add(c)
-            elif snap.delta_files.get(c):
+            elif _deltas(c):
                 no_base_dirty.append(c)  # insert-only delta, no base yet
         dirty = {
-            b
-            for b, cs in by_storage.items()
-            if any(snap.delta_files.get(c) for c in cs)
+            b for b, cs in by_storage.items() if any(_deltas(c) for c in cs)
         }
-        clean_files = [p for b in by_storage if b not in dirty for p in snap.files[b]]
+        clean_files = [p for b in by_storage if b not in dirty for p in _base(b)]
         clean = self._read_files(spark, snap, clean_files, with_tombstone=True)
         if not dirty and not no_base_dirty:
             return clean
-        dirty_base = [p for b in dirty for p in snap.files[b]]
+        dirty_base = [p for b in dirty for p in _base(b)]
         dirty_delta = [
             p
             for c in sel
             if (cover.get(c) in dirty or c in no_base_dirty)
-            for p in snap.delta_files.get(c, [])
+            for p in _deltas(c)
         ]
         merged = self._read_files(
             spark, snap, dirty_base, with_tombstone=True
@@ -767,18 +798,27 @@ class LakeTable:
         ``op='delete'`` (payload from the tombstone), upserts as
         ``op='upsert'``.
 
-        Scan scope: only buckets whose current files were written by an
-        epoch with ``end_seq > since_seq`` (the epoch id is embedded in
-        every data-file path; compaction files have no epoch and are
-        conservatively included). A bucket untouched since ``since_seq``
-        cannot hold a newer row, so at steady state the read touches
-        O(changed buckets), not the lake — and the seq filter itself
-        pushes down to parquet row-group stats within those files."""
+        Scan scope, FILE-granular: a file is read only if it may hold a
+        row with ``seq > since_seq`` — judged first by its manifest
+        ``file_stats`` seq bounds (recorded from the parquet footer at
+        write time, the Iceberg manifest-entry bounds analogue), falling
+        back to the epoch id embedded in the file path, and included
+        conservatively only when neither is known. This is what keeps the
+        incremental read cheap AFTER compaction: a compaction file has no
+        epoch in its path, but its footer bounds prove the bucket's
+        history is old, so steady state touches O(changed files), not
+        O(changed buckets) — and the seq filter still pushes down to
+        parquet row-group stats inside the files that are read. Dropping
+        a ``max_seq <= since_seq`` file is exact, not heuristic: every
+        row it holds fails the final seq filter and is out-ranked by any
+        kept row for the same key (see ``_resolve``'s file_filter
+        contract)."""
         snap = self.snapshot(version)
         recent = {
             e for e, v in snap.committed_epochs.items()
             if int(v["end_seq"]) > since_seq
         }
+        stats = snap.file_stats
 
         def _epoch_of(rel_path: str) -> str | None:
             # data/epoch={n}-{attempt}/... or data/compact-{attempt}/...
@@ -787,16 +827,20 @@ class LakeTable:
                 return parts[1][len("epoch="):].split("-", 1)[0]
             return None  # compaction/unknown — include conservatively
 
-        def _bucket_recent(files: list[str]) -> bool:
-            return any((e := _epoch_of(p)) is None or e in recent for p in files)
+        def _may_hold_newer(rel_path: str) -> bool:
+            s = stats.get(rel_path)
+            if s is not None and s[1] is not None:
+                return int(s[1]) > since_seq
+            e = _epoch_of(rel_path)
+            return e is None or e in recent
 
         buckets = {
             b
             for b in set(snap.files) | set(snap.delta_files)
-            if _bucket_recent(snap.files.get(b, []))
-            or _bucket_recent(snap.delta_files.get(b, []))
+            if any(_may_hold_newer(p) for p in snap.files.get(b, []))
+            or any(_may_hold_newer(p) for p in snap.delta_files.get(b, []))
         }
-        df = self._resolve(spark, snap, buckets=buckets)
+        df = self._resolve(spark, snap, buckets=buckets, file_filter=_may_hold_newer)
         return (
             df.filter(F.col(snap.seq_col) > since_seq)
             .withColumn(
@@ -1149,6 +1193,7 @@ class LakeTable:
         # discover written files per bucket (driver-side listing of the new
         # attempt dir only — O(files written this epoch))
         new_files: dict[str, list[str]] = {}
+        new_stats: dict[str, list] = {}
         rows_written = 0
         rows_per_bucket: dict[str, int] = {}
         for entry in self.fs.listdir(out_dir):
@@ -1162,7 +1207,10 @@ class LakeTable:
                 if fn.endswith(".parquet")
             ]
             new_files[bucket] = rel
-            n = _parquet_rows(self.fs, [fs_join(self.root, p) for p in rel])
+            # same footer pass that counts rows also records per-file seq
+            # bounds for the manifest (Iceberg manifest-entry bounds)
+            n, st = _parquet_footer_info(self.fs, rel, seq_col, root=self.root)
+            new_stats.update(st)
             rows_per_bucket[bucket] = n
             rows_written += n
 
@@ -1206,6 +1254,9 @@ class LakeTable:
             "files": files,
             "delta_files": delta_files,
             "bucket_rows": bucket_rows,
+            "file_stats": _live_file_stats(
+                snap.file_stats, new_stats, files, delta_files
+            ),
             "committed_epochs": {
                 **snap.committed_epochs,
                 # epoch_meta spreads FIRST: start_seq/end_seq are the
@@ -1260,6 +1311,7 @@ class LakeTable:
 
         delta_files = {b: list(fs) for b, fs in snap.delta_files.items()}
         bucket_rows = dict(snap.bucket_rows)
+        new_stats: dict[str, list] = {}
         rows_written = 0
         rows_per_bucket: dict[str, int] = {}
         for entry in self.fs.listdir(out_dir):
@@ -1273,7 +1325,10 @@ class LakeTable:
                 if fn.endswith(".parquet")
             ]
             delta_files.setdefault(bucket, []).extend(rel)
-            n = _parquet_rows(self.fs, [fs_join(self.root, p) for p in rel])
+            n, st = _parquet_footer_info(
+                self.fs, rel, snap.seq_col, root=self.root
+            )
+            new_stats.update(st)
             rows_per_bucket[bucket] = n
             bucket_rows[bucket] = bucket_rows.get(bucket, 0) + n
             rows_written += n
@@ -1300,6 +1355,9 @@ class LakeTable:
             "files": snap.files,
             "delta_files": delta_files,
             "bucket_rows": bucket_rows,
+            "file_stats": _live_file_stats(
+                snap.file_stats, new_stats, snap.files, delta_files
+            ),
             "committed_epochs": {
                 **snap.committed_epochs,
                 # epoch_meta spreads FIRST: start_seq/end_seq are the
@@ -1420,6 +1478,7 @@ class LakeTable:
             }
         )
         rewritten = 0
+        new_stats: dict[str, list] = {}
         for entry in self.fs.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
@@ -1429,9 +1488,13 @@ class LakeTable:
                 for fn in self.fs.listdir(fs_join(out_dir, entry))
                 if fn.endswith(".parquet")
             ]
-            bucket_rows[bucket] = _parquet_rows(
-                self.fs, [fs_join(self.root, p) for p in files[bucket]]
+            # compaction files carry no epoch in their path, so these
+            # footer bounds are what keeps changes_since from re-reading
+            # the whole compacted bucket forever after
+            bucket_rows[bucket], st = _parquet_footer_info(
+                self.fs, files[bucket], snap.seq_col, root=self.root
             )
+            new_stats.update(st)
             rewritten += 1
         manifest = {
             "version": snap.version + 1,
@@ -1443,6 +1506,9 @@ class LakeTable:
             "files": files,
             "delta_files": delta_files,
             "bucket_rows": bucket_rows,
+            "file_stats": _live_file_stats(
+                snap.file_stats, new_stats, files, delta_files
+            ),
             "committed_epochs": snap.committed_epochs,
             "counters": {"compacted": True, "buckets_rewritten": rewritten},
             # A FULL compact rewrites every surviving file under the current
@@ -1610,18 +1676,84 @@ class LakeTable:
         return out
 
 
-def _parquet_rows(fs, paths: list[str]) -> int:
-    """Row counts from parquet footers — no Spark job. Local paths go
-    straight to pyarrow; other schemes read through a seekable driver-side
-    stream (footer-sized IO, not whole files)."""
+def _footer_seq_bounds(md, seq_col: str) -> list | None:
+    """[min_seq, max_seq] for ``seq_col`` from a parquet FileMetaData's
+    row-group statistics, or None when any row group lacks stats (the
+    caller records nothing and reads stay conservative)."""
+    lo = hi = None
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        if rg.num_rows == 0:
+            continue
+        col = None
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            if c.path_in_schema == seq_col:
+                col = c
+                break
+        st = col.statistics if col is not None else None
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return [int(lo), int(hi)]
+
+
+def _parquet_footer_info(
+    fs, paths: list[str], seq_col: str | None = None, *, root: str | None = None
+):
+    """(total_rows, {path: [min_seq, max_seq]}) from parquet footers — no
+    Spark job. Local paths go straight to pyarrow; other schemes read
+    through a seekable driver-side stream (footer-sized IO, not whole
+    files). With ``root``, ``paths`` are table-relative (opened under
+    root, stats keyed by the relative path — manifest-ready). Files whose
+    footers carry no usable seq statistics are simply absent from the
+    stats dict."""
     import pyarrow.parquet as pq
 
     from arc_spark.fs import LocalFS
 
-    if isinstance(fs, LocalFS):
-        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
     total = 0
+    stats: dict[str, list] = {}
+
+    def _one(key, src):
+        nonlocal total
+        md = pq.ParquetFile(src).metadata
+        total += md.num_rows
+        if seq_col is not None:
+            b = _footer_seq_bounds(md, seq_col)
+            if b is not None:
+                stats[key] = b
+
     for p in paths:
-        with fs.seekable_input(p) as f:
-            total += pq.ParquetFile(f).metadata.num_rows
-    return total
+        full = fs_join(root, p) if root is not None else p
+        if isinstance(fs, LocalFS):
+            _one(p, full)
+        else:
+            with fs.seekable_input(full) as f:
+                _one(p, f)
+    return total, stats
+
+
+def _parquet_rows(fs, paths: list[str]) -> int:
+    """Row counts from parquet footers — no Spark job."""
+    return _parquet_footer_info(fs, paths)[0]
+
+
+def _live_file_stats(
+    prev: dict[str, list],
+    new: dict[str, list],
+    files: dict[str, list[str]],
+    delta_files: dict[str, list[str]],
+) -> dict[str, list]:
+    """Stats map for a new manifest: carry forward entries for files that
+    remain live, fold in the stats of files written this commit. Entries
+    for removed files are dropped so the manifest never grows beyond the
+    live file set (O(live files), same order as the files map itself)."""
+    live = {p for fl in files.values() for p in fl}
+    live |= {p for fl in delta_files.values() for p in fl}
+    out = {p: s for p, s in prev.items() if p in live}
+    out.update({p: s for p, s in new.items() if p in live})
+    return out
