@@ -203,6 +203,25 @@ def _opt(t):
     return ["null", t]
 
 
+def _bounds_field(name: str, fid: int, kid: int, vid: int):
+    """An optional Iceberg bounds map (``lower_bounds``/``upper_bounds``):
+    per the spec, Avro encodes map<int, bytes> as an array of key/value
+    records with ``logicalType: map``."""
+    return {
+        "name": name, "field-id": fid, "default": None,
+        "type": _opt({
+            "type": "array", "logicalType": "map",
+            "items": {
+                "type": "record", "name": f"k{kid}_v{vid}",
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": kid},
+                    {"name": "value", "type": "bytes", "field-id": vid},
+                ],
+            },
+        }),
+    }
+
+
 def _data_file_schema():
     return {
         "type": "record", "name": "r2", "fields": [
@@ -213,6 +232,8 @@ def _data_file_schema():
              "type": {"type": "record", "name": "r102", "fields": []}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _bounds_field("lower_bounds", 125, 126, 127),
+            _bounds_field("upper_bounds", 128, 129, 130),
             {"name": "equality_ids", "field-id": 135, "default": None,
              "type": _opt({"type": "array", "items": "int",
                            "element-id": 136})},
@@ -433,9 +454,10 @@ def export_iceberg(
         for j in sorted(delta_levels) for path in delta_levels[j]
     ]
 
-    fstats = _pooled_stats(fs, [p for p, _ in file_seqs])
+    fstats = _pooled_stats_bounds(fs, [p for p, _ in file_seqs], snap.seq_col)
+    seq_fid = ids[snap.seq_col]
     entries, total_rows = [], 0
-    for (path, seq), (n, size) in zip(file_seqs, fstats):
+    for (path, seq), (n, size, bnd) in zip(file_seqs, fstats):
         total_rows += n
         entries.append({
             "status": 1,  # ADDED
@@ -449,6 +471,11 @@ def export_iceberg(
                 "partition": {},
                 "record_count": n,
                 "file_size_in_bytes": size,
+                # seq-column bounds from the same footer read: Iceberg
+                # engines use these for scan planning (min/max pruning),
+                # exactly as the lake's own file_stats do internally
+                "lower_bounds": _seq_bound_cell(seq_fid, bnd, 0),
+                "upper_bounds": _seq_bound_cell(seq_fid, bnd, 1),
                 "equality_ids": None,
             },
         })
@@ -718,6 +745,40 @@ def _footer_stats(fs, path: str) -> tuple[int, int]:
     with fs.seekable_input(path) as f:
         n = pq.ParquetFile(f).metadata.num_rows
     return n, fs.size(path)
+
+
+def _seq_bound_cell(field_id: int, bounds, i: int):
+    """One Iceberg bounds-map cell for the seq field, or None when the
+    footer had no usable stats. Values use the spec's single-value binary
+    serialization: long = 8-byte little-endian."""
+    if bounds is None:
+        return None
+    import struct
+
+    return [{"key": field_id, "value": struct.pack("<q", int(bounds[i]))}]
+
+
+def _footer_stats_bounds(fs, path: str, seq_col: str):
+    """(row count, byte size, [min_seq, max_seq] | None) — one footer
+    read, shared with the manifest-stats path so nothing drifts."""
+    import pyarrow.parquet as pq
+
+    from arc_spark.lake.table import _footer_seq_bounds
+
+    with fs.seekable_input(path) as f:
+        md = pq.ParquetFile(f).metadata
+    return md.num_rows, fs.size(path), _footer_seq_bounds(md, seq_col)
+
+
+def _pooled_stats_bounds(fs, paths, seq_col: str):
+    """_footer_stats_bounds over many files on a thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    if not paths:
+        return []
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(lambda p: _footer_stats_bounds(fs, p, seq_col), paths))
 
 
 def _pooled_stats(fs, paths) -> list[tuple[int, int]]:

@@ -1133,3 +1133,53 @@ def test_iceberg_appends_extract_stage(spark, tmp_path):
     df2, ctx2 = run_config(spark, cfg)
     assert df2.count() == 5
     assert ctx2.user_data["tail.snapshot_id"] != cursor
+
+
+def test_exported_seq_bounds_match_footers(spark, lake):
+    """Every exported data-file entry carries lower/upper bounds for the
+    seq field (Iceberg single-value serialization: 8-byte LE long keyed
+    by field id) that agree with the parquet footer and, for base files,
+    with the lake manifest's own file_stats."""
+    import struct
+
+    import pyarrow.parquet as pq
+
+    res = export_iceberg(spark, lake)
+    fs = LocalFS()
+    meta = json.loads(fs.read_bytes(res["metadata"]))
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, manifests = read_ocf_bytes(fs.read_bytes(snap["manifest-list"]))
+    schema_ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    seq_fid = schema_ids["seq"]
+    lake_snap = lake.snapshot()
+    stats_by_abs = {
+        f"{lake.root}/{rel}": b for rel, b in lake_snap.file_stats.items()
+    }
+    checked = 0
+    for m in (m for m in manifests if m["content"] == 0):
+        _, entries = read_ocf_bytes(fs.read_bytes(m["manifest_path"]))
+        for e in entries:
+            d = e["data_file"]
+            if d["content"] != 0:
+                continue
+            lo_map = {c["key"]: c["value"] for c in d["lower_bounds"] or []}
+            hi_map = {c["key"]: c["value"] for c in d["upper_bounds"] or []}
+            assert seq_fid in lo_map and seq_fid in hi_map, d["file_path"]
+            lo = struct.unpack("<q", lo_map[seq_fid])[0]
+            hi = struct.unpack("<q", hi_map[seq_fid])[0]
+            # footer ground truth
+            md = pq.ParquetFile(d["file_path"]).metadata
+            seqs = []
+            for i in range(md.num_row_groups):
+                for j in range(md.row_group(i).num_columns):
+                    c = md.row_group(i).column(j)
+                    if c.path_in_schema == "seq":
+                        seqs.append((c.statistics.min, c.statistics.max))
+            assert lo == min(s[0] for s in seqs)
+            assert hi == max(s[1] for s in seqs)
+            # and base files agree with the lake's own manifest stats
+            if d["file_path"] in stats_by_abs:
+                assert stats_by_abs[d["file_path"]] == [lo, hi]
+                checked += 1
+    assert checked > 0, "no base file was cross-checked against file_stats"
