@@ -162,7 +162,7 @@ class ReplayRunner:
 
     # ------------------------------------------------------------------
 
-    def _events(self) -> DataFrame:
+    def _events(self, min_seq: int | None = None) -> DataFrame:
         # events_path may be a LIST of directories (a sharded tail — e.g.
         # one dir per Debezium topic partition). Epochs window on the
         # GLOBAL seq, so per-shard ordering needs no alignment here: LWW
@@ -185,12 +185,18 @@ class ReplayRunner:
             # normal seq cursor (epochs window on seq), and for the
             # append-only event tables this shape implies, the per-epoch
             # seq filter pushes straight into the parquet scan (no delete
-            # joins in the plan)
+            # joins in the plan). ``min_seq`` additionally prunes whole
+            # FILES from the scan via the landing manifest's seq bounds —
+            # a resuming/caught-up tail over a 10^10-event landing zone
+            # schedules only the files past its cursor instead of
+            # re-listing the entire table every epoch
             from arc_spark.lake.iceberg_read import read_iceberg
 
             df = None
             for p in paths:
-                d = read_iceberg(self.spark, p)
+                d = read_iceberg(
+                    self.spark, p, min_seq=min_seq, seq_field=self.seq_col
+                )
                 df = d if df is None else df.unionByName(
                     d, allowMissingColumns=True
                 )
@@ -201,7 +207,20 @@ class ReplayRunner:
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def max_seq(self) -> int:
-        row = self._events().agg(F.max(self.seq_col)).first()
+        cursor = None
+        if self.events_format == "iceberg":
+            # prune the stream-end probe to files past the table's resume
+            # cursor: a caught-up tail answers "anything new?" from the
+            # landing manifest's bounds alone (zero file scans). Sound
+            # because a pruned file holds only seq <= cursor, and the run
+            # loop treats max_seq <= cursor as nothing-to-do either way.
+            try:
+                cursor = self.table.snapshot().end_seq
+            except FileNotFoundError:
+                cursor = None
+            if cursor is not None and cursor < 0:
+                cursor = None
+        row = self._events(min_seq=cursor).agg(F.max(self.seq_col)).first()
         return -1 if row[0] is None else int(row[0])
 
     def run(
@@ -283,7 +302,7 @@ class ReplayRunner:
 
         bad = self._bad_event_cond()
         batch = (
-            self._events()
+            self._events(min_seq=start_seq - 1)
             .filter((F.col(self.seq_col) >= start_seq) & (F.col(self.seq_col) <= end_seq))
             .observe(
                 obs_read,
@@ -334,7 +353,7 @@ class ReplayRunner:
             extra_cols = []
         if extra_cols:
             has_ddl = (
-                self._events()
+                self._events(min_seq=start_seq - 1)
                 .filter((F.col(self.seq_col) >= start_seq) & (F.col(self.seq_col) <= end_seq))
                 .filter(F.col("op") == "schema-change")
                 .limit(1)

@@ -781,6 +781,66 @@ def _pooled_stats_bounds(fs, paths, seq_col: str):
         return list(pool.map(lambda p: _footer_stats_bounds(fs, p, seq_col), paths))
 
 
+def _numeric_bound_cols(schema_fields) -> dict:
+    """{name: (field-id, iceberg type)} for the top-level int/long fields
+    of an Iceberg schema — the columns landing manifests record bounds
+    for (seq cursors, timestamps-as-longs; strings would need the spec's
+    truncation rules and buy the tail nothing)."""
+    return {
+        f["name"]: (f["id"], f["type"])
+        for f in schema_fields
+        if f.get("type") in ("int", "long")
+    }
+
+
+def _pack_bound(val, typ: str) -> bytes:
+    """Iceberg single-value serialization for int/long bounds."""
+    import struct
+
+    return struct.pack("<i" if typ == "int" else "<q", int(val))
+
+
+def _bounds_cells(bnds: dict, cols: dict):
+    """(lower_bounds, upper_bounds) cell lists for a data_file entry from
+    per-column footer bounds; None when no column had usable stats."""
+    lo, hi = [], []
+    for name, (fid, typ) in cols.items():
+        b = bnds.get(name)
+        if b is None:
+            continue
+        lo.append({"key": fid, "value": _pack_bound(b[0], typ)})
+        hi.append({"key": fid, "value": _pack_bound(b[1], typ)})
+    return (lo or None, hi or None)
+
+
+def _footer_stats_multi(fs, path: str, cols: dict):
+    """(rows, size, {col: [lo, hi]}) — one footer read, bounds for every
+    requested numeric column."""
+    import pyarrow.parquet as pq
+
+    from arc_spark.lake.table import _footer_seq_bounds
+
+    with fs.seekable_input(path) as f:
+        md = pq.ParquetFile(f).metadata
+    bnds = {}
+    for name in cols:
+        b = _footer_seq_bounds(md, name)
+        if b is not None:
+            bnds[name] = b
+    return md.num_rows, fs.size(path), bnds
+
+
+def _pooled_stats_multi(fs, paths, cols: dict):
+    """_footer_stats_multi over many files on a thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    if not paths:
+        return []
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(lambda p: _footer_stats_multi(fs, p, cols), paths))
+
+
 def _pooled_stats(fs, paths) -> list[tuple[int, int]]:
     """_footer_stats over many files on a thread pool — the reads are
     IO-bound and independent, so a many-hundred-file commit never walks
@@ -1095,7 +1155,9 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
     # the foreign table's data directory.
     carried = []
     if prev and mode == "append" and prev.get("current-snapshot-id") is not None:
-        data_files, deletes = _load_snapshot_files(fs, prev, with_stats=True)
+        data_files, deletes = _load_snapshot_files(
+            fs, prev, with_stats=True, with_bounds=True
+        )
         if deletes:
             raise ValueError(
                 "write_iceberg appends to append-only tables; this table "
@@ -1126,12 +1188,13 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
     if need:
         fixed = dict(zip(need, _pooled_stats(fs, need)))
         carried = [
-            (p, s, *(fixed[p] if p in fixed else (n, sz)), a)
-            for p, s, n, sz, a in carried
+            (p, s, *(fixed[p] if p in fixed else (n, sz)), a, b)
+            for p, s, n, sz, a, b in carried
         ]
 
+    num_cols = _numeric_bound_cols(schema_json["fields"])
     entries, total_rows, new_rows = [], 0, 0
-    for path, fseq, n, size, added_by in carried:  # EXISTING
+    for path, fseq, n, size, added_by, (lo_b, hi_b) in carried:  # EXISTING
         total_rows += n
         entries.append({
             "status": 0,
@@ -1141,12 +1204,27 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
             "data_file": {
                 "content": 0, "file_path": path, "file_format": "PARQUET",
                 "partition": {}, "record_count": n,
-                "file_size_in_bytes": size, "equality_ids": None,
+                "file_size_in_bytes": size,
+                # bounds pass through verbatim — an append must not erode
+                # older files' scan-pruning metadata
+                "lower_bounds": lo_b, "upper_bounds": hi_b,
+                "equality_ids": None,
             },
         })
-    for path, (n, size) in zip(new_files, _pooled_stats(fs, new_files)):
+    new_stats = list(zip(new_files, _pooled_stats_multi(fs, new_files, num_cols)))
+    # Empty partitions write zero-row parquet files (a filtered or skewed
+    # upstream frame); manifesting them pollutes every future append's
+    # carried list and defeats bounds pruning (no footer stats -> read
+    # conservatively). Drop them from BOTH the manifest and the disk.
+    for path, (n, _sz, _b) in new_stats:
+        if n == 0:
+            fs.delete(path)
+    new_stats = [t for t in new_stats if t[1][0] > 0]
+    new_files = [t[0] for t in new_stats]
+    for path, (n, size, bnds) in new_stats:
         total_rows += n
         new_rows += n
+        lo_b, hi_b = _bounds_cells(bnds, num_cols)
         entries.append({
             "status": 1,  # ADDED
             "snapshot_id": snapshot_id,
@@ -1155,7 +1233,11 @@ def write_iceberg(spark, df, root: str, *, mode: str = "append",
             "data_file": {
                 "content": 0, "file_path": path, "file_format": "PARQUET",
                 "partition": {}, "record_count": n,
-                "file_size_in_bytes": size, "equality_ids": None,
+                "file_size_in_bytes": size,
+                # int/long column bounds from the same footer read — this
+                # is what lets a seq-cursor tail skip caught-up files
+                "lower_bounds": lo_b, "upper_bounds": hi_b,
+                "equality_ids": None,
             },
         })
 
@@ -1355,7 +1437,9 @@ def compact_iceberg(
     prev = json.loads(fs.read_bytes(prev_path))
     if prev.get("current-snapshot-id") is None:
         return {"status": "noop", "reason": "no current snapshot"}
-    data_files, deletes = _load_snapshot_files(fs, prev, with_stats=True)
+    data_files, deletes = _load_snapshot_files(
+        fs, prev, with_stats=True, with_bounds=True
+    )
     if deletes:
         raise ValueError(
             "compact_iceberg maintains append-only landing zones; this "
@@ -1367,8 +1451,8 @@ def compact_iceberg(
     if need:
         fixed = dict(zip(need, _pooled_stats(fs, need)))
         data_files = [
-            (p, s, *(fixed[p] if p in fixed else (n, sz)), a)
-            for p, s, n, sz, a in data_files
+            (p, s, *(fixed[p] if p in fixed else (n, sz)), a, b)
+            for p, s, n, sz, a, b in data_files
         ]
 
     if _out is None:
@@ -1412,40 +1496,6 @@ def compact_iceberg(
     rewrite_seq = max(t[1] for t in small)  # newest input's data sequence
 
     entries, kept_rows = [], 0
-    for path, fseq, n, size, added_by in kept:  # EXISTING, stats carried
-        kept_rows += n
-        entries.append({
-            "status": 0,
-            "snapshot_id": added_by if added_by is not None else snapshot_id,
-            "sequence_number": fseq,
-            "file_sequence_number": fseq,
-            "data_file": {
-                "content": 0, "file_path": path, "file_format": "PARQUET",
-                "partition": {}, "record_count": n,
-                "file_size_in_bytes": size, "equality_ids": None,
-            },
-        })
-    packed_rows = 0
-    for path, (n, size) in zip(new_files, _pooled_stats(fs, new_files)):
-        packed_rows += n
-        entries.append({
-            "status": 1,  # ADDED — but by a replace: appends-consumers skip
-            "snapshot_id": snapshot_id,
-            "sequence_number": rewrite_seq,
-            "file_sequence_number": seq,
-            "data_file": {
-                "content": 0, "file_path": path, "file_format": "PARQUET",
-                "partition": {}, "record_count": n,
-                "file_size_in_bytes": size, "equality_ids": None,
-            },
-        })
-    in_rows = sum(t[2] for t in small)
-    if packed_rows != in_rows:
-        raise RuntimeError(
-            f"compact_iceberg: packed {packed_rows} rows from {in_rows} "
-            "input rows — refusing to commit a lossy rewrite"
-        )
-
     # current schema verbatim: a rewrite never evolves the schema
     schema_id = int(prev.get("current-schema-id", 0))
     schemas = list(prev.get("schemas") or [])
@@ -1459,6 +1509,50 @@ def compact_iceberg(
         raise ValueError(
             f"compact_iceberg: current schema id {schema_id} not found in "
             f"{prev_path} — table metadata carries no resolvable schema"
+        )
+
+    num_cols = _numeric_bound_cols(schema_json["fields"])
+    for path, fseq, n, size, added_by, (lo_b, hi_b) in kept:  # EXISTING
+        kept_rows += n
+        entries.append({
+            "status": 0,
+            "snapshot_id": added_by if added_by is not None else snapshot_id,
+            "sequence_number": fseq,
+            "file_sequence_number": fseq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": size,
+                "lower_bounds": lo_b, "upper_bounds": hi_b,
+                "equality_ids": None,
+            },
+        })
+    packed_rows = 0
+    for path, (n, size, bnds) in zip(
+        new_files, _pooled_stats_multi(fs, new_files, num_cols)
+    ):
+        packed_rows += n
+        lo_b, hi_b = _bounds_cells(bnds, num_cols)
+        entries.append({
+            "status": 1,  # ADDED — but by a replace: appends-consumers skip
+            "snapshot_id": snapshot_id,
+            "sequence_number": rewrite_seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {}, "record_count": n,
+                "file_size_in_bytes": size,
+                # a bin-pack merges files, so its bounds are the inputs'
+                # union — recomputed from the packed footer, never guessed
+                "lower_bounds": lo_b, "upper_bounds": hi_b,
+                "equality_ids": None,
+            },
+        })
+    in_rows = sum(t[2] for t in small)
+    if packed_rows != in_rows:
+        raise RuntimeError(
+            f"compact_iceberg: packed {packed_rows} rows from {in_rows} "
+            "input rows — refusing to commit a lossy rewrite"
         )
     name_mapping = json.loads(
         (prev.get("properties") or {}).get("schema.name-mapping.default", "[]")

@@ -131,7 +131,8 @@ def resolve_metadata_file(fs, table_path: str, *,
 
 
 def _load_snapshot_files(fs, meta: dict, snapshot_id=None, *,
-                         with_stats: bool = False):
+                         with_stats: bool = False,
+                         with_bounds: bool = False):
     """(data_files, deletes) for the chosen snapshot.
 
     data_files: [(path, data_seq)]; deletes: [(path, seq, content,
@@ -140,7 +141,11 @@ def _load_snapshot_files(fs, meta: dict, snapshot_id=None, *,
     ``with_stats=True`` widens each data_files tuple to (path, data_seq,
     record_count, file_size_in_bytes, added_snapshot_id) so appenders
     can carry prior entries forward without re-reading N parquet footers
-    per commit (the stats are already in the manifest being parsed)."""
+    per commit (the stats are already in the manifest being parsed).
+    ``with_bounds=True`` appends one more element: the raw
+    (lower_bounds, upper_bounds) cell lists exactly as the manifest
+    carries them (list of {key: field-id, value: bytes} or None) —
+    appenders pass them through, readers decode for scan pruning."""
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next(
@@ -168,19 +173,39 @@ def _load_snapshot_files(fs, meta: dict, snapshot_id=None, *,
             content = d.get("content", 0)
             if content == 0:
                 if with_stats:
-                    data_files.append((
+                    t = (
                         d["file_path"], seq,
                         d.get("record_count"),
                         d.get("file_size_in_bytes"),
                         e.get("snapshot_id"),
-                    ))
+                    )
                 else:
-                    data_files.append((d["file_path"], seq))
+                    t = (d["file_path"], seq)
+                if with_bounds:
+                    t = t + ((d.get("lower_bounds"), d.get("upper_bounds")),)
+                data_files.append(t)
             elif content == 1:
                 deletes.append((d["file_path"], seq, 1, None))
             elif content == 2:
                 deletes.append((d["file_path"], seq, 2, d.get("equality_ids")))
     return data_files, deletes
+
+
+def _decode_num_bound(cells, field_id: int):
+    """Decode one bounds cell (Iceberg single-value serialization:
+    4-byte LE int / 8-byte LE long) or None when absent/undecodable."""
+    import struct
+
+    for c in cells or []:
+        if c.get("key") == field_id:
+            v = c.get("value")
+            if isinstance(v, (bytes, bytearray)):
+                if len(v) == 8:
+                    return struct.unpack("<q", v)[0]
+                if len(v) == 4:
+                    return struct.unpack("<i", v)[0]
+            return None
+    return None
 
 
 def read_iceberg(
@@ -189,9 +214,21 @@ def read_iceberg(
     *,
     snapshot_id: int | None = None,
     metadata_file: str | None = None,
+    min_seq: int | None = None,
+    seq_field: str = "seq",
 ) -> DataFrame:
     """Current (or ``snapshot_id``) snapshot of the Iceberg table at
-    ``table_path`` as a DataFrame — module docstring for semantics."""
+    ``table_path`` as a DataFrame — module docstring for semantics.
+
+    ``min_seq``: manifest-level scan pruning for consumers that will
+    keep only rows with ``seq_field > min_seq`` (the CDC tail's resume
+    read): data files whose manifest upper bound for ``seq_field`` is
+    <= min_seq are skipped without opening them. Exact under that
+    contract even on tables WITH deletes — a pruned file's rows all
+    fail the caller's filter, and delete files are never pruned, so
+    surviving rows see the same delete set. Files without a decodable
+    bound are read (conservative); a caught-up tail over a
+    bounds-bearing landing zone schedules zero file scans."""
     fs = get_fs(table_path, spark)
     meta_path = metadata_file or resolve_metadata_file(fs, table_path)
     meta = json.loads(fs.read_bytes(meta_path))
@@ -205,7 +242,20 @@ def read_iceberg(
     fields = schema["fields"]
     id_to_name = {f["id"]: f["name"] for f in fields}
 
-    data_files, deletes = _load_snapshot_files(fs, meta, snapshot_id)
+    data_files, deletes = _load_snapshot_files(
+        fs, meta, snapshot_id,
+        with_stats=min_seq is not None, with_bounds=min_seq is not None,
+    )
+    if min_seq is not None:
+        fid = next((f["id"] for f in fields if f["name"] == seq_field), None)
+        kept = []
+        for p, s, n, _sz, _a, (lo_raw, hi_raw) in data_files:
+            if n == 0:
+                continue  # foreign tables may manifest empty files
+            hi = _decode_num_bound(hi_raw, fid) if fid is not None else None
+            if hi is None or hi > min_seq:
+                kept.append((p, s))
+        data_files = kept
     if not data_files:
         ddl = ", ".join(
             f"`{f['name']}` {_spark_type(f['type'])}" for f in fields

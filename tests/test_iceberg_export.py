@@ -1183,3 +1183,116 @@ def test_exported_seq_bounds_match_footers(spark, lake):
                 assert stats_by_abs[d["file_path"]] == [lo, hi]
                 checked += 1
     assert checked > 0, "no base file was cross-checked against file_stats"
+
+
+def test_landing_bounds_prune_seq_cursor_reads(spark, tmp_path):
+    """Landing manifests record int/long column bounds; read_iceberg's
+    min_seq prunes whole files from a seq-cursor read — a caught-up tail
+    schedules ZERO file scans, and compaction (which erases the batch
+    boundaries on disk) keeps pruning exact because packed files get the
+    union bounds recomputed from their footer."""
+    from arc_spark.lake.iceberg_export import compact_iceberg, write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "land")
+
+    def land(lo):
+        batch = spark.range(lo, lo + 100).select(
+            F.col("id").alias("seq"),
+            F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        )
+        write_iceberg(spark, batch.repartition(2), d)
+
+    land(0)
+    land(100)
+    land(200)
+
+    # cursor inside batch 2: only batch-3 files are scanned
+    out = read_iceberg(spark, d, min_seq=199)
+    assert sorted(r.seq for r in out.collect()) == list(range(200, 300))
+    full = read_iceberg(spark, d)
+    assert 0 < len(out.inputFiles()) < len(full.inputFiles())
+
+    # caught up: zero files, empty frame, schema intact
+    done = read_iceberg(spark, d, min_seq=299)
+    assert done.count() == 0 and len(done.inputFiles()) == 0
+    assert set(done.columns) == {"seq", "repo"}
+
+    # bin-pack everything landed so far (the packed file's bounds are the
+    # union of its inputs, recomputed from its footer), then land a fresh
+    # batch: a cursor past the packed history must scan ONLY the new
+    # files — the regime a maintained 10^10-event landing zone lives in
+    res = compact_iceberg(spark, d, small_file_mb=64, min_input_files=2)
+    assert res["status"] == "compacted"
+    land(300)
+    again = read_iceberg(spark, d, min_seq=299)
+    assert sorted(r.seq for r in again.collect()) == list(range(300, 400))
+    assert all("append-" in f for f in again.inputFiles())
+    # mid-pack cursor: the packed file [0, 299] must still be read, and
+    # the CALLER's row filter (the runner's epoch window) does the rest
+    mid = read_iceberg(spark, d, min_seq=150).filter(F.col("seq") > 150)
+    assert mid.count() == 249
+    got_all = read_iceberg(spark, d, min_seq=-1)
+    assert got_all.count() == 400
+
+
+def test_iceberg_tail_caught_up_probe_scans_no_files(spark, tmp_path):
+    """A caught-up ReplayRunner over an iceberg landing zone answers the
+    'anything new?' probe (max_seq) from manifest bounds alone."""
+    from arc_spark.cdc.generator import write_change_stream as _w
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    ev_dir = str(tmp_path / "ev")
+    stream = _w(spark, ev_dir, 600, seed=9, num_partitions=4)
+    land = str(tmp_path / "land")
+    write_iceberg(spark, spark.read.parquet(ev_dir), land)
+    table, _ = create_table_for_stream(
+        spark, stream, str(tmp_path / "lake"), num_buckets=4
+    )
+    r = ReplayRunner(spark, land, table, batch_size=400,
+                     events_format="iceberg")
+    r.run()
+    want = table.read(spark).count()
+    assert want > 0
+    end = table.snapshot().end_seq
+    # the pruned probe agrees there is nothing new, scanning nothing
+    pruned = read_iceberg(spark, land, min_seq=end)
+    assert len(pruned.inputFiles()) == 0
+    # a caught-up re-run applies no epochs and changes no state
+    r2 = ReplayRunner(spark, land, table, batch_size=400,
+                      events_format="iceberg")
+    metrics = r2.run()
+    assert metrics == []
+    assert table.read(spark).count() == want
+
+
+def test_landing_append_drops_empty_partition_files(spark, tmp_path):
+    """A filtered/skewed upstream frame writes zero-row parquet files for
+    its empty partitions; write_iceberg must neither manifest them (they
+    have no footer stats, so every bounds-pruned read would scan them
+    forever) nor leave them on disk as orphans."""
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "land")
+    # 8 partitions, rows only in a few of them -> several empty outputs
+    df = (
+        spark.range(0, 100, numPartitions=8)
+        .select(F.col("id").alias("seq"))
+        .filter(F.col("seq") % 8 < 2)
+    )
+    write_iceberg(spark, df, d)
+
+    full = read_iceberg(spark, d)
+    assert full.count() == 26
+    files = full.inputFiles()
+    assert files, "expected at least one data file"
+    # every manifested file carries rows -> caught-up prune reaches zero
+    assert len(read_iceberg(spark, d, min_seq=97).inputFiles()) == 0
+    # nothing orphaned in the batch dir beyond the manifested parquet
+    import os
+
+    batch_dir = os.path.dirname(files[0].replace("file:", ""))
+    on_disk = [f for f in os.listdir(batch_dir) if f.endswith(".parquet")]
+    assert len(on_disk) == len(files)
