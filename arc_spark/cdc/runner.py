@@ -209,11 +209,34 @@ class ReplayRunner:
     def max_seq(self) -> int:
         cursor = None
         if self.events_format == "iceberg":
-            # prune the stream-end probe to files past the table's resume
-            # cursor: a caught-up tail answers "anything new?" from the
-            # landing manifest's bounds alone (zero file scans). Sound
-            # because a pruned file holds only seq <= cursor, and the run
-            # loop treats max_seq <= cursor as nothing-to-do either way.
+            # the stream-end probe over Iceberg landing zones answers
+            # from manifest metadata alone when every non-empty data file
+            # carries a decodable seq upper bound (the bounds our writer
+            # always records): NO Spark job per poll. Exactness is
+            # checked per table — a foreign file without bounds or a
+            # delete file falls back to the pruned scan below.
+            from arc_spark.lake.iceberg_read import max_seq_bound
+
+            paths = (
+                list(self.events_path)
+                if isinstance(self.events_path, (list, tuple))
+                else [self.events_path]
+            )
+            best, all_exact = None, True
+            for p in paths:
+                v, exact = max_seq_bound(
+                    p, seq_field=self.seq_col, spark=self.spark
+                )
+                if not exact:
+                    all_exact = False
+                    break
+                if v is not None:
+                    best = v if best is None else max(best, v)
+            if all_exact:
+                return -1 if best is None else int(best)
+            # scan fallback — still pruned to files past the resume
+            # cursor: a pruned file holds only seq <= cursor, and the
+            # run loop treats max_seq <= cursor as nothing-to-do.
             try:
                 cursor = self.table.snapshot().end_seq
             except FileNotFoundError:

@@ -208,6 +208,53 @@ def _decode_num_bound(cells, field_id: int):
     return None
 
 
+def max_seq_bound(table_path: str, *, seq_field: str = "seq",
+                  spark=None) -> tuple[int | None, bool]:
+    """(max, exact) for ``seq_field`` over the current snapshot, from
+    manifest metadata alone — no Spark job, no file opens.
+
+    ``exact=True`` means the value IS max(seq_field): every non-empty
+    data file carries a decodable upper bound and the snapshot has no
+    delete files (a delete could remove the max row, leaving the bound
+    an over-estimate). ``(None, True)`` = provably empty table/column.
+    ``exact=False`` -> the caller must fall back to a scan. This is the
+    CDC tail's polling primitive: a caught-up consumer's "anything
+    new?" probe over a 10^4-snapshot landing zone becomes one metadata
+    read instead of a cluster job per poll."""
+    fs = get_fs(table_path, spark)
+    try:
+        meta_path = resolve_metadata_file(fs, table_path)
+    except FileNotFoundError:
+        return None, True
+    meta = json.loads(fs.read_bytes(meta_path))
+    schema_id = meta.get("current-schema-id", 0)
+    schema = next(
+        (s for s in meta.get("schemas", []) if s.get("schema-id") == schema_id),
+        meta.get("schema"),
+    )
+    if schema is None:
+        return None, False
+    fid = next(
+        (f["id"] for f in schema["fields"] if f["name"] == seq_field), None
+    )
+    if fid is None:
+        return None, True  # column absent -> vacuously empty
+    data_files, deletes = _load_snapshot_files(
+        fs, meta, with_stats=True, with_bounds=True
+    )
+    if deletes:
+        return None, False
+    best = None
+    for _p, _s, n, _sz, _a, (_lo, hi_raw) in data_files:
+        if n == 0:
+            continue
+        hi = _decode_num_bound(hi_raw, fid)
+        if hi is None:
+            return None, False  # a file without bounds could hold the max
+        best = hi if best is None else max(best, hi)
+    return best, True
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,

@@ -1296,3 +1296,37 @@ def test_landing_append_drops_empty_partition_files(spark, tmp_path):
     batch_dir = os.path.dirname(files[0].replace("file:", ""))
     on_disk = [f for f in os.listdir(batch_dir) if f.endswith(".parquet")]
     assert len(on_disk) == len(files)
+
+
+def test_max_seq_bound_metadata_only_poll(spark, tmp_path):
+    """max_seq_bound answers the stream-end probe from manifest metadata
+    alone — exact on bounds-bearing append-only landing zones, and
+    honestly inexact (forcing the scan fallback) when a snapshot carries
+    delete files, whose removals could hide the max row."""
+    from arc_spark.cdc.generator import write_change_stream as _w
+    from arc_spark.lake.iceberg_export import export_iceberg, write_iceberg
+    from arc_spark.lake.iceberg_read import max_seq_bound
+
+    land = str(tmp_path / "land")
+    # missing table: provably empty, no error
+    assert max_seq_bound(land) == (None, True)
+
+    for lo in (0, 100):
+        batch = spark.range(lo, lo + 100).select(F.col("id").alias("seq"))
+        write_iceberg(spark, batch.repartition(2), land)
+    assert max_seq_bound(land) == (199, True)
+    # absent column is vacuously empty, not an error
+    assert max_seq_bound(land, seq_field="nope") == (None, True)
+
+    # a MOR export carries equality deletes -> inexact, caller must scan
+    ev_dir = str(tmp_path / "ev")
+    stream = _w(spark, ev_dir, 400, seed=5, num_partitions=2)
+    table, _ = create_table_for_stream(
+        spark, stream, str(tmp_path / "lake"), num_buckets=2
+    )
+    ReplayRunner(spark, stream, table, batch_size=150,
+                 merge_mode="delta").run()
+    res = export_iceberg(spark, table)
+    assert res["delete_files"] > 0, "fixture must produce delete files"
+    _v, exact = max_seq_bound(table.root, seq_field=table.snapshot().seq_col)
+    assert exact is False
