@@ -162,7 +162,8 @@ class ReplayRunner:
 
     # ------------------------------------------------------------------
 
-    def _events(self, min_seq: int | None = None) -> DataFrame:
+    def _events(self, min_seq: int | None = None,
+                max_seq: int | None = None) -> DataFrame:
         # events_path may be a LIST of directories (a sharded tail — e.g.
         # one dir per Debezium topic partition). Epochs window on the
         # GLOBAL seq, so per-shard ordering needs no alignment here: LWW
@@ -195,7 +196,8 @@ class ReplayRunner:
             df = None
             for p in paths:
                 d = read_iceberg(
-                    self.spark, p, min_seq=min_seq, seq_field=self.seq_col
+                    self.spark, p, min_seq=min_seq, max_seq=max_seq,
+                    seq_field=self.seq_col,
                 )
                 df = d if df is None else df.unionByName(
                     d, allowMissingColumns=True
@@ -325,7 +327,7 @@ class ReplayRunner:
 
         bad = self._bad_event_cond()
         batch = (
-            self._events(min_seq=start_seq - 1)
+            self._events(min_seq=start_seq - 1, max_seq=end_seq)
             .filter((F.col(self.seq_col) >= start_seq) & (F.col(self.seq_col) <= end_seq))
             .observe(
                 obs_read,
@@ -376,7 +378,7 @@ class ReplayRunner:
             extra_cols = []
         if extra_cols:
             has_ddl = (
-                self._events(min_seq=start_seq - 1)
+                self._events(min_seq=start_seq - 1, max_seq=end_seq)
                 .filter((F.col(self.seq_col) >= start_seq) & (F.col(self.seq_col) <= end_seq))
                 .filter(F.col("op") == "schema-change")
                 .limit(1)

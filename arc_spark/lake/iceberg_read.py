@@ -284,20 +284,23 @@ def read_iceberg(
     snapshot_id: int | None = None,
     metadata_file: str | None = None,
     min_seq: int | None = None,
+    max_seq: int | None = None,
     seq_field: str = "seq",
 ) -> DataFrame:
     """Current (or ``snapshot_id``) snapshot of the Iceberg table at
     ``table_path`` as a DataFrame — module docstring for semantics.
 
-    ``min_seq``: manifest-level scan pruning for consumers that will
-    keep only rows with ``seq_field > min_seq`` (the CDC tail's resume
-    read): data files whose manifest upper bound for ``seq_field`` is
-    <= min_seq are skipped without opening them. Exact under that
-    contract even on tables WITH deletes — a pruned file's rows all
-    fail the caller's filter, and delete files are never pruned, so
-    surviving rows see the same delete set. Files without a decodable
-    bound are read (conservative); a caught-up tail over a
-    bounds-bearing landing zone schedules zero file scans."""
+    ``min_seq``/``max_seq``: manifest-level scan pruning for consumers
+    that will keep only rows with ``min_seq < seq_field <= max_seq``
+    (the CDC tail's epoch read): data files whose manifest bounds for
+    ``seq_field`` fall entirely outside that window are skipped without
+    opening them — min_seq cuts the caught-up history behind the resume
+    cursor, max_seq cuts the backlog ahead of the current epoch window.
+    Exact under that contract even on tables WITH deletes — a pruned
+    file's rows all fail the caller's filter, and delete files are
+    never pruned, so surviving rows see the same delete set. Files
+    without a decodable bound are read (conservative); a caught-up tail
+    over a bounds-bearing landing zone schedules zero file scans."""
     fs = get_fs(table_path, spark)
     meta_path = metadata_file or resolve_metadata_file(fs, table_path)
     meta = json.loads(fs.read_bytes(meta_path))
@@ -311,19 +314,25 @@ def read_iceberg(
     fields = schema["fields"]
     id_to_name = {f["id"]: f["name"] for f in fields}
 
+    pruning = min_seq is not None or max_seq is not None
     data_files, deletes = _load_snapshot_files(
-        fs, meta, snapshot_id,
-        with_stats=min_seq is not None, with_bounds=min_seq is not None,
+        fs, meta, snapshot_id, with_stats=pruning, with_bounds=pruning,
     )
-    if min_seq is not None:
+    if pruning:
         fid = next((f["id"] for f in fields if f["name"] == seq_field), None)
         kept = []
         for p, s, n, _sz, _a, (lo_raw, hi_raw) in data_files:
             if n == 0:
                 continue  # foreign tables may manifest empty files
-            hi = _decode_num_bound(hi_raw, fid) if fid is not None else None
-            if hi is None or hi > min_seq:
-                kept.append((p, s))
+            if min_seq is not None:
+                hi = _decode_num_bound(hi_raw, fid) if fid is not None else None
+                if hi is not None and hi <= min_seq:
+                    continue  # entirely behind the resume cursor
+            if max_seq is not None:
+                lo = _decode_num_bound(lo_raw, fid) if fid is not None else None
+                if lo is not None and lo > max_seq:
+                    continue  # entirely ahead of the epoch window
+            kept.append((p, s))
         data_files = kept
     if not data_files:
         ddl = ", ".join(

@@ -1354,3 +1354,25 @@ def test_append_only_read_plan_skips_delete_machinery(spark, tmp_path):
     assert "BroadcastHashJoin" not in plan
     assert "_ice_file" not in plan
     assert df.count() == 1000
+
+
+def test_landing_bounds_prune_epoch_window_both_sides(spark, tmp_path):
+    """The epoch read window (min_seq, max_seq] prunes files on BOTH
+    sides: history behind the resume cursor AND backlog ahead of the
+    epoch — epoch 1 of a resumed tail over a deep backlog schedules only
+    its own window's files."""
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.lake.iceberg_read import read_iceberg
+
+    d = str(tmp_path / "land")
+    for lo in range(0, 500, 100):
+        batch = spark.range(lo, lo + 100).select(F.col("id").alias("seq"))
+        write_iceberg(spark, batch.repartition(2), d)
+
+    win = read_iceberg(spark, d, min_seq=199, max_seq=299)
+    assert sorted(r.seq for r in win.collect()) == list(range(200, 300))
+    # only the middle batch's files are scheduled
+    assert len(win.inputFiles()) == 2
+    # degenerate windows stay exact
+    assert read_iceberg(spark, d, max_seq=-1).count() == 0
+    assert read_iceberg(spark, d, min_seq=None, max_seq=99).count() == 100
