@@ -162,18 +162,23 @@ class ReplayRunner:
 
     # ------------------------------------------------------------------
 
-    def _events(self, min_seq: int | None = None,
-                max_seq: int | None = None) -> DataFrame:
-        # events_path may be a LIST of directories (a sharded tail — e.g.
-        # one dir per Debezium topic partition). Epochs window on the
-        # GLOBAL seq, so per-shard ordering needs no alignment here: LWW
-        # resolves by seq wherever the event landed, and each shard's
-        # parquet still prunes row groups by the epoch's seq band.
-        paths = (
+    def _paths(self) -> list[str]:
+        """events_path normalized to a list — it may be a LIST of
+        directories (a sharded tail, e.g. one dir per Debezium topic
+        partition)."""
+        return (
             list(self.events_path)
             if isinstance(self.events_path, (list, tuple))
             else [self.events_path]
         )
+
+    def _events(self, min_seq: int | None = None,
+                max_seq: int | None = None) -> DataFrame:
+        # Epochs window on the GLOBAL seq, so per-shard ordering needs no
+        # alignment here: LWW resolves by seq wherever the event landed,
+        # and each shard's parquet still prunes row groups by the epoch's
+        # seq band.
+        paths = self._paths()
         if self.events_format == "debezium":
             from arc_spark.cdc.debezium import parse_debezium
 
@@ -211,40 +216,50 @@ class ReplayRunner:
     def max_seq(self) -> int:
         cursor = None
         if self.events_format == "iceberg":
-            # the stream-end probe over Iceberg landing zones answers
-            # from manifest metadata alone when every non-empty data file
-            # carries a decodable seq upper bound (the bounds our writer
-            # always records): NO Spark job per poll. Exactness is
-            # checked per table — a foreign file without bounds or a
-            # delete file falls back to the pruned scan below.
+            # The stream-end probe over Iceberg landing zones answers
+            # from manifest metadata alone — NO Spark job per poll —
+            # when max_seq_bound can vouch for the answer:
+            #   exact bounds (this engine's landing writers declare
+            #   arc.bounds.tight): the bound IS the stream end;
+            #   conservative bounds (any spec-compliant foreign writer):
+            #   true max <= bound, so bound <= resume cursor still
+            #   proves "nothing new" — the common caught-up poll —
+            #   while bound > cursor falls back to the pruned scan for
+            #   the attained max (an over-estimate must never become
+            #   the cursor: events landing under it later would be
+            #   skipped forever).
             from arc_spark.lake.iceberg_read import max_seq_bound
 
-            paths = (
-                list(self.events_path)
-                if isinstance(self.events_path, (list, tuple))
-                else [self.events_path]
-            )
-            best, all_exact = None, True
-            for p in paths:
+            best, all_exact, all_bounded = None, True, True
+            for p in self._paths():
                 v, exact = max_seq_bound(
                     p, seq_field=self.seq_col, spark=self.spark
                 )
-                if not exact:
-                    all_exact = False
-                    break
-                if v is not None:
-                    best = v if best is None else max(best, v)
+                if v is None:
+                    if not exact:  # no usable metadata for this shard
+                        all_exact = all_bounded = False
+                        break
+                    continue  # provably empty shard
+                best = v if best is None else max(best, v)
+                all_exact = all_exact and exact
             if all_exact:
                 return -1 if best is None else int(best)
-            # scan fallback — still pruned to files past the resume
-            # cursor: a pruned file holds only seq <= cursor, and the
-            # run loop treats max_seq <= cursor as nothing-to-do.
             try:
                 cursor = self.table.snapshot().end_seq
             except FileNotFoundError:
                 cursor = None
             if cursor is not None and cursor < 0:
                 cursor = None
+            if (
+                all_bounded
+                and best is not None
+                and cursor is not None
+                and best <= cursor
+            ):
+                return int(best)  # caught up: true max <= bound <= cursor
+            # scan fallback — still pruned to files past the resume
+            # cursor: a pruned file holds only seq <= cursor, and the
+            # run loop treats max_seq <= cursor as nothing-to-do.
         row = self._events(min_seq=cursor).agg(F.max(self.seq_col)).first()
         return -1 if row[0] is None else int(row[0])
 
@@ -268,13 +283,9 @@ class ReplayRunner:
                 tx_safe_horizon,
             )
 
-            paths = (
-                list(self.events_path)
-                if isinstance(self.events_path, (list, tuple))
-                else [self.events_path]
-            )
             ev_tx = parse_debezium(
-                self.spark.read.text(paths), self.payload_schema, with_tx=True
+                self.spark.read.text(self._paths()), self.payload_schema,
+                with_tx=True,
             ).select("_tx_id", "seq")
             meta = parse_tx_metadata(self.spark.read.text(self.tx_metadata_path))
             horizon = tx_safe_horizon(ev_tx, meta)

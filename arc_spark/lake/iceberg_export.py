@@ -740,11 +740,8 @@ def _footer_stats(fs, path: str) -> tuple[int, int]:
     """(row count, byte size) for one parquet file — a footer read plus
     a stat. Shared by the exporter and the landing-zone writer so the
     manifest stats can never drift between them."""
-    import pyarrow.parquet as pq
-
-    with fs.seekable_input(path) as f:
-        n = pq.ParquetFile(f).metadata.num_rows
-    return n, fs.size(path)
+    n, size, _ = _footer_stats_multi(fs, path, {})
+    return n, size
 
 
 def _seq_bound_cell(field_id: int, bounds, i: int):
@@ -761,24 +758,16 @@ def _seq_bound_cell(field_id: int, bounds, i: int):
 def _footer_stats_bounds(fs, path: str, seq_col: str):
     """(row count, byte size, [min_seq, max_seq] | None) — one footer
     read, shared with the manifest-stats path so nothing drifts."""
-    import pyarrow.parquet as pq
-
-    from arc_spark.lake.table import _footer_seq_bounds
-
-    with fs.seekable_input(path) as f:
-        md = pq.ParquetFile(f).metadata
-    return md.num_rows, fs.size(path), _footer_seq_bounds(md, seq_col)
+    n, size, bnds = _footer_stats_multi(fs, path, {seq_col: None})
+    return n, size, bnds.get(seq_col)
 
 
 def _pooled_stats_bounds(fs, paths, seq_col: str):
     """_footer_stats_bounds over many files on a thread pool."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    paths = list(paths)
-    if not paths:
-        return []
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        return list(pool.map(lambda p: _footer_stats_bounds(fs, p, seq_col), paths))
+    return [
+        (n, size, bnds.get(seq_col))
+        for n, size, bnds in _pooled_stats_multi(fs, paths, {seq_col: None})
+    ]
 
 
 def _numeric_bound_cols(schema_fields) -> dict:
@@ -845,13 +834,7 @@ def _pooled_stats(fs, paths) -> list[tuple[int, int]]:
     """_footer_stats over many files on a thread pool — the reads are
     IO-bound and independent, so a many-hundred-file commit never walks
     object-store footers serially on the driver."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    paths = list(paths)
-    if not paths:
-        return []
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        return list(pool.map(lambda p: _footer_stats(fs, p), paths))
+    return [(n, size) for n, size, _ in _pooled_stats_multi(fs, paths, {})]
 
 
 def _schema_history(prev: dict | None, schema_json: dict):
@@ -1353,6 +1336,20 @@ def _publish_landing_snapshot(
             "schema.name-mapping.default": json.dumps(name_mapping),
             "write.format.default": "parquet",
             "commit.retry.num-retries": "1",
+            # ATTAINED (not merely conservative) manifest bounds: the
+            # Iceberg spec only requires upper_bounds >= the column max,
+            # so a metadata-only max_seq probe may treat a bound as the
+            # true max ONLY when every commit came from this engine's
+            # landing writers (footer-exact bounds). First commit claims
+            # it; appends/compactions keep it only if the chain had it —
+            # one foreign commit and the claim is gone for good.
+            **(
+                {"arc.bounds.tight": "true"}
+                if prev is None
+                or (prev.get("properties") or {}).get("arc.bounds.tight")
+                == "true"
+                else {}
+            ),
         },
         "current-snapshot-id": snapshot_id,
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},

@@ -210,23 +210,41 @@ def _decode_num_bound(cells, field_id: int):
 
 def max_seq_bound(table_path: str, *, seq_field: str = "seq",
                   spark=None) -> tuple[int | None, bool]:
-    """(max, exact) for ``seq_field`` over the current snapshot, from
-    manifest metadata alone — no Spark job, no file opens.
+    """(value, exact) for ``seq_field`` over the current snapshot, from
+    manifest metadata alone — no Spark job, no file opens. The CDC
+    tail's polling primitive: a caught-up consumer's "anything new?"
+    probe over a 10^4-snapshot landing zone becomes one metadata read
+    instead of a cluster job per poll.
 
-    ``exact=True`` means the value IS max(seq_field): every non-empty
-    data file carries a decodable upper bound and the snapshot has no
-    delete files (a delete could remove the max row, leaving the bound
-    an over-estimate). ``(None, True)`` = provably empty table/column.
-    ``exact=False`` -> the caller must fall back to a scan. This is the
-    CDC tail's polling primitive: a caught-up consumer's "anything
-    new?" probe over a 10^4-snapshot landing zone becomes one metadata
-    read instead of a cluster job per poll."""
+    - ``(None, True)``: provably empty — table missing, no current
+      snapshot yet (a foreign producer creates the table before its
+      first commit), the column absent, or zero live rows.
+    - ``exact=True`` with a value: the value IS max(seq_field). Claimed
+      only when every non-empty data file carries a decodable upper
+      bound, the snapshot has no delete files (a delete could remove
+      the max row), AND the table declares ATTAINED bounds
+      (``arc.bounds.tight`` property, written by this engine's landing
+      writers). The Iceberg spec only requires upper_bounds >= the
+      column max, so a foreign writer's bound is never trusted as
+      attained — advancing a replay cursor to an over-estimate would
+      permanently skip events that land under it later.
+    - ``exact=False`` with a value: a sound UPPER LIMIT
+      (true max <= value, bounds are conservative by spec; deletes
+      only remove rows, so they cannot raise the max). A caller may
+      conclude "nothing new" when value <= its cursor, but must scan
+      for the true max otherwise.
+    - ``(None, False)``: no usable metadata — scan."""
     fs = get_fs(table_path, spark)
     try:
         meta_path = resolve_metadata_file(fs, table_path)
     except FileNotFoundError:
         return None, True
     meta = json.loads(fs.read_bytes(meta_path))
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1 or not any(
+        s.get("snapshot-id") == cur for s in meta.get("snapshots", [])
+    ):
+        return None, True  # created but never committed to
     schema_id = meta.get("current-schema-id", 0)
     schema = next(
         (s for s in meta.get("schemas", []) if s.get("schema-id") == schema_id),
@@ -242,17 +260,21 @@ def max_seq_bound(table_path: str, *, seq_field: str = "seq",
     data_files, deletes = _load_snapshot_files(
         fs, meta, with_stats=True, with_bounds=True
     )
-    if deletes:
-        return None, False
-    best = None
+    best, any_rows = None, False
     for _p, _s, n, _sz, _a, (_lo, hi_raw) in data_files:
         if n == 0:
             continue
+        any_rows = True
         hi = _decode_num_bound(hi_raw, fid)
         if hi is None:
             return None, False  # a file without bounds could hold the max
         best = hi if best is None else max(best, hi)
-    return best, True
+    if not any_rows:
+        return None, True
+    tight = (
+        (meta.get("properties") or {}).get("arc.bounds.tight") == "true"
+    )
+    return best, tight and not deletes
 
 
 def _schema_projection(fields, nm, present_cols):

@@ -1332,6 +1332,67 @@ def test_max_seq_bound_metadata_only_poll(spark, tmp_path):
     assert exact is False
 
 
+def test_max_seq_bound_foreign_writer_semantics(spark, tmp_path):
+    """The Iceberg spec only requires upper_bounds >= the column max, so
+    a foreign table's bound is an UPPER LIMIT (exact=False), never the
+    attained max — and a table created but never committed to (a foreign
+    producer's pre-first-commit state) is provably empty, not an error.
+    The runner's caught-up poll stays sound either way: limit <= cursor
+    proves nothing new; limit > cursor forces the scan for the true max."""
+    import json as _json
+    import os
+
+    from arc_spark.cdc.generator import write_change_stream as _w
+    from arc_spark.lake.iceberg_export import write_iceberg
+    from arc_spark.lake.iceberg_read import max_seq_bound, read_iceberg
+
+    land = str(tmp_path / "land")
+    ev_dir = str(tmp_path / "ev")
+    stream = _w(spark, ev_dir, 500, seed=7, num_partitions=2)
+    write_iceberg(spark, spark.read.parquet(ev_dir), land)
+
+    # simulate a foreign writer: strip the tight-bounds property from
+    # the current metadata (bounds stay — just no attained-max claim)
+    meta_dir = os.path.join(land, "metadata")
+    vfile = sorted(
+        f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+    )[-1]
+    mp = os.path.join(meta_dir, vfile)
+    meta = _json.loads(open(mp).read())
+    assert meta["properties"].pop("arc.bounds.tight") == "true"
+    open(mp, "w").write(_json.dumps(meta))
+
+    v, exact = max_seq_bound(land)
+    assert v == 499 and exact is False  # upper limit, not attained
+
+    # pre-first-commit foreign table: metadata without a current snapshot
+    empty = str(tmp_path / "empty")
+    os.makedirs(os.path.join(empty, "metadata"))
+    bare = {k: v2 for k, v2 in meta.items() if k not in
+            ("current-snapshot-id", "snapshots", "refs")}
+    bare["snapshots"] = []
+    open(os.path.join(empty, "metadata", "v1.metadata.json"), "w").write(
+        _json.dumps(bare)
+    )
+    assert max_seq_bound(empty) == (None, True)
+
+    # end-to-end: the runner over the foreign (untight) landing zone
+    # still replays correctly and the caught-up rerun applies nothing
+    table, _ = create_table_for_stream(
+        spark, stream, str(tmp_path / "lake"), num_buckets=2
+    )
+    r = ReplayRunner(spark, land, table, batch_size=300,
+                     events_format="iceberg")
+    r.run()
+    assert table.snapshot().end_seq == 499
+    want = table.read(spark).count()
+    assert r.max_seq() == 499  # caught-up via the upper-limit path
+    r2 = ReplayRunner(spark, land, table, batch_size=300,
+                      events_format="iceberg")
+    assert r2.run() == []
+    assert table.read(spark).count() == want
+
+
 def test_append_only_read_plan_skips_delete_machinery(spark, tmp_path):
     """A delete-free Iceberg table (landing zones, plain exports) must
     read WITHOUT the per-row delete-applicability machinery — no
