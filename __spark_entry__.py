@@ -34,10 +34,26 @@ TABLES = [
 ]
 
 
+# Resolved-relation cache: repeated `spark.read.parquet` on the same path
+# re-lists the directory and re-reads footers for schema inference on the
+# DRIVER every call (~80 ms/table here; minutes for a large partitioned
+# table) — exactly the metadata a catalog would hold. Reusing the resolved
+# DataFrame is metadata caching only: the plan is lazy and every action
+# still scans the parquet input (guide §6 "file listing").
+_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     out = {}
     for n in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.join(sf_dir, f"{n}.parquet"),
+        )
+        df = _RELATION_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(key[1])
+            _RELATION_CACHE[key] = df
         df.createOrReplaceTempView(n)
         out[n] = df
     return out

@@ -305,8 +305,17 @@ def _lww_semi_join_back(
     AQE alone was measured leaving this join as SMJ (the pre-shuffle
     size estimate of an aggregate output is not trusted for the
     conversion), which re-shuffles every fat row and erases the whole
-    point of late materialization."""
+    point of late materialization.
+
+    The winner set is ``localCheckpoint(eager=True)``-materialized before
+    the count: previously the thin aggregation ran TWICE per epoch (once
+    for the count job, once again when the broadcast relation was built),
+    i.e. two full column-pruned scans of the batch. The checkpoint runs
+    it once; the count and the broadcast build both read the cached thin
+    rows, and the RDD cache is ContextCleaner-managed (freed when the
+    epoch's plan is garbage-collected), so nothing leaks across epochs."""
     if broadcast == "auto":
+        winners = winners.localCheckpoint(eager=True)
         broadcast = winners.count() <= max_broadcast
     return _key_seq_join(df, winners, keys, seq_col, "left_semi", broadcast)
 

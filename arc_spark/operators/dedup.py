@@ -239,19 +239,23 @@ def hashed_shingle_table(
     shingle_mode: str = "word",
 ) -> DataFrame:
     """(id, sh: array<long>) HASHED shingle table (xxhash64 per distinct
-    shingle), spread across the cluster and lineage-truncated so Arrow
-    kernels can consume ``sh`` as a plain column. The preferred shared
-    table for candidate generation + exact-verify: Jaccard over 8-byte
-    longs avoids shuffling/intersecting the string shingles entirely
-    (intersection sizes are exact up to a ~|set|²/2^64 collision
-    probability). Persist the result when sharing across stages."""
+    shingle), spread across the cluster. The preferred shared table for
+    candidate generation + exact-verify: Jaccard over 8-byte longs avoids
+    shuffling/intersecting the string shingles entirely (intersection
+    sizes are exact up to a ~|set|²/2^64 collision probability).
+
+    PERSIST the result when sharing across stages (all in-repo callers
+    do): the InMemoryRelation is then also the materialization barrier
+    that keeps downstream Arrow kernels' arguments plain columns — the
+    former extra ``localCheckpoint`` here double-cached the same rows
+    (RDD cache + InMemoryRelation) and cost one more pass per query."""
     # spread the RAW rows first: placed after the projection, the
     # repartition would leave the shingling itself in the (possibly
     # 1-task) scan stage and only spread downstream work
     return spread(df).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("sh"),
-    ).localCheckpoint(eager=False)
+    )
 
 
 def shingle_hashes(c: Column, shingle_n: int = 3, mode: str = "word") -> Column:
@@ -431,23 +435,37 @@ def minhash_near_dup(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_kernel(hash_arrays) -> np.ndarray:
+    """Shared numpy simhash bit-voting kernel over an iterable of shingle
+    hash arrays → int64 simhash per row (0 for empty/null)."""
+    out = np.zeros(len(hash_arrays), dtype=np.uint64)
+    bitsel = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for i, arr in enumerate(hash_arrays):
+        if arr is None or len(arr) == 0:
+            continue
+        h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        # (n_shingles, 64) bit matrix -> per-bit vote sums
+        bits = (h[:, None] & bitsel[None, :]) != 0
+        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+        out[i] = (bitsel[votes > 0]).sum(dtype=np.uint64)
+    return out.view(np.int64)
+
+
+def _simhash_rows(batches):
+    """mapInPandas form of the simhash kernel: (id, _sh) → (id, sh)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"id": pdf["id"], "sh": _simhash_kernel(pdf["_sh"].tolist())}
+        )
+
+
 def _simhash_from_hashes_udf():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
     @pandas_udf(LongType())
     def _simhash(hash_arrays: pd.Series) -> pd.Series:
-        out = np.zeros(len(hash_arrays), dtype=np.uint64)
-        bitsel = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for i, arr in enumerate(hash_arrays):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            # (n_shingles, 64) bit matrix -> per-bit vote sums
-            bits = (h[:, None] & bitsel[None, :]) != 0
-            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
-            out[i] = (bitsel[votes > 0]).sum(dtype=np.uint64)
-        return pd.Series(out.view(np.int64))
+        return pd.Series(_simhash_kernel(hash_arrays.tolist()))
 
     return _simhash
 
@@ -496,22 +514,19 @@ def simhash_near_dup(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    # the Arrow UDF's argument must be a PLAIN column: handed the
-    # higher-order transform(...) expression (which CollapseProject will
-    # re-inline across selects, and the cache manager may substitute
-    # into), planner extraction fails with INTERNAL_ERROR: Cannot
-    # generate code for expression: _simhash. localCheckpoint truncates
-    # the lineage at the shingle-hash level so the UDF always sits in a
-    # plain projection over a materialized relation.
+    # mapInPandas instead of a pandas_udf inside a Project: the kernel is
+    # its own operator, so no CollapseProject can re-inline the
+    # higher-order shingle transform into a UDF argument (the old
+    # INTERNAL_ERROR extraction trap) — which means NO materialization
+    # barrier (the former localCheckpoint cost one extra cached pass over
+    # the fat shingle arrays per query). Persist the thin (id, sh)
+    # signature: banding references it on BOTH join sides, so the
+    # shingle+kernel pipeline runs exactly once.
     hashes = spread(df).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
-    ).localCheckpoint(eager=False)
-    # persist the thin (id, sh) signature: banding references it on BOTH
-    # join sides, so the shingle+kernel pipeline runs exactly once
-    sig = hashes.select(
-        "id", _simhash_from_hashes_udf()(F.col("_sh")).alias("sh")
-    ).persist()
+    )
+    sig = hashes.mapInPandas(_simhash_rows, "id long, sh long").persist()
     banded = sig.select(
         "id",
         "sh",
