@@ -227,10 +227,15 @@ def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")["events"]
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # parse the JSON ONCE per row: referencing `k` in both the group key
+    # and the max() re-evaluated get_json_object twice per row (CollapseProject
+    # keeps the two projections apart for non-cheap exprs, so the explicit
+    # select halves the per-row parse work; same rows, same schema)
     return (
-        ev.withColumn("k_bucket", k % 10)
+        ev.select("event_type", k.alias("_k"))
+        .withColumn("k_bucket", F.col("_k") % 10)
         .groupBy("event_type", "k_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.max(k).alias("max_k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("_k").alias("max_k"))
     )
 
 

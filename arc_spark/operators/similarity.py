@@ -318,6 +318,33 @@ def _band_keys_kernel(planes: list[list[float]], bands: int, rpb: int):
     return _band_keys
 
 
+def _band_keys_kernel_lazy(num_planes: int, bands: int, rpb: int, seed: int):
+    """Like ``_band_keys_kernel`` but the hyperplane matrix is derived
+    inside the kernel from the first batch's vector dimension —
+    ``_hyperplanes(dim, num_planes, seed)`` is a pure function of
+    (dim, num_planes, seed), so every task materializes the identical
+    matrix and no driver-side ``df.first()`` dim-probe job is needed."""
+    weights = np.array([1 << r for r in range(rpb)], dtype=np.int64)
+    state: dict = {}
+
+    @pandas_udf(ArrayType(LongType()))
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        P = state.get("P")
+        if P is None:
+            P = np.array(
+                _hyperplanes(V.shape[1], num_planes, seed), dtype=np.float64
+            )
+            state["P"] = P
+        bits = (V @ P.T >= 0).astype(np.int64)
+        keys = bits.reshape(len(V), bands, rpb) @ weights
+        return pd.Series(list(keys))
+
+    return _band_keys
+
+
 def _query_band_keys(
     query_vec: list[float], planes: list[list[float]], bands: int, rpb: int
 ) -> list[int]:
@@ -1360,15 +1387,22 @@ def embedding_near_dup(
     if max_bucket_size == _USE_DEFAULT_CAP:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
 
-    sample = df.select(vec_col).first()
-    dim = len(sample[0])
-    planes = _hyperplanes(dim, num_planes, seed)
     rpb = num_planes // bands
-    _band_keys = _band_keys_kernel(planes, bands, rpb)
+    # lazy hyperplanes: derive dim from the first Arrow batch inside the
+    # kernel (deterministic for a fixed seed+dim, identical on every
+    # task), instead of a driver-side ``df.first()`` probe job per call
+    _band_keys = _band_keys_kernel_lazy(num_planes, bands, rpb, seed)
 
     base = spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).persist()  # referenced by banding + verify
+    )
+    # persist only when some subtree is referenced twice: the join verify
+    # reads base 3x (banding + both pair sides), and the bucket-size cap
+    # reads the banded rows twice (sizes + semi join). The uncapped
+    # bucket_matmul path streams base exactly once — a cache build there
+    # is a pure extra pass.
+    if pair_method == "join" or max_bucket_size:
+        base = base.persist()
 
     if pair_method == "bucket_matmul":
         thr = float(threshold)

@@ -19,6 +19,18 @@ from pyspark.sql import SparkSession
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "134217728")
 
+# Python workers unpickle engine UDF closures that reference arc_spark
+# module functions by import; make the package importable in workers no
+# matter the driver's cwd by exporting the repo root on PYTHONPATH before
+# the JVM (and therefore the worker launch environment) exists.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _PKG_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _PKG_ROOT
+    )
+
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
