@@ -295,8 +295,11 @@ def shingle_hashes(c: Column, shingle_n: int = 3, mode: str = "word") -> Column:
                 F.sequence(
                     F.lit(1), F.greatest(F.size(wh) - (shingle_n - 1), F.lit(1))
                 ),
+                # try_element_at: a doc shorter than n words hashes only
+                # its available word hashes (xxhash64 skips the NULLs);
+                # plain element_at would THROW under ANSI mode
                 lambda i: F.xxhash64(
-                    *[F.element_at(wh, i + k) for k in range(shingle_n)]
+                    *[F.try_element_at(wh, i + k) for k in range(shingle_n)]
                 ),
             )
         ),

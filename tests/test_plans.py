@@ -227,3 +227,101 @@ def test_iceberg_mor_read_plan_linear_in_chain_length(spark, tmp_path):
     # with slack; the exponential shape would blow past 2^levels = 32
     # base-scan copies alone
     assert n_scans <= 2 * (levels + 1) + 4, f"{n_scans} scans:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# round-6 optimization pins: the internals these rely on were restructured
+# for performance; these tests pin the behavior the speedups must preserve.
+# ---------------------------------------------------------------------------
+
+
+def test_word_hash_shingles_match_string_shingles_semantics(spark):
+    """Word-mode shingle hashing no longer builds shingle strings (one
+    xxhash64 per word + one combining xxhash64 per shingle). The hash
+    VALUES differ from the string form by design, but the set STRUCTURE
+    must match: same number of distinct shingles per doc as the string
+    form, and equal docs must still produce equal shingle sets."""
+    from arc_spark.operators.dedup import _shingles, shingle_hashes
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (3, "one two"),            # shorter than n=3 -> single short shingle
+        (4, ""),                   # empty
+        (5, "  spaced   out\ttokens \n here  "),
+        (6, "a a a a a"),          # repeated token collapses to 1 shingle
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: (r["n"], tuple(sorted(r["sh"])))
+        for r in df.select(
+            "id",
+            F.size(shingle_hashes(F.col("text"), 3)).alias("n"),
+            shingle_hashes(F.col("text"), 3).alias("sh"),
+        ).collect()
+    }
+    str_n = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", F.size(_shingles(F.col("text"), 3)).alias("n")
+        ).collect()
+    }
+    for i in (1, 2, 3, 4, 5, 6):
+        assert got[i][0] == str_n[i], (i, got[i][0], str_n[i])
+    assert got[1][1] == got[2][1]          # identical docs -> identical sets
+    assert got[1][0] == 7                  # 9 tokens, distinct 3-grams
+    assert got[3][0] == 1 and got[4][0] == 1
+    assert got[6][0] == 1
+
+
+def test_dedup_exact_id_only_joinback_keeps_min_id(spark):
+    """dedup_exact's keep set joins back on representative id alone; the
+    min-id-per-normalized-text contract must hold exactly."""
+    from arc_spark.operators.dedup import dedup_exact
+
+    rows = [
+        (10, "Hello  World"),
+        (3, "hello world"),      # same normalized text -> representative
+        (7, "HELLO\tWORLD "),    # same normalized text
+        (5, "different"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup_exact(df, "text", "doc_id").collect())
+    assert kept == [3, 5, 6], kept
+
+
+def test_lazy_band_keys_match_eager_kernel(spark):
+    """embedding_near_dup derives hyperplanes inside the kernel from the
+    first batch's dim; keys must equal the eager driver-side kernel."""
+    import random as _random
+
+    from arc_spark.operators.similarity import (
+        _band_keys_kernel,
+        _band_keys_kernel_lazy,
+        _hyperplanes,
+    )
+
+    dim, planes, bands = 16, 32, 16
+    rnd = _random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(4)
+    eager = _band_keys_kernel(_hyperplanes(dim, planes, 42), bands, planes // bands)
+    lazy = _band_keys_kernel_lazy(planes, bands, planes // bands, 42)
+    a = {r["id"]: list(r["k"]) for r in df.select("id", eager(F.col("v")).alias("k")).collect()}
+    b = {r["id"]: list(r["k"]) for r in df.select("id", lazy(F.col("v")).alias("k")).collect()}
+    assert a == b
+
+
+def test_thin_lww_winner_checkpoint_preserves_output(spark):
+    """The auto-broadcast winner set is eagerly checkpointed (single
+    materialization); output must stay identical to the window strategy."""
+    from arc_spark.cdc.apply import last_writer_wins
+    from arc_spark.cdc.generator import change_stream
+
+    df = change_stream(spark, 3000, num_partitions=4)
+    thin = last_writer_wins(df, ["repo", "path"], "seq", strategy="thin")
+    window = last_writer_wins(df, ["repo", "path"], "seq", strategy="window")
+    cols = sorted(thin.columns)
+    assert thin.select(cols).exceptAll(window.select(cols)).count() == 0
+    assert window.select(cols).exceptAll(thin.select(cols)).count() == 0
