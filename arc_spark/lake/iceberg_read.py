@@ -360,7 +360,9 @@ def read_iceberg(
         ddl = ", ".join(
             f"`{f['name']}` {_spark_type(f['type'])}" for f in fields
         )
-        return spark.createDataFrame([], ddl)
+        from arc_spark.schema import empty_df
+
+        return empty_df(spark, ddl)
 
     nm = None
     props = meta.get("properties") or {}
@@ -594,7 +596,9 @@ def read_iceberg_appends(
         ddl = ", ".join(
             f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
         )
-        return spark.createDataFrame([], ddl), cur_id
+        from arc_spark.schema import empty_df
+
+        return empty_df(spark, ddl), cur_id
     return (
         spark.read.option("mergeSchema", "true").parquet(*new_paths),
         cur_id,

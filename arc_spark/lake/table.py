@@ -723,7 +723,14 @@ class LakeTable:
                 list(snap.schema.fields) + [StructField(TOMBSTONE_COL, BooleanType(), True)]
             )
         if not rel_paths:
-            return spark.createDataFrame([], schema)
+            # JVM-native empty relation: createDataFrame([], schema) is a
+            # Python-RDD-backed empty DF whose consumer stages run
+            # defaultParallelism no-op tasks each waiting on a Python
+            # worker (~1.1 s/task cold, measured on epoch-0 merges), and
+            # AQE must execute the stage to learn it is empty
+            from arc_spark.schema import empty_df
+
+            return empty_df(spark, schema)
         paths = [fs_join(self.root, p) for p in rel_paths]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         # Align to snapshot schema. Old files may lack evolved columns

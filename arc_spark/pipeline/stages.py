@@ -206,7 +206,9 @@ class _FileExtract(PipelineStage):
                         f"{self.name}: input {self.params['inputURI']!r} is empty or "
                         f"missing and no schema is declared: {e}"
                     ) from None
-                df = ctx.spark.createDataFrame([], schema)
+                from arc_spark.schema import empty_df
+
+                df = empty_df(ctx.spark, schema)
         if self.params.get("internalColumns", True):
             df = add_internal_columns(
                 df, contiguous_index=self.params.get("contiguousIndex", True)
