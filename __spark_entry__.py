@@ -429,9 +429,12 @@ def _cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
+    # persist the parsed frame: the thin-LWW winner pass and the fat
+    # join-back would otherwise each re-run the to_json -> from_json
+    # envelope chain over the whole stream (the dominant CPU here)
     parsed = parse_debezium(
         raw, "user_id bigint, event_type string, value double, props string"
-    ).drop("_ts_ms")
+    ).drop("_ts_ms").persist()
     winners = last_writer_wins(parsed, ["user_id"], "seq", strategy="thin")
     return winners.filter(F.col("op") != "delete").select(
         "user_id",
@@ -532,11 +535,14 @@ def _cdc_tx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
+    # persist the parsed frame: the horizon's per-tx aggregate, the LWW
+    # winner pass and the fat join-back would otherwise each re-run the
+    # to_json -> from_json envelope chain over the whole stream
     parsed = parse_debezium(
         raw,
         "user_id bigint, event_type string, value double, props string",
         with_tx=True,
-    ).drop("_ts_ms")
+    ).drop("_ts_ms").persist()
     horizon = tx_safe_horizon(
         parsed.select("_tx_id", "seq"), parse_tx_metadata(meta_raw)
     )
@@ -645,7 +651,13 @@ def _statistics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_spark.operators.statistics import statistics
 
     li = _load(spark, sf_dir, "lineitem")["lineitem"]
-    return statistics(li, approximate=False).select(
+    # stddev/percentiles are NOT in the projection below, but the kernel's
+    # eager one-row agg computes everything requested — exact percentiles
+    # buffer the whole column 3x per numeric field (measured 100 s at
+    # sf0.1 for stats this query then dropped), so opt out explicitly
+    return statistics(
+        li, approximate=False, percentiles=False, stddev=False
+    ).select(
         "col_name", "data_type", "count", "distinct_count", "null_count",
         "mean", "min", "max", "minlen", "avglen", "maxlen",
     )

@@ -28,9 +28,20 @@ def statistics(
     *,
     approximate: bool = True,
     hll_relative_sd: float = 0.05,
+    percentiles: bool = True,
+    stddev: bool = True,
 ) -> DataFrame:
     """Profile every column of ``df``; returns one row per column with
-    count/distinct/nulls/mean/stddev/min/max/percentiles/length stats."""
+    count/distinct/nulls/mean/stddev/min/max/percentiles/length stats.
+
+    ``percentiles=False`` / ``stddev=False`` skip computing those stats
+    (their output columns stay in the schema as NULL). The single eager
+    ``df.agg(...).first()`` defeats downstream column pruning, so a
+    caller that will project them away MUST opt out here or pay anyway —
+    in exact mode each ``F.percentile`` buffers the entire column per
+    percentile (3 percentiles x 8 numeric columns held the whole
+    lineitem table 24x over: 100 s at sf0.1 for stats the caller
+    dropped)."""
     spark = df.sparkSession
     aggs = []
     for f_ in df.schema.fields:
@@ -40,8 +51,11 @@ def statistics(
             aggs.append(
                 F.approx_count_distinct(c, hll_relative_sd).alias(f"{name}__distinct")
             )
-        else:
-            aggs.append(F.count_distinct(c).alias(f"{name}__distinct"))
+        # exact distinct counts run as separate per-column jobs below: N
+        # count_distinct's in ONE aggregate plan an Expand that duplicates
+        # every row N+1 times through the aggregation (measured 12x row
+        # blowup on lineitem); a SINGLE-distinct aggregate needs no Expand
+        # and its scan prunes to just that column
         aggs.append(F.count_if(c.isNull()).alias(f"{name}__nulls"))
         if isinstance(f_.dataType, NumericType):
             d = c.cast("double")
@@ -53,13 +67,15 @@ def statistics(
                     f"{name}__mean"
                 )
             )
-            aggs.append(F.stddev_samp(d).alias(f"{name}__stddev"))
+            if stddev:
+                aggs.append(F.stddev_samp(d).alias(f"{name}__stddev"))
             aggs.append(F.min(d).alias(f"{name}__min"))
             aggs.append(F.max(d).alias(f"{name}__max"))
-            pfn = F.percentile_approx if approximate else F.percentile
-            aggs.append(pfn(d, 0.25).alias(f"{name}__p25"))
-            aggs.append(pfn(d, 0.5).alias(f"{name}__p50"))
-            aggs.append(pfn(d, 0.75).alias(f"{name}__p75"))
+            if percentiles:
+                pfn = F.percentile_approx if approximate else F.percentile
+                aggs.append(pfn(d, 0.25).alias(f"{name}__p25"))
+                aggs.append(pfn(d, 0.5).alias(f"{name}__p50"))
+                aggs.append(pfn(d, 0.75).alias(f"{name}__p75"))
         if isinstance(f_.dataType, StringType):
             # string min/max nulled in the reference to avoid leaking data
             # (util/StatisticsUtils.scala:212-213); we profile lengths only.
@@ -68,6 +84,20 @@ def statistics(
             aggs.append(F.max(F.length(c)).cast("double").alias(f"{name}__maxlen"))
 
     row = df.agg(*aggs).first().asDict()
+    if not approximate:
+        # one thin job per column, a few in flight so the next job's tasks
+        # back-fill the tail of the current one (guide §2.6); each scan
+        # reads only its own column via parquet pruning
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _cd(name: str) -> tuple[str, int]:
+            return name, df.agg(
+                F.count_distinct(F.col(name)).alias("_d")
+            ).first()[0]
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for name, v in pool.map(_cd, [f_.name for f_ in df.schema.fields]):
+                row[f"{name}__distinct"] = v
 
     out = []
     for f_ in df.schema.fields:

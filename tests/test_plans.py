@@ -325,3 +325,32 @@ def test_thin_lww_winner_checkpoint_preserves_output(spark):
     cols = sorted(thin.columns)
     assert thin.select(cols).exceptAll(window.select(cols)).count() == 0
     assert window.select(cols).exceptAll(thin.select(cols)).count() == 0
+
+
+def test_statistics_exact_distinct_split_jobs_match_and_skip_flags(spark):
+    """Exact-mode statistics now computes distinct counts as per-column
+    single-distinct jobs (no Expand) and lets callers skip
+    stddev/percentiles; values must match the one-agg form and skipped
+    stats must surface as NULL with the schema unchanged."""
+    from arc_spark.operators.statistics import statistics
+
+    df = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    full = {r["col_name"]: r.asDict() for r in statistics(df, approximate=False).collect()}
+    slim = {
+        r["col_name"]: r.asDict()
+        for r in statistics(
+            df, approximate=False, percentiles=False, stddev=False
+        ).collect()
+    }
+    expect = {
+        c: df.select(c).distinct().count() for c in df.columns
+    }
+    for c in df.columns:
+        assert full[c]["distinct_count"] == expect[c] == slim[c]["distinct_count"]
+        assert full[c]["count"] == slim[c]["count"]
+        assert full[c]["mean"] == slim[c]["mean"]
+    assert slim["o_totalprice"]["p50"] is None and slim["o_totalprice"]["stddev"] is None
+    assert full["o_totalprice"]["p50"] is not None
+    assert sorted(full["o_orderkey"].keys()) == sorted(slim["o_orderkey"].keys())
