@@ -407,6 +407,52 @@ def collapse_redelivered(
     return clean.unionByName(fixed), n_extras
 
 
+def lww_thin_collapse_redelivered(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    *,
+    max_broadcast: int = DEFAULT_MAX_BROADCAST_WINNERS,
+) -> tuple[DataFrame, int]:
+    """Fused ``collapse_redelivered`` + thin LWW for at-least-once tails.
+
+    The runner previously ran TWO full thin scans per epoch on
+    iceberg/debezium tails: one (keys, seq) aggregate to detect verbatim
+    re-deliveries, then the LWW winner aggregate. One grouped aggregate
+    answers both: per key, ``count(*) == count_distinct(seq)`` iff no
+    (keys, seq) group is duplicated (count_distinct ignores NULL seqs, so
+    a null-seq row also fails the equality and takes the safe path), and
+    ``max(seq)`` is already the LWW winner. On the clean path (the
+    overwhelmingly common case) the fat rows join back against that
+    winner set directly — identical output to collapse-then-LWW, one
+    thin scan instead of two. Duplicates fall back to the exact
+    collapse + plain thin LWW (rare, and the fallback recomputes the
+    redelivered count exactly).
+
+    Returns ``(deduped_df, events_redelivered)``.
+    """
+    thin = df.select(*keys, F.col(seq_col))
+    stats = thin.groupBy(*keys).agg(
+        F.max(seq_col).alias(seq_col),
+        F.count(F.lit(1)).alias("_nr"),
+        F.count_distinct(F.col(seq_col)).alias("_nd"),
+    ).localCheckpoint(eager=True)
+    extras_row = stats.agg(
+        F.coalesce(F.sum(F.col("_nr") - F.col("_nd")), F.lit(0)).alias("_e")
+    ).first()
+    if int(extras_row["_e"]) != 0:
+        collapsed, extras = collapse_redelivered(
+            df, keys, seq_col, max_broadcast=max_broadcast
+        )
+        return (
+            last_writer_wins(collapsed, keys, seq_col, strategy="thin"),
+            extras,
+        )
+    winners = stats.select(*keys, F.col(seq_col))
+    broadcast = stats.count() <= max_broadcast
+    return _key_seq_join(df, winners, keys, seq_col, "left_semi", broadcast), 0
+
+
 def _lww_thin(
     df: DataFrame,
     keys: list[str],

@@ -400,18 +400,32 @@ class ReplayRunner:
                 row_ops = row_ops.drop(*extra_cols)
 
         events_redelivered = 0
-        if self.redelivery_dedup:
-            row_ops, events_redelivered = collapse_redelivered(
+        if (
+            self.redelivery_dedup
+            and self.strategy == "thin"
+            and not self.salt_buckets
+        ):
+            # fused detect+LWW: one thin scan answers both the verbatim
+            # re-delivery check and the winner set (apply.py
+            # lww_thin_collapse_redelivered) — the split form paid a
+            # second full thin aggregate per epoch on clean batches
+            from arc_spark.cdc.apply import lww_thin_collapse_redelivered
+
+            deduped, events_redelivered = lww_thin_collapse_redelivered(
                 row_ops, self.keys, self.seq_col
             )
-
-        deduped = last_writer_wins(
-            row_ops,
-            self.keys,
-            self.seq_col,
-            strategy=self.strategy,
-            salt_buckets=self.salt_buckets,
-        )
+        else:
+            if self.redelivery_dedup:
+                row_ops, events_redelivered = collapse_redelivered(
+                    row_ops, self.keys, self.seq_col
+                )
+            deduped = last_writer_wins(
+                row_ops,
+                self.keys,
+                self.seq_col,
+                strategy=self.strategy,
+                salt_buckets=self.salt_buckets,
+            )
         # Fingerprint AFTER dedup: the Arrow UDF then touches only winning
         # rows, and runs post-shuffle where partitioning is uniform.
         if self.fingerprint:

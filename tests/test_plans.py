@@ -354,3 +354,28 @@ def test_statistics_exact_distinct_split_jobs_match_and_skip_flags(spark):
     assert slim["o_totalprice"]["p50"] is None and slim["o_totalprice"]["stddev"] is None
     assert full["o_totalprice"]["p50"] is not None
     assert sorted(full["o_orderkey"].keys()) == sorted(slim["o_orderkey"].keys())
+
+
+def test_fused_redelivery_lww_matches_split_form(spark):
+    """lww_thin_collapse_redelivered must equal collapse_redelivered +
+    thin LWW on both a clean stream and one with verbatim re-deliveries,
+    and report the same extras count."""
+    from arc_spark.cdc.apply import (
+        collapse_redelivered,
+        last_writer_wins,
+        lww_thin_collapse_redelivered,
+    )
+    from arc_spark.cdc.generator import change_stream
+
+    clean = change_stream(spark, 2000, num_partitions=4).filter(
+        F.col("op") != "schema-change"
+    )
+    dup = clean.unionByName(clean.limit(50))  # 50 verbatim re-deliveries
+    for df, want_extras in ((clean, 0), (dup, 50)):
+        fused, extras = lww_thin_collapse_redelivered(df, ["repo", "path"], "seq")
+        collapsed, extras2 = collapse_redelivered(df, ["repo", "path"], "seq")
+        split = last_writer_wins(collapsed, ["repo", "path"], "seq", strategy="thin")
+        assert extras == extras2 == want_extras
+        cols = sorted(fused.columns)
+        assert fused.select(cols).exceptAll(split.select(cols)).count() == 0
+        assert split.select(cols).exceptAll(fused.select(cols)).count() == 0
