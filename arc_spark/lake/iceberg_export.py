@@ -1340,9 +1340,15 @@ def _publish_landing_snapshot(
             # Iceberg spec only requires upper_bounds >= the column max,
             # so a metadata-only max_seq probe may treat a bound as the
             # true max ONLY when every commit came from this engine's
-            # landing writers (footer-exact bounds). First commit claims
-            # it; appends/compactions keep it only if the chain had it —
-            # one foreign commit and the claim is gone for good.
+            # landing writers (footer-exact bounds). The PROPERTY is just
+            # a fast precondition — standard Iceberg writers preserve
+            # table properties verbatim across commits, so a foreign
+            # append would keep it. The PROOF is per-snapshot: every
+            # engine-written snapshot stamps arc.bounds.tight into its
+            # summary (below), and max_seq_bound requires the marker on
+            # EVERY snapshot in the chain before trusting bounds as
+            # attained — a foreign commit lacks the marker and demotes
+            # the claim to conservative, exactly the spec default.
             **(
                 {"arc.bounds.tight": "true"}
                 if prev is None
@@ -1359,7 +1365,14 @@ def _publish_landing_snapshot(
                 "snapshot-id": snapshot_id,
                 "timestamp-ms": now_ms,
                 "sequence-number": seq,
-                "summary": {"operation": operation, **summary},
+                # per-snapshot attained-bounds marker: the evidence the
+                # metadata-only max_seq probe requires on EVERY snapshot
+                # (a table property alone survives foreign appends)
+                "summary": {
+                    "operation": operation,
+                    "arc.bounds.tight": "true",
+                    **summary,
+                },
                 "manifest-list": manifest_list,
                 "schema-id": schema_id,
             },

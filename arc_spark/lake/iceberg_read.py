@@ -216,9 +216,11 @@ def max_seq_bound(table_path: str, *, seq_field: str = "seq",
     probe over a 10^4-snapshot landing zone becomes one metadata read
     instead of a cluster job per poll.
 
-    - ``(None, True)``: provably empty — table missing, no current
-      snapshot yet (a foreign producer creates the table before its
-      first commit), the column absent, or zero live rows.
+    - ``(None, True)``: provably empty — table directory exists but no
+      metadata/current snapshot yet (a producer creates the table before
+      its first commit), the column absent, or zero live rows. A table
+      path that does not exist at all RAISES FileNotFoundError — a
+      mistyped eventsURI must not read as an empty stream.
     - ``exact=True`` with a value: the value IS max(seq_field). Claimed
       only when every non-empty data file carries a decodable upper
       bound, the snapshot has no delete files (a delete could remove
@@ -238,6 +240,13 @@ def max_seq_bound(table_path: str, *, seq_field: str = "seq",
     try:
         meta_path = resolve_metadata_file(fs, table_path)
     except FileNotFoundError:
+        # distinguish a mistyped/misconfigured path (raise — the old
+        # scan-based probe raised here too, and a silent (None, True)
+        # would make a wrong eventsURI indistinguishable from an empty
+        # stream) from the legitimate pre-first-commit state where the
+        # table directory exists but no metadata version has landed yet
+        if not fs.exists(table_path):
+            raise
         return None, True
     meta = json.loads(fs.read_bytes(meta_path))
     cur = meta.get("current-snapshot-id")
@@ -271,8 +280,19 @@ def max_seq_bound(table_path: str, *, seq_field: str = "seq",
         best = hi if best is None else max(best, hi)
     if not any_rows:
         return None, True
+    # Attained-bounds proof is PER SNAPSHOT, not the table property alone:
+    # standard Iceberg writers preserve table properties verbatim across
+    # commits, so a foreign append to an engine-created landing table
+    # would keep the property while adding spec-legal conservative
+    # (non-attained) bounds. Require the engine's summary marker on EVERY
+    # snapshot in the chain; the property remains as a cheap precondition
+    # (and demotes pre-marker engine tables to conservative — safe).
     tight = (
         (meta.get("properties") or {}).get("arc.bounds.tight") == "true"
+        and all(
+            (s.get("summary") or {}).get("arc.bounds.tight") == "true"
+            for s in meta.get("snapshots", [])
+        )
     )
     return best, tight and not deletes
 

@@ -1308,7 +1308,15 @@ def test_max_seq_bound_metadata_only_poll(spark, tmp_path):
     from arc_spark.lake.iceberg_read import max_seq_bound
 
     land = str(tmp_path / "land")
-    # missing table: provably empty, no error
+    # absent path: a mistyped eventsURI must be LOUD, not an empty stream
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        max_seq_bound(land)
+    # directory exists, no metadata yet (pre-first-commit): provably empty
+    import os as _os
+
+    _os.makedirs(land)
     assert max_seq_bound(land) == (None, True)
 
     for lo in (0, 100):
@@ -1364,6 +1372,36 @@ def test_max_seq_bound_foreign_writer_semantics(spark, tmp_path):
 
     v, exact = max_seq_bound(land)
     assert v == 499 and exact is False  # upper limit, not attained
+
+    # the REALISTIC foreign writer: standard Iceberg engines preserve
+    # table properties verbatim across commits, so a foreign APPEND to an
+    # engine-created table keeps arc.bounds.tight — the per-snapshot
+    # summary marker is the actual proof, and a snapshot without it must
+    # demote the claim to conservative even with the property intact
+    land2 = str(tmp_path / "land2")
+    write_iceberg(spark, spark.read.parquet(ev_dir), land2)
+    assert max_seq_bound(land2) == (499, True)
+    meta_dir2 = os.path.join(land2, "metadata")
+    vfile2 = sorted(
+        f for f in os.listdir(meta_dir2) if f.endswith(".metadata.json")
+    )[-1]
+    mp2 = os.path.join(meta_dir2, vfile2)
+    meta2 = _json.loads(open(mp2).read())
+    assert meta2["properties"]["arc.bounds.tight"] == "true"  # preserved
+    # foreign commit: duplicate the current snapshot entry WITHOUT the
+    # engine's summary marker (property untouched, spec-legal metadata)
+    foreign = dict(meta2["snapshots"][-1])
+    foreign["snapshot-id"] = foreign["snapshot-id"] + 1
+    foreign["summary"] = {"operation": "append"}
+    meta2["snapshots"].append(foreign)
+    meta2["current-snapshot-id"] = foreign["snapshot-id"]
+    meta2["refs"] = {"main": {"snapshot-id": foreign["snapshot-id"],
+                              "type": "branch"}}
+    open(os.path.join(meta_dir2, "v2.metadata.json"), "w").write(
+        _json.dumps(meta2)
+    )
+    v2b, exact2 = max_seq_bound(land2)
+    assert v2b == 499 and exact2 is False  # conservative, never attained
 
     # pre-first-commit foreign table: metadata without a current snapshot
     empty = str(tmp_path / "empty")
