@@ -1656,6 +1656,17 @@ def _asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note (round-5 verdict item #1): the driver's correctness
+    # artifact records the FIRST 50 registry entries, so the newest /
+    # highest-risk queries (doc_sample_split, doc_corpus_mix, dedup_apply,
+    # ann_ivf, ann_ivf_batch — never driver-recorded before) now sit
+    # inside the first 50. Five entries whose operators are each covered
+    # by other in-cap rows rotate to the tail (lineitem_profile ←
+    # statistics_lineitem; lang_quality_summary ← language_id + doc_quality
+    # + doc_quality_filter; ann_lsh ← ann_lsh_indexed/_batch; knn_batch ←
+    # knn_brute + ann_ivf_batch, same brute-force oracle; part_string_funcs
+    # ← the scrub/json string-expression rows). ALL 55 stay declared and
+    # oracle-backed — nothing is removed.
     return {
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_segment_revenue": _q3_segment_revenue,
@@ -1663,12 +1674,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": _top_orders_per_segment,
         "events_hourly": _events_hourly,
         "events_json": _events_json,
-        "lineitem_profile": _lineitem_profile,
         "dedup_exact_documents": _dedup_exact_documents,
         "doc_token_stats": _doc_token_stats,
-        "lang_quality_summary": _lang_quality_summary,
         "knn_brute": _knn_brute,
         "cdc_lww_events": _cdc_lww_events,
+        "doc_sample_split": _doc_sample_split,
+        "doc_corpus_mix": _doc_corpus_mix,
+        "dedup_apply": _dedup_apply,
+        "ann_ivf": _ann_ivf,
+        "ann_ivf_batch": _ann_ivf_batch,
         "cdc_scd2": _cdc_scd2,
         "cdc_debezium": _cdc_debezium,
         "cdc_tx_gate": _cdc_tx_gate,
@@ -1677,7 +1691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _customers_without_orders,
         "top_supplier_per_nation": _top_supplier_per_nation,
         "user_sessions": _user_sessions,
-        "part_string_funcs": _part_string_funcs,
         "asof_latest_order": _asof_latest_order,
         "shipmode_priority": _shipmode_priority,
         "promo_share": _promo_share,
@@ -1704,16 +1717,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "doc_scrub": _doc_scrub,
         "doc_quality_filter": _doc_quality_filter,
-        "ann_lsh": _ann_lsh,
         "ann_lsh_indexed": _ann_lsh_indexed,
         "ann_lsh_batch": _ann_lsh_batch,
-        "knn_batch": _knn_batch,
         "dedup_clusters_minhash": _dedup_clusters_minhash,
-        "dedup_apply": _dedup_apply,
-        "doc_sample_split": _doc_sample_split,
-        "doc_corpus_mix": _doc_corpus_mix,
-        "ann_ivf": _ann_ivf,
-        "ann_ivf_batch": _ann_ivf_batch,
+        # --- entries 51+ (operators covered by in-cap rows, see note) ---
+        "lineitem_profile": _lineitem_profile,
+        "lang_quality_summary": _lang_quality_summary,
+        "part_string_funcs": _part_string_funcs,
+        "ann_lsh": _ann_lsh,
+        "knn_batch": _knn_batch,
     }
 
 
