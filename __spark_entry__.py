@@ -45,11 +45,14 @@ _RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     out = {}
+    app = spark.sparkContext.applicationId
+    # entries of stopped applications hold DataFrames over dead contexts
+    # — evict anything not keyed by the live app so the cache stays O(a
+    # few tables) for the process lifetime
+    for k in [k for k in _RELATION_CACHE if k[0] != app]:
+        del _RELATION_CACHE[k]
     for n in names:
-        key = (
-            spark.sparkContext.applicationId,
-            os.path.join(sf_dir, f"{n}.parquet"),
-        )
+        key = (app, os.path.join(sf_dir, f"{n}.parquet"))
         df = _RELATION_CACHE.get(key)
         if df is None:
             df = spark.read.parquet(key[1])

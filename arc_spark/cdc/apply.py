@@ -313,7 +313,12 @@ def _lww_semi_join_back(
     i.e. two full column-pruned scans of the batch. The checkpoint runs
     it once; the count and the broadcast build both read the cached thin
     rows, and the RDD cache is ContextCleaner-managed (freed when the
-    epoch's plan is garbage-collected), so nothing leaks across epochs."""
+    epoch's plan is garbage-collected), so nothing leaks across epochs.
+    Availability trade-off: checkpoint blocks are unreplicated, so losing
+    an executor between the checkpoint and its last read fails the epoch
+    job instead of recomputing — the epoch is exactly-once-fenced, so a
+    rerun resumes cleanly, and the exposure window is the seconds between
+    the winner materialization and the merge commit."""
     if broadcast == "auto":
         winners = winners.localCheckpoint(eager=True)
         broadcast = winners.count() <= max_broadcast

@@ -1676,8 +1676,23 @@ def expire_iceberg_landing(spark, root: str, *, keep_last: int = 2,
     keep_ids = {s["snapshot-id"] for s in kept}
     m = re.match(r".*v(\d+)\.metadata\.json$", meta_path)
     out_version = int(m.group(1)) + 1
+    # Attained-bounds laundering guard: max_seq_bound proves exactness
+    # from per-snapshot summary markers, but files a foreign snapshot
+    # ADDED can outlive it as EXISTING entries in later engine snapshots.
+    # Expiring an UNMARKED snapshot would then leave a chain where every
+    # listed snapshot is marked while a foreign (merely conservative)
+    # bound is still live — so if any dropped snapshot lacks the marker,
+    # strip the table property for good, exactly the "one foreign commit
+    # and the claim is gone" semantics the property documents.
+    props = dict(meta.get("properties") or {})
+    if props.get("arc.bounds.tight") == "true" and any(
+        (s.get("summary") or {}).get("arc.bounds.tight") != "true"
+        for s in dropped
+    ):
+        props.pop("arc.bounds.tight", None)
     new_meta = {
         **meta,
+        "properties": props,
         "last-updated-ms": max(
             int(time.time() * 1000), int(meta.get("last-updated-ms", 0)) + 1
         ),

@@ -159,11 +159,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     hashes the text under a different effective seed.
 
     The keep set's semi join-back matches on the representative id ALONE
-    (ids are the caller's row identity): the former (id, fp128) join key
-    forced the normalize+hash chain to run a second time over the full
-    left side — one regex pass per row of pure recompute. The winner
-    pass now reads only (id, text) (Parquet column pruning) and the fat
-    rows join back untouched.
+    (the former (id, fp128) join key forced the normalize+hash chain to
+    run a second time over the full left side — one regex pass per row of
+    pure recompute). The winner pass now reads only (id, text) (Parquet
+    column pruning) and the fat rows join back untouched. REQUIRES
+    ``id_col`` to be a unique row identity — with duplicated ids every
+    row sharing a kept id survives (dedup without a usable identity is
+    undefined; all in-repo corpora key rows uniquely).
     """
     norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     thin = df.select(
@@ -284,7 +286,11 @@ def shingle_hashes(c: Column, shingle_n: int = 3, mode: str = "word") -> Column:
     a symmetric function of the same family — outputs stay oracle-exact
     (re-verified at sf0.001/0.01/0.1). Trailing shingles shorter than n
     hash the available word hashes (xxhash64 skips the out-of-range
-    NULLs), mirroring the string form's short ``slice``."""
+    NULLs), mirroring the string form's short ``slice``. One deliberate
+    edge difference: a NULL text now hashes to its own singleton class
+    (the all-NULL xxhash64 seed value) instead of aliasing the
+    empty-string shingle as the old ``concat_ws``-over-NULL form did —
+    NULL and "" no longer near-dup-match each other."""
     if mode == "char":
         return F.transform(_shingles(c, shingle_n, mode), lambda s: F.xxhash64(s))
     norm = F.trim(F.lower(F.regexp_replace(c, r"\s+", " ")))
@@ -570,7 +576,14 @@ def simhash_near_dup(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), shingle_n, shingle_mode).alias("_sh"),
     )
-    sig = hashes.mapInPandas(_simhash_rows, "id long, sh long").persist()
+    # output schema derives the id type from the input (string doc ids
+    # are legal); only the simhash itself is pinned to long
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sig_schema = StructType(
+        [hashes.schema["id"], StructField("sh", LongType())]
+    )
+    sig = hashes.mapInPandas(_simhash_rows, sig_schema).persist()
     banded = sig.select(
         "id",
         "sh",

@@ -83,21 +83,35 @@ def statistics(
             aggs.append(F.avg(F.length(c)).alias(f"{name}__avglen"))
             aggs.append(F.max(F.length(c)).cast("double").alias(f"{name}__maxlen"))
 
-    row = df.agg(*aggs).first().asDict()
     if not approximate:
-        # one thin job per column, a few in flight so the next job's tasks
-        # back-fill the tail of the current one (guide §2.6); each scan
-        # reads only its own column via parquet pruning
-        from concurrent.futures import ThreadPoolExecutor
+        # exact mode runs one extra job per column (below): persist so a
+        # DERIVED input (a join/transform chain) is computed once, not
+        # once per column — for a bare file scan the cache build costs
+        # ~one scan and the per-column jobs read it back instead of
+        # re-opening the files. Unpersisted before returning.
+        from pyspark import StorageLevel
 
-        def _cd(name: str) -> tuple[str, int]:
-            return name, df.agg(
-                F.count_distinct(F.col(name)).alias("_d")
-            ).first()[0]
+        df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    try:
+        row = df.agg(*aggs).first().asDict()
+        if not approximate:
+            # one thin job per column, a few in flight so the next job's
+            # tasks back-fill the tail of the current one (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            for name, v in pool.map(_cd, [f_.name for f_ in df.schema.fields]):
-                row[f"{name}__distinct"] = v
+            def _cd(name: str) -> tuple[str, int]:
+                return name, df.agg(
+                    F.count_distinct(F.col(name)).alias("_d")
+                ).first()[0]
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for name, v in pool.map(
+                    _cd, [f_.name for f_ in df.schema.fields]
+                ):
+                    row[f"{name}__distinct"] = v
+    finally:
+        if not approximate:
+            df.unpersist()
 
     out = []
     for f_ in df.schema.fields:

@@ -192,21 +192,18 @@ def errors_field() -> T.StructField:
 
 
 def empty_df(spark, schema):
-    """JVM-native EMPTY DataFrame with ``schema`` (StructType or DDL).
+    """EMPTY DataFrame with ``schema`` (StructType or DDL), cheap to
+    consume.
 
     ``spark.createDataFrame([], schema)`` is backed by an empty PYTHON
     RDD with ``defaultParallelism`` partitions: every stage consuming it
     runs that many no-op tasks, and each task spins up (or waits on) a
     Python worker — measured ~1.1 s/task cold on the replay's epoch-0
-    empty-base read. Worse, the optimizer cannot statically prove the
-    relation empty (PropagateEmptyRelation needs a LocalRelation), so
-    AQE executes the whole stage just to discover 0 rows. ``range(0)``
-    plus null-literal casts is a pure-JVM empty relation the optimizer
-    folds away at plan time."""
-    from pyspark.sql import functions as F
-
+    empty-base read. A ZERO-partition RDD keeps the declared schema
+    byte-exact (nullability and field metadata included — a typed-empty
+    extract must introspect identically to a non-empty read) while every
+    consumer stage over it schedules zero tasks and touches no Python
+    worker."""
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
-    return spark.range(0).select(
-        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)

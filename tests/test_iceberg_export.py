@@ -1475,3 +1475,38 @@ def test_landing_bounds_prune_epoch_window_both_sides(spark, tmp_path):
     # degenerate windows stay exact
     assert read_iceberg(spark, d, max_seq=-1).count() == 0
     assert read_iceberg(spark, d, min_seq=None, max_seq=99).count() == 100
+
+
+def test_expiry_strips_tight_claim_when_dropping_unmarked_snapshot(spark, tmp_path):
+    """Expiring a foreign (unmarked) snapshot must not launder the
+    attained-bounds claim: its files can outlive it as EXISTING entries,
+    so the table property is stripped for good and max_seq_bound stays
+    conservative."""
+    import json as _json
+    import os
+
+    from arc_spark.lake.iceberg_export import expire_iceberg_landing, write_iceberg
+    from arc_spark.lake.iceberg_read import max_seq_bound
+
+    land = str(tmp_path / "land")
+    for lo in (0, 100):
+        batch = spark.range(lo, lo + 100).select(F.col("id").alias("seq"))
+        write_iceberg(spark, batch, land)
+    # simulate the foreign append: remove the marker from the FIRST
+    # snapshot's summary (property untouched, files still carried)
+    meta_dir = os.path.join(land, "metadata")
+    vfile = sorted(f for f in os.listdir(meta_dir) if f.endswith(".metadata.json"))[-1]
+    mp = os.path.join(meta_dir, vfile)
+    meta = _json.loads(open(mp).read())
+    meta["snapshots"][0]["summary"].pop("arc.bounds.tight")
+    open(mp, "w").write(_json.dumps(meta))
+    v, exact = max_seq_bound(land)
+    assert v == 199 and exact is False  # unmarked snapshot in chain
+    # land one more engine batch, then expire down to the newest snapshot
+    write_iceberg(spark, spark.range(200, 300).select(F.col("id").alias("seq")), land)
+    out = expire_iceberg_landing(spark, land, keep_last=1)
+    assert out["status"] != "noop"
+    v2, exact2 = max_seq_bound(land)
+    # all LISTED snapshots are now marked, but the claim must be gone:
+    # the foreign file's bound is still live as an EXISTING entry
+    assert v2 == 299 and exact2 is False

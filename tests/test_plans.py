@@ -379,3 +379,35 @@ def test_fused_redelivery_lww_matches_split_form(spark):
         cols = sorted(fused.columns)
         assert fused.select(cols).exceptAll(split.select(cols)).count() == 0
         assert split.select(cols).exceptAll(fused.select(cols)).count() == 0
+
+
+def test_simhash_accepts_string_ids(spark):
+    """The mapInPandas signature schema must derive the id type from the
+    input — string doc ids are legal and worked on the pandas_udf path."""
+    from arc_spark.operators.dedup import simhash_near_dup
+
+    rows = [(f"doc-{i}", "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_near_dup(df, "text", "doc_id", max_hamming=3, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert len(got) == 15  # identical docs: all C(6,2) pairs at hamming 0
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in got)
+
+
+def test_empty_df_preserves_schema_exactly(spark):
+    """empty_df must keep nullability and field metadata byte-exact (a
+    typed-empty extract introspects like a non-empty read) while its
+    consumers schedule zero tasks."""
+    from pyspark.sql import types as T
+
+    from arc_spark.schema import empty_df
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType(), False, {"internal": True}),
+        T.StructField("b", T.StringType(), True, {"desc": "x"}),
+    ])
+    df = empty_df(spark, schema)
+    assert df.schema == schema
+    assert df.rdd.getNumPartitions() == 0
+    assert df.count() == 0
